@@ -7,17 +7,31 @@ CPU; multi-chip sharding is validated with
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# XLA_FLAGS must be set before the CPU backend initializes. Note: the
+# environment may pre-import jax (sitecustomize) and force a remote TPU
+# platform via a registered plugin, so JAX_PLATFORMS env alone is NOT
+# enough — jax.config.update below is authoritative.
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 from pathlib import Path
 
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+# persistent compilation cache: amortizes XLA compile time across test runs
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import numpy as np
 import pytest
+
+assert jax.default_backend() == "cpu", "tests must run on CPU devices"
+assert jax.device_count() >= 8, "tests expect 8 virtual CPU devices"
 
 from viscy_tpu.zarr_io.synthetic import DEFAULT_CHANNELS, build_hcs_plate
 

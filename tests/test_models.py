@@ -1,0 +1,197 @@
+"""Forward-shape tests for every architecture (reference test strategy §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from viscy_tpu.models import (
+    ContrastiveEncoder,
+    FullyConvolutionalMAE,
+    UNeXt2,
+    Unet2d,
+    Unet25d,
+    Unet3d,
+)
+from viscy_tpu.models.contrastive.loss import ntxent_loss, triplet_margin_loss
+from viscy_tpu.models.unet.fcmae import generate_mask
+
+KEY = jax.random.PRNGKey(0)
+# small ConvNeXt config for fast CPU tests
+SMALL = dict(backbone="convnextv2_test")
+
+
+def _init_and_apply(model, x, **kwargs):
+    variables = model.init({"params": KEY}, x, **kwargs)
+    return model.apply(variables, x, **kwargs), variables
+
+
+def test_unext2_2d_shape():
+    # "UNeXt2_2D" in the reference registry is FCMAE with in_stack_depth=1
+    # (2D stem path; cytoland/engine.py:42)
+    model = FullyConvolutionalMAE(
+        in_channels=1,
+        out_channels=2,
+        encoder_blocks=(1, 1, 2, 1),
+        dims=(16, 32, 64, 128),
+        in_stack_depth=1,
+        stem_kernel_size=(1, 4, 4),
+        pretraining=False,
+    )
+    x = jnp.zeros((1, 1, 1, 32, 32))
+    out, _ = _init_and_apply(model, x)
+    assert out.shape == (1, 2, 1, 32, 32)
+
+
+def test_unext2_3d_shape():
+    model = UNeXt2(
+        in_channels=1,
+        out_channels=2,
+        in_stack_depth=5,
+        stem_kernel_size=(5, 4, 4),
+        backbone="convnextv2_test",
+    )
+    x = jnp.zeros((1, 1, 5, 32, 32))
+    out, _ = _init_and_apply(model, x)
+    assert out.shape == (1, 2, 5, 32, 32)
+
+
+def test_unext2_out_stack_depth():
+    model = UNeXt2(
+        in_channels=2,
+        out_channels=1,
+        in_stack_depth=4,
+        out_stack_depth=2,
+        stem_kernel_size=(2, 4, 4),
+        backbone="convnextv2_test",
+    )
+    x = jnp.zeros((1, 2, 4, 32, 32))
+    out, _ = _init_and_apply(model, x)
+    assert out.shape == (1, 1, 2, 32, 32)
+
+
+def test_fcmae_finetune_shape():
+    model = FullyConvolutionalMAE(
+        in_channels=1,
+        out_channels=2,
+        encoder_blocks=(1, 1, 2, 1),
+        dims=(16, 32, 64, 128),
+        in_stack_depth=5,
+        pretraining=False,
+    )
+    x = jnp.zeros((2, 1, 5, 32, 32))
+    out, _ = _init_and_apply(model, x)
+    assert out.shape == (2, 2, 5, 32, 32)
+
+
+def test_fcmae_pretrain_mask():
+    model = FullyConvolutionalMAE(
+        in_channels=1,
+        out_channels=1,
+        encoder_blocks=(1, 1, 2, 1),
+        dims=(16, 32, 64, 128),
+        in_stack_depth=5,
+        pretraining=True,
+    )
+    x = jnp.asarray(np.random.default_rng(0).random((2, 1, 5, 64, 64), np.float32))
+    variables = model.init({"params": KEY, "mask": KEY}, x, mask_ratio=0.5)
+    (out, mask) = model.apply(
+        variables, x, mask_ratio=0.5, rngs={"mask": jax.random.PRNGKey(1)}
+    )
+    assert out.shape == x.shape
+    assert mask.shape == (2, 1, 64, 64)
+    frac = float(jnp.mean(mask.astype(jnp.float32)))
+    assert frac == pytest.approx(0.5, abs=0.1)
+
+
+def test_generate_mask_exact_ratio():
+    mask = generate_mask(KEY, 3, (64, 64), stride=32, mask_ratio=0.5)
+    assert mask.shape == (3, 1, 2, 2)
+    assert int(mask.sum()) == 3 * 2  # exactly half of 4 cells per sample
+
+
+def test_fcmae_masking_zeroes_encoder_features():
+    """Masked positions must carry exact zeros through encoder stages."""
+    from viscy_tpu.models.unet.fcmae import MaskedMultiscaleEncoder
+
+    enc = MaskedMultiscaleEncoder(
+        in_channels=1, stage_blocks=(1, 1), dims=(8, 16), stem_kernel_size=(5, 4, 4)
+    )
+    x = jnp.asarray(np.random.default_rng(0).random((1, 1, 5, 32, 32), np.float32))
+    variables = enc.init({"params": KEY, "mask": KEY}, x, mask_ratio=0.5)
+    feats, mask = enc.apply(
+        variables, x, mask_ratio=0.5, rngs={"mask": jax.random.PRNGKey(2)}
+    )
+    # stem out at 8x8 (stride 4), stage0 at 8x8; mask at input res 32x32
+    m0 = np.asarray(mask[0, 0, ::4, ::4])  # mask at feature res
+    f0 = np.asarray(feats[0][0])  # (H, W, C)
+    assert np.abs(f0[m0.astype(bool)]).max() == 0.0
+    assert np.abs(f0[~m0.astype(bool)]).max() > 0.0
+
+
+def test_unet2d_shape():
+    model = Unet2d(in_channels=2, out_channels=1, num_blocks=2, task="reg")
+    x = jnp.zeros((1, 2, 1, 32, 32))
+    out, _ = _init_and_apply(model, x)
+    assert out.shape == (1, 1, 1, 32, 32)
+
+
+def test_unet25d_shape():
+    model = Unet25d(
+        in_channels=1, out_channels=1, in_stack_depth=5, out_stack_depth=1, num_blocks=2
+    )
+    x = jnp.zeros((1, 1, 5, 32, 32))
+    out, _ = _init_and_apply(model, x)
+    assert out.shape == (1, 1, 1, 32, 32)
+
+
+def test_unet3d_shape():
+    model = Unet3d(
+        in_channels=1, out_channels=1, dims=(8, 16, 32), num_res_block=(1, 1), downsample_z=True
+    )
+    x = jnp.zeros((1, 1, 8, 32, 32))
+    out, _ = _init_and_apply(model, x)
+    assert out.shape == (1, 1, 8, 32, 32)
+
+
+def test_contrastive_encoder_shapes():
+    model = ContrastiveEncoder(
+        backbone="convnextv2_test",
+        in_channels=2,
+        in_stack_depth=10,
+        stem_kernel_size=(5, 4, 4),
+        stem_stride=(5, 4, 4),
+        embedding_dim=64,
+        projection_dim=16,
+    )
+    x = jnp.zeros((2, 2, 10, 32, 32))
+    variables = model.init({"params": KEY}, x, train=False)
+    emb, proj = model.apply(variables, x, train=False)
+    assert emb.shape == (2, 64)
+    assert proj.shape == (2, 16)
+    # train mode updates batch stats
+    (emb, proj), updates = model.apply(
+        variables, x, train=True, mutable=["batch_stats"]
+    )
+    assert "batch_stats" in updates
+
+
+def test_ntxent_loss_basic():
+    rng = np.random.default_rng(0)
+    z1 = jnp.asarray(rng.standard_normal((8, 16), dtype=np.float32))
+    z2 = z1 + 0.01 * jnp.asarray(rng.standard_normal((8, 16), dtype=np.float32))
+    loss_aligned = float(ntxent_loss(z1, z2))
+    z3 = jnp.asarray(rng.standard_normal((8, 16), dtype=np.float32))
+    loss_random = float(ntxent_loss(z1, z3))
+    assert loss_aligned < loss_random
+    # HCL with beta=0 equals standard
+    assert float(ntxent_loss(z1, z2, beta=0.0)) == pytest.approx(loss_aligned)
+    assert np.isfinite(float(ntxent_loss(z1, z2, beta=0.5)))
+
+
+def test_triplet_margin_loss():
+    a = jnp.ones((4, 8))
+    p = jnp.ones((4, 8)) * 1.01
+    n = -jnp.ones((4, 8))
+    assert float(triplet_margin_loss(a, p, n)) == 0.0
+    assert float(triplet_margin_loss(a, n, p)) > 0.0

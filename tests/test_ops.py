@@ -1,0 +1,91 @@
+"""Tests for core ops: warp and SSIM."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from viscy_tpu.ops.ssim import ms_ssim_25d, ssim_25d
+from viscy_tpu.ops.warp import affine_warp_3d, compose_affine_3d, trilinear_sample
+
+
+def test_identity_warp():
+    x = jnp.asarray(np.random.default_rng(0).random((2, 3, 5, 16, 16), np.float32))
+    mats = compose_affine_3d(batch=2)
+    out = affine_warp_3d(x, mats)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-5)
+
+
+def test_translation_warp():
+    x = np.zeros((1, 1, 1, 8, 8), np.float32)
+    x[0, 0, 0, 4, 4] = 1.0
+    # translate output by +1 in x: out[p] = in[p - t] -> peak moves to x=5
+    mats = compose_affine_3d(translate=jnp.array([[0.0, 0.0, 1.0]]))
+    out = np.asarray(affine_warp_3d(jnp.asarray(x), mats))
+    assert out[0, 0, 0, 4, 5] == pytest.approx(1.0, abs=1e-5)
+
+
+def test_scale_warp_zooms_in():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.random((1, 1, 5, 33, 33), np.float32))
+    # scale > 1 zooms in: corners of input fall outside sampled region
+    mats = compose_affine_3d(scale=jnp.array([[1.0, 2.0, 2.0]]))
+    out = np.asarray(affine_warp_3d(x, mats))
+    assert out.shape == x.shape
+    # center pixel is preserved under center-anchored scaling (odd dims: exact center)
+    np.testing.assert_allclose(
+        out[0, 0, 2, 16, 16], np.asarray(x)[0, 0, 2, 16, 16], atol=1e-3
+    )
+
+
+def test_rotation_90deg():
+    x = np.zeros((1, 1, 1, 9, 9), np.float32)
+    x[0, 0, 0, 1, 4] = 1.0  # above center
+    mats = compose_affine_3d(rotation=jnp.array([[np.pi / 2, 0.0, 0.0]]))
+    out = np.asarray(affine_warp_3d(jnp.asarray(x), mats))
+    # 90-degree rotation about z maps the peak onto the x axis
+    assert out[0, 0, 0].max() == pytest.approx(1.0, abs=1e-4)
+    peak = np.unravel_index(out[0, 0, 0].argmax(), (9, 9))
+    assert peak in [(4, 1), (4, 7)]
+
+
+def test_trilinear_oob_zero_padding():
+    vol = jnp.ones((1, 2, 4, 4))
+    coords = jnp.array([[[-5.0]], [[0.0]], [[0.0]]])  # z out of bounds
+    out = trilinear_sample(vol, coords, "zeros")
+    assert float(out[0, 0, 0]) == 0.0
+    out_b = trilinear_sample(vol, coords, "border")
+    assert float(out_b[0, 0, 0]) == 1.0
+
+
+def test_ssim_identical_is_one():
+    x = jnp.asarray(np.random.default_rng(0).random((2, 1, 5, 32, 32), np.float32))
+    s = ssim_25d(x, x)
+    np.testing.assert_allclose(np.asarray(s), 1.0, atol=1e-4)
+
+
+def test_ssim_decreases_with_noise():
+    rng = np.random.default_rng(0)
+    x = rng.random((2, 1, 5, 32, 32)).astype(np.float32)
+    y = x + 0.5 * rng.standard_normal(x.shape).astype(np.float32)
+    s_clean = float(ssim_25d(jnp.asarray(x), jnp.asarray(x)).mean())
+    s_noisy = float(ssim_25d(jnp.asarray(y), jnp.asarray(x)).mean())
+    assert s_noisy < s_clean
+
+
+def test_ms_ssim_range_and_clamp():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((1, 1, 3, 176, 176), np.float32))
+    v = float(ms_ssim_25d(x, x, clamp=True))
+    assert v == pytest.approx(1.0, abs=1e-3)
+    y = jnp.asarray(rng.random((1, 1, 3, 176, 176), np.float32))
+    v2 = float(ms_ssim_25d(x, y, clamp=True))
+    assert 0.0 <= v2 < 1.0
+
+
+def test_ms_ssim_bf16_stable():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((1, 1, 3, 176, 176)), dtype=jnp.bfloat16)
+    y = jnp.asarray(rng.random((1, 1, 3, 176, 176)), dtype=jnp.bfloat16)
+    v = float(ms_ssim_25d(x, y, clamp=True))
+    assert np.isfinite(v)

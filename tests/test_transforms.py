@@ -1,0 +1,262 @@
+"""Tests for the batched transform stack: shapes, alignment, invariants."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import viscy_tpu.transforms as T
+
+KEY = jax.random.PRNGKey(0)
+
+
+def _batch(b=4, c=2, z=8, y=32, x=32, seed=0):
+    rng = np.random.default_rng(seed)
+    return {
+        "source": jnp.asarray(rng.random((b, c, z, y, x), np.float32)),
+        "target": jnp.asarray(rng.random((b, c, z, y, x), np.float32)),
+    }
+
+
+def test_normalize_sampled_analytic():
+    rng = np.random.default_rng(0)
+    x = rng.random((1, 8, 16, 16)).astype(np.float32)
+    sample = {
+        "Phase": x,
+        "norm_meta": {"Phase": {"dataset_statistics": {"mean": 0.5, "std": 0.1}}},
+    }
+    tr = T.NormalizeSampled(keys="Phase", level="dataset_statistics")
+    out = tr(sample)
+    np.testing.assert_allclose(out["Phase"], (x - 0.5) / (0.1 + 1e-8), rtol=1e-5)
+
+
+def test_minmax_sampled_range():
+    rng = np.random.default_rng(0)
+    x = rng.random((1, 4, 8, 8)).astype(np.float32) * 10
+    sample = {
+        "a": x,
+        "norm_meta": {"a": {"fov_statistics": {"p1": 1.0, "p99": 9.0}}},
+    }
+    out = T.MinMaxSampled(keys="a", level="fov_statistics")(sample)
+    assert out["a"].min() >= -1.0 - 1e-6
+    assert out["a"].max() <= 1.0 + 1e-6
+
+
+def test_flip_alignment_between_keys():
+    data = _batch()
+    out = T.BatchedRandFlipd(keys=["source", "target"], prob=1.0)(data, KEY)
+    # prob=1: every axis flipped for every sample -> both keys get same flips
+    np.testing.assert_array_equal(
+        np.asarray(out["source"]),
+        np.asarray(jnp.flip(data["source"], axis=(-3, -2, -1))),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out["target"]),
+        np.asarray(jnp.flip(data["target"], axis=(-3, -2, -1))),
+    )
+
+
+def test_flip_prob_zero_is_identity():
+    data = _batch()
+    out = T.BatchedRandFlipd(keys=["source"], prob=0.0)(data, KEY)
+    np.testing.assert_array_equal(np.asarray(out["source"]), np.asarray(data["source"]))
+
+
+def test_adjust_contrast_shapes_and_identity_gamma():
+    data = _batch()
+    tr = T.BatchedRandAdjustContrastd(keys=["source"], gamma=1.0, prob=1.0)
+    out = tr(data, KEY)
+    np.testing.assert_allclose(
+        np.asarray(out["source"]), np.asarray(data["source"]), atol=1e-4
+    )
+    tr2 = T.BatchedRandAdjustContrastd(keys=["source"], gamma=(2.0, 3.0), prob=1.0)
+    out2 = tr2(data, KEY)
+    assert not np.allclose(np.asarray(out2["source"]), np.asarray(data["source"]))
+
+
+def test_gaussian_noise_changes_only_selected():
+    data = _batch()
+    tr = T.BatchedRandGaussianNoised(keys=["source"], prob=1.0, std=0.5)
+    out = tr(data, KEY)
+    assert not np.allclose(np.asarray(out["source"]), np.asarray(data["source"]))
+    np.testing.assert_array_equal(np.asarray(out["target"]), np.asarray(data["target"]))
+
+
+def test_scale_intensity():
+    data = _batch()
+    tr = T.BatchedRandScaleIntensityd(keys=["source"], factors=0.5, prob=1.0)
+    out = tr(data, KEY)
+    ratio = np.asarray(out["source"]) / np.asarray(data["source"])
+    # per-sample constant ratio
+    per_sample = ratio.reshape(4, -1)
+    assert np.allclose(per_sample.std(axis=1), 0, atol=1e-4)
+
+
+def test_gaussian_smooth_reduces_variance():
+    data = _batch()
+    tr = T.BatchedRandGaussianSmoothd(
+        keys=["source"], sigma_z=(1.0, 1.0), sigma_y=(2.0, 2.0), sigma_x=(2.0, 2.0), prob=1.0
+    )
+    out = tr(data, KEY)
+    assert float(out["source"].std()) < float(data["source"].std())
+    assert out["source"].shape == data["source"].shape
+
+
+def test_percentile_scale():
+    data = _batch()
+    tr = T.BatchedScaleIntensityRangePercentilesd(
+        keys=["source"], lower=1, upper=99, b_min=-1.0, b_max=1.0, clip=True
+    )
+    out = tr(data)
+    assert float(out["source"].min()) >= -1.0
+    assert float(out["source"].max()) <= 1.0
+
+
+def test_histogram_shift_preserves_range():
+    data = _batch()
+    tr = T.BatchedRandHistogramShiftd(keys=["source"], num_control_points=8, prob=1.0)
+    out = tr(data, KEY)
+    assert out["source"].shape == data["source"].shape
+    assert float(out["source"].min()) >= float(data["source"].min()) - 1e-4
+    assert float(out["source"].max()) <= float(data["source"].max()) + 1e-4
+
+
+def test_zstack_shift():
+    data = _batch()
+    tr = T.BatchedRandZStackShiftd(keys=["source"], max_shift=3, prob=1.0)
+    out = tr(data, KEY)
+    assert out["source"].shape == data["source"].shape
+
+
+def test_center_crop():
+    data = _batch()
+    out = T.BatchedCenterSpatialCropd(keys=["source", "target"], roi_size=(4, 16, 16))(data)
+    assert out["source"].shape == (4, 2, 4, 16, 16)
+    assert out["target"].shape == (4, 2, 4, 16, 16)
+
+
+def test_divisible_crop():
+    rng = np.random.default_rng(0)
+    data = {"source": jnp.asarray(rng.random((2, 1, 7, 30, 30), np.float32))}
+    out = T.BatchedDivisibleCropd(keys=["source"], k=(1, 8, 8))(data)
+    assert out["source"].shape == (2, 1, 7, 24, 24)
+
+
+def test_rand_spatial_crop_alignment():
+    data = _batch()
+    out = T.BatchedRandSpatialCropd(keys=["source", "target"], roi_size=(4, 8, 8))(data, KEY)
+    assert out["source"].shape == (4, 2, 4, 8, 8)
+    # alignment: crops share coordinates -> equal where inputs are equal
+    data2 = {"source": data["source"], "target": data["source"]}
+    out2 = T.BatchedRandSpatialCropd(keys=["source", "target"], roi_size=(4, 8, 8))(data2, KEY)
+    np.testing.assert_array_equal(np.asarray(out2["source"]), np.asarray(out2["target"]))
+
+
+def test_weighted_crop_targets_bright_region():
+    b, c, z, y, x = 2, 1, 4, 64, 64
+    w = np.zeros((b, c, z, y, x), np.float32)
+    w[:, :, :, 40:56, 40:56] = 100.0  # bright block
+    data = {
+        "source": jnp.asarray(np.random.default_rng(0).random((b, c, z, y, x), np.float32)),
+        "target": jnp.asarray(w),
+    }
+    tr = T.BatchedRandWeightedCropd(
+        keys=["source", "target"], w_key="target", spatial_size=(4, 16, 16)
+    )
+    out = tr(data, KEY)
+    assert out["source"].shape == (b, c, 4, 16, 16)
+    # the cropped weight should contain most of the bright mass
+    assert float(out["target"].sum()) > 0.5 * float(jnp.asarray(w).sum()) / b
+
+
+def test_affine_identity_when_no_params():
+    data = _batch()
+    tr = T.BatchedRandAffined(keys=["source", "target"], prob=1.0)
+    out = tr(data, KEY)
+    np.testing.assert_allclose(
+        np.asarray(out["source"]), np.asarray(data["source"]), atol=1e-4
+    )
+
+
+def test_affine_alignment_and_change():
+    data = _batch()
+    data = {"source": data["source"], "target": data["source"]}
+    tr = T.BatchedRandAffined(
+        keys=["source", "target"],
+        prob=1.0,
+        rotate_range=[0.5, 0.0, 0.0],
+        scale_range=[(1.0, 1.2), (0.8, 1.2), (0.8, 1.2)],
+    )
+    out = tr(data, KEY)
+    assert not np.allclose(np.asarray(out["source"]), np.asarray(data["source"]))
+    np.testing.assert_allclose(
+        np.asarray(out["source"]), np.asarray(out["target"]), atol=1e-5
+    )
+
+
+def test_elastic_shapes():
+    data = _batch(b=2, z=4, y=16, x=16)
+    tr = T.BatchedRand3DElasticd(
+        keys=["source"], sigma_range=(1.0, 2.0), magnitude_range=(1.0, 2.0), prob=1.0
+    )
+    out = tr(data, KEY)
+    assert out["source"].shape == data["source"].shape
+
+
+def test_z_reduction():
+    data = _batch()
+    red = T.BatchedChannelWiseZReductiond(keys=["source"], default_strategy="mip")
+    out = red(data)
+    assert out["source"].shape == (4, 2, 1, 32, 32)
+    np.testing.assert_allclose(
+        np.asarray(out["source"][:, :, 0]), np.asarray(data["source"].max(axis=2))
+    )
+
+
+def test_stack_channels():
+    rng = np.random.default_rng(0)
+    sample = {
+        "Phase": rng.random((1, 4, 8, 8)).astype(np.float32),
+        "Nuclei": rng.random((1, 4, 8, 8)).astype(np.float32),
+        "Membrane": rng.random((1, 4, 8, 8)).astype(np.float32),
+    }
+    tr = T.StackChannelsd(source=["Phase"], target=["Nuclei", "Membrane"])
+    out = tr(sample)
+    assert out["source"].shape == (1, 4, 8, 8)
+    assert out["target"].shape == (2, 4, 8, 8)
+
+
+def test_tiled_crop():
+    rng = np.random.default_rng(0)
+    data = {"source": rng.random((1, 8, 32, 32)).astype(np.float32)}
+    tr = T.TiledSpatialCropSamplesd(keys=["source"], roi_size=(8, 16, 16), num_samples=4)
+    tiles = tr(data)
+    assert len(tiles) == 4
+    assert tiles[0]["source"].shape == (1, 8, 16, 16)
+    # deterministic: same call gives same tiles
+    tiles2 = tr(data)
+    np.testing.assert_array_equal(tiles[1]["source"], tiles2[1]["source"])
+
+
+def test_compose_key_split_and_jit():
+    data = _batch()
+    pipe = T.Compose(
+        [
+            T.BatchedRandFlipd(keys=["source", "target"], prob=0.5),
+            T.BatchedRandAdjustContrastd(keys=["source"], gamma=(0.8, 1.2), prob=0.5),
+            T.BatchedRandGaussianNoised(keys=["source"], prob=0.5, std=0.1),
+            T.BatchedCenterSpatialCropd(keys=["source", "target"], roi_size=(4, 16, 16)),
+        ]
+    )
+
+    @jax.jit
+    def run(d, k):
+        return pipe(d, k)
+
+    out = run(data, KEY)
+    assert out["source"].shape == (4, 2, 4, 16, 16)
+    # deterministic under same key
+    out2 = run(data, KEY)
+    np.testing.assert_array_equal(np.asarray(out["source"]), np.asarray(out2["source"]))
+    out3 = run(data, jax.random.PRNGKey(1))
+    assert not np.array_equal(np.asarray(out["source"]), np.asarray(out3["source"]))

@@ -1,0 +1,339 @@
+"""Cytoland virtual-staining engines
+(reference ``applications/cytoland/src/cytoland/engine.py:129,808``).
+
+``VSUNet`` wraps any registered U-Net architecture with the supervised
+train/val/test/predict steps (MixedLoss, divisible-pad forward, rotation
+TTA); ``FcmaeUNet`` adds masked pretraining (``fit_mask_ratio``) and
+encoder-only checkpoint transfer for fine-tuning. All steps are pure
+functions jit-compiled by the Trainer.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Literal, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from viscy_tpu.models.unet.fcmae import FullyConvolutionalMAE
+from viscy_tpu.models.unet.unet2d import Unet2d
+from viscy_tpu.models.unet.unet25d import Unet25d
+from viscy_tpu.models.unet.unet3d import Unet3d
+from viscy_tpu.models.unet.unext2 import UNeXt2
+from viscy_tpu.ops.ssim import ssim_25d
+from viscy_tpu.training.losses.mixed_loss import MixedLoss
+from viscy_tpu.training.module import TrainModule
+
+Array = jax.Array
+_logger = logging.getLogger("viscy_tpu")
+
+_UNET_ARCHITECTURE = {
+    "2D": Unet2d,
+    "UNeXt2": UNeXt2,
+    "2.5D": Unet25d,
+    "FNet3D": Unet3d,
+    "fcmae": FullyConvolutionalMAE,
+    "UNeXt2_2D": FullyConvolutionalMAE,
+}
+
+
+class MaskedMSELoss:
+    """Masked MSE for FCMAE pretraining (reference ``engine.py:106``):
+    per-pixel MSE averaged over Z, masked at masked patches, normalized by
+    mask sum."""
+
+    def __call__(self, preds: Array, original: Array, mask: Array) -> Array:
+        loss = jnp.square(preds.astype(jnp.float32) - original.astype(jnp.float32))
+        # mean over Z -> (B, C, H, W); mask (B, 1, H, W)
+        loss = (loss.mean(axis=2) * mask).sum() / jnp.maximum(mask.sum(), 1.0)
+        return loss
+
+
+def _divisible_pad(x: Array, factor: int, pad_z: bool = False) -> Array:
+    """Pad trailing YX (and optionally Z) up to multiples of ``factor``."""
+    z, y, xx = x.shape[-3:]
+    pz = (-z) % factor if pad_z else 0
+    py = (-y) % factor
+    px = (-xx) % factor
+    if not (pz or py or px):
+        return x
+    pad = [(0, 0)] * (x.ndim - 3) + [(0, pz), (0, py), (0, px)]
+    return jnp.pad(x, pad)
+
+
+def _center_crop_to_shape(x: Array, spatial: tuple[int, ...]) -> Array:
+    slices = [slice(None)] * (x.ndim - len(spatial))
+    for dim, size in zip(range(x.ndim - len(spatial), x.ndim), spatial):
+        start = (x.shape[dim] - size) // 2
+        slices.append(slice(start, start + size))
+    return x[tuple(slices)]
+
+
+class VSUNet(TrainModule):
+    """Virtual-staining U-Net engine."""
+
+    def __init__(
+        self,
+        architecture: Literal["2D", "UNeXt2", "2.5D", "FNet3D", "fcmae", "UNeXt2_2D"],
+        model_config: dict | None = None,
+        loss_function=None,
+        lr: float = 1e-3,
+        schedule: Literal["WarmupCosine", "Constant"] = "Constant",
+        freeze_encoder: bool = False,
+        ckpt_path: str | None = None,
+        log_batches_per_epoch: int = 8,
+        log_samples_per_batch: int = 1,
+        example_input_yx_shape: Sequence[int] = (256, 256),
+        test_cellpose_model_path: str | None = None,
+        test_cellpose_diameter: float | None = None,
+        test_evaluate_cellpose: bool = False,
+        test_time_augmentations: bool = False,
+        tta_type: Literal["mean", "median", "product"] = "mean",
+        warmup_steps: int = 0,
+        warmup_multiplier: float = 1e-3,
+    ) -> None:
+        net_class = _UNET_ARCHITECTURE.get(architecture)
+        if not net_class:
+            raise ValueError(
+                f"Architecture {architecture} not in {list(_UNET_ARCHITECTURE)}"
+            )
+        model_config = dict(model_config or {})
+        self.architecture = architecture
+        if architecture in ("fcmae", "UNeXt2_2D"):
+            model_config.setdefault("pretraining", architecture == "fcmae")
+            if architecture == "UNeXt2_2D":
+                model_config["pretraining"] = False
+        # normalize config lists to tuples for linen hashability
+        for k, v in model_config.items():
+            if isinstance(v, list):
+                model_config[k] = tuple(v)
+        self.model_config = model_config
+        self.model = net_class(**model_config)
+        self.loss_function = loss_function if loss_function is not None else MixedLoss()
+        self.lr = lr
+        self.schedule = schedule
+        self.freeze_encoder = freeze_encoder
+        self.ckpt_path = ckpt_path
+        self.log_batches_per_epoch = log_batches_per_epoch
+        self.log_samples_per_batch = log_samples_per_batch
+        self.example_input_yx_shape = tuple(example_input_yx_shape)
+        self.test_time_augmentations = test_time_augmentations
+        self.tta_type = tta_type
+        self.warmup_steps = warmup_steps
+        self.warmup_multiplier = warmup_multiplier
+
+    # -- init ----------------------------------------------------------------
+    def example_input(self) -> dict:
+        import numpy as np
+
+        depth = 1 if self.architecture == "2D" else self.model_config.get("in_stack_depth", 5)
+        in_ch = self.model_config.get("in_channels", 1)
+        out_ch = self.model_config.get("out_channels", 1)
+        x = np.zeros((1, in_ch, depth, *self.example_input_yx_shape), np.float32)
+        out_depth = getattr(self.model, "out_stack_depth", None) or depth
+        y = np.zeros((1, out_ch, out_depth, *self.example_input_yx_shape), np.float32)
+        return {"source": x, "target": y}
+
+    def init_with_rngs(self, rngs: dict, batch: dict) -> dict:
+        return self.model.init(rngs, jnp.asarray(batch["source"]))
+
+    # -- forward --------------------------------------------------------------
+    def forward(self, variables: dict, x: Array, deterministic: bool = True, rngs=None) -> Array:
+        return self.model.apply(variables, x, deterministic=deterministic, rngs=rngs)
+
+    def _compute_loss(self, pred: Array, target: Array, batch: dict) -> Array:
+        if "fg_mask" in batch:
+            return self.loss_function(pred, target, fg_mask=batch["fg_mask"])
+        return self.loss_function(pred, target)
+
+    # -- steps ------------------------------------------------------------------
+    def training_loss(self, variables, batch, rng):
+        pred = self.forward(
+            variables, batch["source"], deterministic=False, rngs={"dropout": rng}
+        )
+        loss = self._compute_loss(pred, batch["target"], batch)
+        return loss, ({}, {})
+
+    def validation_loss(self, variables, batch, rng):
+        pred = self.forward(variables, batch["source"])
+        loss = self._compute_loss(pred, batch["target"], batch)
+        return loss, {}
+
+    def test_step(self, variables, batch):
+        pred = self.forward(variables, batch["source"])
+        target = batch["target"]
+        loss = self._compute_loss(pred, target, batch)
+        p = pred.astype(jnp.float32)
+        t = target.astype(jnp.float32)
+        mae = jnp.abs(p - t).mean()
+        mse = jnp.square(p - t).mean()
+        pf = p.reshape(p.shape[0], -1)
+        tf = t.reshape(t.shape[0], -1)
+        pc = pf - pf.mean(axis=1, keepdims=True)
+        tc = tf - tf.mean(axis=1, keepdims=True)
+        pearson = (
+            (pc * tc).sum(axis=1)
+            / jnp.maximum(
+                jnp.linalg.norm(pc, axis=1) * jnp.linalg.norm(tc, axis=1), 1e-8
+            )
+        ).mean()
+        cosine = (
+            (pf * tf).sum(axis=1)
+            / jnp.maximum(
+                jnp.linalg.norm(pf, axis=1) * jnp.linalg.norm(tf, axis=1), 1e-8
+            )
+        ).mean()
+        ssim = ssim_25d(p, t, in_plane_window_size=(21, 21)).mean()
+        return {
+            "loss": loss,
+            "metrics/mae": mae,
+            "metrics/mse": mse,
+            "metrics/pearson": pearson,
+            "metrics/cosine": cosine,
+            "metrics/ssim": ssim,
+        }
+
+    # -- prediction -----------------------------------------------------------------
+    def _pad_forward_crop(self, variables, source: Array) -> Array:
+        original = source.shape[2:]
+        factor = 2 ** self.model.num_blocks
+        padded = _divisible_pad(
+            source, factor, pad_z=getattr(self.model, "downsamples_z", False)
+        )
+        pred = self.forward(variables, padded)
+        return _center_crop_to_shape(pred, original)
+
+    def predict_step(self, variables, batch):
+        source = batch["source"]
+        if self.test_time_augmentations:
+            preds = []
+            orig_yx = source.shape[-2:]
+            for k in range(4):
+                aug = jnp.rot90(source, k=k, axes=(-2, -1))
+                p = self._pad_forward_crop(variables, aug)
+                p = jnp.rot90(p, k=4 - k, axes=(-2, -1))
+                preds.append(_center_crop_to_shape(p, (p.shape[-3], *orig_yx)))
+            stacked = jnp.stack(preds)
+            if self.tta_type == "mean":
+                return stacked.mean(axis=0)
+            if self.tta_type == "median":
+                return jnp.median(stacked, axis=0)
+            log_preds = jnp.log(stacked + 1e-9)
+            return jnp.exp(log_preds.sum(axis=0))
+        return self._pad_forward_crop(variables, source)
+
+    # -- optimizer ----------------------------------------------------------------------
+    def configure_optimizers(self, total_steps: int):
+        import optax
+
+        from viscy_tpu.training.optimizers import configure_adamw_scheduler
+
+        tx, sched = configure_adamw_scheduler(
+            lr=self.lr,
+            schedule=self.schedule,
+            total_steps=total_steps,
+            warmup_steps=self.warmup_steps or None,
+            warmup_multiplier=self.warmup_multiplier,
+        )
+        if self.freeze_encoder:
+            def label_fn(params):
+                return jax.tree_util.tree_map_with_path(
+                    lambda path, _: "frozen"
+                    if any(getattr(p, "key", "") == "encoder" for p in path)
+                    else "trainable",
+                    params,
+                )
+
+            tx = optax.multi_transform(
+                {"trainable": tx, "frozen": optax.set_to_zero()}, label_fn
+            )
+        return tx, sched
+
+
+class FcmaeUNet(VSUNet):
+    """FCMAE engine: masked pretraining and fine-tuning
+    (reference ``engine.py:808``)."""
+
+    rng_keys = ("dropout", "mask")
+
+    def __init__(
+        self,
+        fit_mask_ratio: float = 0.0,
+        encoder_only: bool = False,
+        **kwargs,
+    ) -> None:
+        ckpt_path = None
+        if encoder_only:
+            if kwargs.get("ckpt_path") is None:
+                raise ValueError("encoder_only=True requires ckpt_path")
+            ckpt_path = kwargs.pop("ckpt_path")
+        kwargs.setdefault("architecture", "fcmae")
+        super().__init__(**kwargs)
+        self.fit_mask_ratio = fit_mask_ratio
+        self.encoder_only = encoder_only
+        self._encoder_ckpt = ckpt_path
+        if self.model.pretraining and self.fit_mask_ratio <= 0.0:
+            _logger.warning("FCMAE pretraining with fit_mask_ratio=0 — no masking applied")
+
+    def init_with_rngs(self, rngs: dict, batch: dict) -> dict:
+        return self.model.init(
+            rngs, jnp.asarray(batch["source"]), mask_ratio=self.fit_mask_ratio
+        )
+
+    def load_pretrained(self, variables: dict) -> dict:
+        """Encoder-only transfer from a pretrained checkpoint
+        (reference ``engine.py:855-867``)."""
+        if self._encoder_ckpt is None:
+            return variables
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        from pathlib import Path
+
+        restored = ckptr.restore(Path(self._encoder_ckpt).absolute())
+        src_params = restored["params"] if "params" in restored else restored
+        params = dict(variables["params"])
+        if "encoder" not in src_params:
+            raise KeyError("checkpoint has no encoder parameters")
+        params["encoder"] = src_params["encoder"]
+        _logger.info(f"Loaded encoder parameters from {self._encoder_ckpt}")
+        out = dict(variables)
+        out["params"] = params
+        return out
+
+    def forward_fit_fcmae(self, variables, batch, rng, return_target: bool = False):
+        source = batch["source"]
+        pred, mask = self.model.apply(
+            variables,
+            source,
+            mask_ratio=self.fit_mask_ratio,
+            deterministic=False,
+            rngs={"mask": rng, "dropout": jax.random.fold_in(rng, 1)},
+        )
+        target = source if return_target else None
+        return pred, target, mask
+
+    def training_loss(self, variables, batch, rng):
+        if self.model.pretraining:
+            pred, target, mask = self.forward_fit_fcmae(variables, batch, rng, return_target=True)
+            loss_fn = (
+                self.loss_function
+                if isinstance(self.loss_function, MaskedMSELoss)
+                else MaskedMSELoss()
+            )
+            loss = loss_fn(pred, target, mask.astype(jnp.float32))
+            return loss, ({}, {})
+        return super().training_loss(variables, batch, rng)
+
+    def validation_loss(self, variables, batch, rng):
+        if self.model.pretraining:
+            pred, target, mask = self.forward_fit_fcmae(variables, batch, rng, return_target=True)
+            loss_fn = (
+                self.loss_function
+                if isinstance(self.loss_function, MaskedMSELoss)
+                else MaskedMSELoss()
+            )
+            loss = loss_fn(pred, target, mask.astype(jnp.float32))
+            return loss, {}
+        return super().validation_loss(variables, batch, rng)

@@ -1,0 +1,359 @@
+"""HCSDataModule: the main supervised datamodule
+(reference ``viscy_data/hcs.py:36``).
+
+Differences from the reference, by TPU design (SURVEY.md §7):
+
+- DataLoader *threads* instead of worker processes (tensorstore releases
+  the GIL); no fork-safety constraints, so no mmap staging protocol is
+  required — an optional ``cache="ram"`` preload covers the same use case.
+- Augmentations split into host per-sample transforms (crops that reduce
+  H2D volume; anything subclassing ``HostTransform``) and device batched
+  transforms, which the trainer fuses into the jitted train step
+  (replacing ``on_after_batch_transfer``).
+- FOV shuffle / split uses an explicit seeded Generator instead of torch
+  global state.
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+from pathlib import Path
+from typing import Iterable, Sequence
+
+import jax
+import numpy as np
+
+from viscy_tpu.data.host_transforms import HostRandWeightedCropd, HostTransform
+from viscy_tpu.data.loader import DataLoader
+from viscy_tpu.data.sliding_window import MaskTestDataset, SlidingWindowDataset
+from viscy_tpu.transforms.affine import BatchedRandAffined
+from viscy_tpu.transforms.base import Compose
+from viscy_tpu.transforms.crop import BatchedCenterSpatialCropd
+from viscy_tpu.zarr_io.store import Position, open_ome_zarr
+
+_logger = logging.getLogger("viscy_tpu")
+
+
+class DataModule:
+    """Base datamodule protocol."""
+
+    def prepare_data(self) -> None: ...
+
+    def setup(self, stage: str) -> None: ...
+
+    def train_dataloader(self):
+        return None
+
+    def val_dataloader(self):
+        return None
+
+    def test_dataloader(self):
+        return None
+
+    def predict_dataloader(self):
+        return None
+
+    def device_transform(self, batch: dict, key, stage: str) -> dict:
+        return batch
+
+
+class HCSDataModule(DataModule):
+    """Supervised datamodule over a preprocessed HCS OME-Zarr plate."""
+
+    def __init__(
+        self,
+        data_path: str | Path,
+        source_channel: str | Sequence[str],
+        target_channel: str | Sequence[str],
+        z_window_size: int,
+        split_ratio: float = 0.8,
+        batch_size: int = 16,
+        num_workers: int = 8,
+        target_2d: bool = False,
+        yx_patch_size: tuple[int, int] = (256, 256),
+        normalizations: list | None = None,
+        augmentations: list | None = None,
+        caching: bool = False,
+        ground_truth_masks: str | None = None,
+        array_key: str = "0",
+        min_nonzero_fraction: float = 0.0,
+        nonzero_threshold: float = 0.0,
+        nonzero_channel: str | None = None,
+        max_nonzero_retries: int = 100,
+        val_gpu_augmentations: list | None = None,
+        include_fov_names: Iterable[str] | None = None,
+        exclude_fov_names: Iterable[str] | None = None,
+        seed: int = 42,
+        prefetch_factor: int = 2,
+        # accepted for reference config compatibility (no-ops here):
+        mmap_preload: bool = False,
+        scratch_dir: str | None = None,
+        persistent_workers: bool = False,
+        pin_memory: bool = False,
+        fg_mask_key: str | None = None,
+    ) -> None:
+        super().__init__()
+        self.data_path = Path(data_path)
+        self.source_channel = (
+            [source_channel] if isinstance(source_channel, str) else list(source_channel)
+        )
+        self.target_channel = (
+            [target_channel] if isinstance(target_channel, str) else list(target_channel)
+        )
+        self.z_window_size = z_window_size
+        self.split_ratio = split_ratio
+        self.batch_size = batch_size
+        self.num_workers = num_workers
+        self.target_2d = target_2d
+        self.yx_patch_size = tuple(yx_patch_size)
+        self.normalizations = list(normalizations or [])
+        self.caching = caching or mmap_preload
+        self.ground_truth_masks = ground_truth_masks
+        self.array_key = array_key
+        self.min_nonzero_fraction = min_nonzero_fraction
+        self.nonzero_threshold = nonzero_threshold
+        self.nonzero_channel = nonzero_channel
+        self.max_nonzero_retries = max_nonzero_retries
+        self.include_fov_names = include_fov_names
+        self.exclude_fov_names = exclude_fov_names
+        self.seed = seed
+        self.prefetch_factor = prefetch_factor
+        self.fg_mask_key = fg_mask_key
+
+        augmentations = list(augmentations or [])
+        self._host_augmentations = [a for a in augmentations if isinstance(a, HostTransform)]
+        self._device_augmentations = [
+            a for a in augmentations if not isinstance(a, HostTransform)
+        ]
+        self._val_device_augmentations = list(val_gpu_augmentations or [])
+        self._device_compose = (
+            Compose(self._device_augmentations) if self._device_augmentations else None
+        )
+        self._val_device_compose = (
+            Compose(self._val_device_augmentations) if self._val_device_augmentations else None
+        )
+        self._preloaded: dict[int, np.ndarray] = {}
+        self._epoch = 0
+
+    # -- derived settings -------------------------------------------------------
+    @property
+    def train_patches_per_stack(self) -> int:
+        for a in self._host_augmentations:
+            if isinstance(a, HostRandWeightedCropd):
+                return a.num_samples
+        return 1
+
+    @property
+    def train_z_scale_range(self) -> tuple[float, float]:
+        """Z scale range from any device affine aug (for expanded-Z sampling,
+        reference ``hcs.py:571-578``)."""
+        for a in self._device_augmentations:
+            if isinstance(a, BatchedRandAffined) and a.scale_range is not None:
+                lo, hi = a.scale_range[0]
+                return (lo - 1.0, hi - 1.0) if hi >= 1.0 else (0.0, 0.0)
+        return (0.0, 0.0)
+
+    def set_epoch(self, epoch: int) -> None:
+        self._epoch = epoch
+        for loader in (getattr(self, "_train_loader", None),):
+            if loader is not None:
+                loader.set_epoch(epoch)
+
+    # -- setup --------------------------------------------------------------------
+    def _filtered_positions(self, plate) -> list[Position]:
+        include = set(self.include_fov_names) if self.include_fov_names else None
+        exclude = set(self.exclude_fov_names) if self.exclude_fov_names else set()
+        out = []
+        for name, pos in plate.positions():
+            if include is not None and name not in include:
+                continue
+            if name in exclude:
+                continue
+            out.append(pos)
+        if not out:
+            raise ValueError("No FOVs left after include/exclude filtering")
+        return out
+
+    def _dataset_settings(self, with_target: bool = True) -> dict:
+        channels = {"source": self.source_channel}
+        if with_target:
+            channels["target"] = self.target_channel
+        return dict(
+            channels=channels,
+            z_window_size=self.z_window_size,
+            array_key=self.array_key,
+            seed=self.seed,
+        )
+
+    def _fit_transforms(self):
+        norm = list(self.normalizations)
+        train = _HostCompose(norm + self._host_augmentations)
+        val = _HostCompose(
+            norm
+            + [
+                a
+                for a in self._host_augmentations
+                if isinstance(a, HostRandWeightedCropd)
+            ]
+        )
+        return train, val
+
+    def setup(self, stage: str) -> None:
+        if stage in ("fit", "validate"):
+            self._setup_fit()
+        elif stage == "test":
+            self._setup_test()
+        elif stage == "predict":
+            self._setup_predict()
+        else:
+            raise NotImplementedError(f"Unknown stage {stage}")
+
+    def _setup_fit(self) -> None:
+        plate = open_ome_zarr(self.data_path, mode="r")
+        positions = self._filtered_positions(plate)
+        rng = np.random.default_rng(self.seed)
+        order = rng.permutation(len(positions))
+        positions = [positions[i] for i in order]
+        num_train = int(len(positions) * self.split_ratio)
+
+        train_transform, val_transform = self._fit_transforms()
+        settings = self._dataset_settings()
+        train_settings = dict(settings)
+        # expanded-Z sampling for scale augmentation
+        z_lo, z_hi = self.train_z_scale_range
+        if z_hi > 0.0:
+            expanded = math.ceil(self.z_window_size * (1 + z_hi))
+            expanded -= expanded % 2
+            train_settings["z_window_size"] = expanded
+        train_settings.update(
+            min_nonzero_fraction=self.min_nonzero_fraction,
+            nonzero_threshold=self.nonzero_threshold,
+            nonzero_channel=self.nonzero_channel,
+            max_nonzero_retries=self.max_nonzero_retries,
+        )
+        train_preload = val_preload = None
+        if self.caching:
+            all_data = self._preload_positions(positions)
+            train_preload = all_data[:num_train]
+            val_preload = all_data[num_train:]
+        self.train_dataset = SlidingWindowDataset(
+            positions[:num_train],
+            transform=train_transform,
+            preloaded_fovs=train_preload,
+            **train_settings,
+        )
+        self.val_dataset = SlidingWindowDataset(
+            positions[num_train:],
+            transform=val_transform,
+            preloaded_fovs=val_preload,
+            **settings,
+        )
+
+    def _preload_positions(self, positions: list[Position]) -> list[np.ndarray]:
+        """RAM-preload (T, C, Z, Y, X) of selected channels for each FOV."""
+        ch_idx = [
+            positions[0].get_channel_index(c)
+            for c in self.source_channel + self.target_channel
+        ]
+        out = []
+        for pos in positions:
+            img = pos[self.array_key]
+            out.append(img.oindex[:, ch_idx].astype(np.float32))
+        return out
+
+    def _setup_test(self) -> None:
+        plate = open_ome_zarr(self.data_path, mode="r")
+        positions = [p for _, p in plate.positions()]
+        transform = _HostCompose(self.normalizations)
+        settings = self._dataset_settings()
+        if self.ground_truth_masks:
+            self.test_dataset = MaskTestDataset(
+                positions,
+                transform=transform,
+                ground_truth_masks=self.ground_truth_masks,
+                **settings,
+            )
+        else:
+            self.test_dataset = SlidingWindowDataset(positions, transform=transform, **settings)
+
+    def _setup_predict(self) -> None:
+        store = open_ome_zarr(self.data_path, mode="r")
+        if isinstance(store, Position):
+            positions = [store]
+        else:
+            positions = self._filtered_positions(store)
+        transform = _HostCompose(self.normalizations)
+        self.predict_dataset = SlidingWindowDataset(
+            positions, transform=transform, **self._dataset_settings()
+        )
+
+    # -- loaders --------------------------------------------------------------------
+    def train_dataloader(self) -> DataLoader:
+        self._train_loader = DataLoader(
+            self.train_dataset,
+            batch_size=max(1, self.batch_size // self.train_patches_per_stack),
+            shuffle=True,
+            num_workers=self.num_workers,
+            drop_last=True,
+            prefetch_factor=self.prefetch_factor,
+            seed=self.seed,
+        )
+        self._train_loader.set_epoch(self._epoch)
+        return self._train_loader
+
+    def val_dataloader(self) -> DataLoader:
+        return DataLoader(
+            self.val_dataset,
+            batch_size=max(1, self.batch_size // self.train_patches_per_stack),
+            shuffle=False,
+            num_workers=self.num_workers,
+            seed=self.seed,
+        )
+
+    def test_dataloader(self) -> DataLoader:
+        return DataLoader(self.test_dataset, batch_size=1, num_workers=self.num_workers)
+
+    def predict_dataloader(self) -> DataLoader:
+        return DataLoader(
+            self.predict_dataset, batch_size=self.batch_size, num_workers=self.num_workers
+        )
+
+    # -- device-side (jitted) batch transform -----------------------------------------
+    def device_transform(self, batch: dict, key, stage: str = "train") -> dict:
+        if stage == "train" and self._device_compose is not None:
+            batch = self._device_compose(batch, key)
+        elif stage == "val" and self._val_device_compose is not None:
+            batch = self._val_device_compose(batch, key)
+        if self.target_2d and "target" in batch:
+            z_index = self.z_window_size // 2
+            batch = dict(batch)
+            batch["target"] = batch["target"][:, :, z_index : z_index + 1]
+            if "fg_mask" in batch:
+                batch["fg_mask"] = batch["fg_mask"][:, :, z_index : z_index + 1]
+        return batch
+
+
+class _HostCompose:
+    """Compose host transforms threading a numpy Generator; supports
+    multi-sample (list) outputs from weighted crops."""
+
+    def __init__(self, transforms: list) -> None:
+        self.transforms = [t for t in transforms if t is not None]
+
+    def __call__(self, data: dict, rng: np.random.Generator | None = None):
+        items = [data]
+        for t in self.transforms:
+            next_items = []
+            for item in items:
+                out = t(item, rng) if _accepts_rng(t) else t(item)
+                if isinstance(out, list):
+                    next_items.extend(out)
+                else:
+                    next_items.append(out)
+            items = next_items
+        return items if len(items) > 1 else items[0]
+
+
+def _accepts_rng(t) -> bool:
+    return isinstance(t, HostTransform) or getattr(t, "accepts_rng", False)

@@ -1,0 +1,158 @@
+"""Host-side (numpy) per-sample transforms for the input pipeline.
+
+These run in loader worker threads *before* H2D transfer to cut the
+transfer volume (the reference's "CPU transforms": ``RandWeightedCropd``,
+``CenterSpatialCropd`` etc. from ``_monai_wrappers.py``). Randomness uses
+an explicit ``numpy.random.Generator`` threaded by the dataset/loader, so
+epochs are reproducible per (seed, epoch, index).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Sequence
+
+import numpy as np
+
+from viscy_tpu.transforms.base import MapTransform
+
+__all__ = [
+    "HostRandWeightedCropd",
+    "HostRandSpatialCropd",
+    "HostCenterSpatialCropd",
+    "HostRandFlipd",
+]
+
+
+def _roi3(roi) -> tuple[int, int, int]:
+    if isinstance(roi, int):
+        return (roi,) * 3
+    roi = tuple(int(r) for r in roi)
+    return (1, *roi) if len(roi) == 2 else roi
+
+
+class HostTransform(MapTransform):
+    """Marker base for host transforms consuming a numpy Generator."""
+
+    is_random = False  # keys are handled by the dataset's np rng, not jax
+
+    def __call__(self, data: dict, rng: np.random.Generator | None = None) -> dict:
+        raise NotImplementedError
+
+
+class HostCenterSpatialCropd(HostTransform):
+    is_spatial = True
+
+    def __init__(self, keys, roi_size, allow_missing_keys=False) -> None:
+        super().__init__(keys, allow_missing_keys)
+        self.roi_size = _roi3(roi_size)
+
+    def __call__(self, data: dict, rng=None) -> dict:
+        data = dict(data)
+        for k in self.key_iterator(data):
+            x = data[k]
+            slices = [slice(None)] * (x.ndim - 3)
+            for size, r in zip(x.shape[-3:], self.roi_size):
+                r = min(r, size)
+                start = (size - r) // 2
+                slices.append(slice(start, start + r))
+            data[k] = x[tuple(slices)]
+        return data
+
+
+class HostRandSpatialCropd(HostTransform):
+    is_spatial = True
+    is_random = True
+
+    def __init__(self, keys, roi_size, allow_missing_keys=False) -> None:
+        super().__init__(keys, allow_missing_keys)
+        self.roi_size = _roi3(roi_size)
+
+    def __call__(self, data: dict, rng: np.random.Generator | None = None) -> dict:
+        rng = rng or np.random.default_rng()
+        data = dict(data)
+        first = data[self.first_key(data)]
+        spatial = first.shape[-3:]
+        roi = tuple(min(r, s) for r, s in zip(self.roi_size, spatial))
+        starts = [rng.integers(0, s - r + 1) for s, r in zip(spatial, roi)]
+        sl = tuple(slice(st, st + r) for st, r in zip(starts, roi))
+        for k in self.key_iterator(data):
+            data[k] = data[k][..., sl[0], sl[1], sl[2]]
+        return data
+
+
+class HostRandFlipd(HostTransform):
+    is_spatial = True
+    is_random = True
+
+    def __init__(self, keys, spatial_axes=(0, 1, 2), prob=0.5, allow_missing_keys=False) -> None:
+        super().__init__(keys, allow_missing_keys)
+        self.spatial_axes = tuple(spatial_axes)
+        self.prob = prob
+
+    def __call__(self, data: dict, rng: np.random.Generator | None = None) -> dict:
+        rng = rng or np.random.default_rng()
+        data = dict(data)
+        flips = [ax for ax in self.spatial_axes if rng.random() < self.prob]
+        if not flips:
+            return data
+        for k in self.key_iterator(data):
+            x = data[k]
+            axes = tuple(x.ndim - 3 + ax for ax in flips)
+            data[k] = np.flip(x, axis=axes).copy()
+        return data
+
+
+class HostRandWeightedCropd(HostTransform):
+    """Weighted multi-crop (reference ``RandWeightedCropd`` wrapper):
+    samples ``num_samples`` crops per stack with YX origin probability
+    proportional to the ``w_key`` channel intensity; returns a *list* of
+    sample dicts (flattened by ``collate_samples``)."""
+
+    is_spatial = True
+    is_random = True
+
+    def __init__(
+        self,
+        keys,
+        w_key: str,
+        spatial_size: Sequence[int],
+        num_samples: int = 1,
+        allow_missing_keys: bool = False,
+    ) -> None:
+        super().__init__(keys, allow_missing_keys)
+        self.w_key = w_key
+        self.spatial_size = _roi3(spatial_size)
+        self.num_samples = num_samples
+
+    def __call__(self, data: dict, rng: np.random.Generator | None = None) -> list[dict]:
+        rng = rng or np.random.default_rng()
+        w = np.asarray(data[self.w_key], np.float32)
+        spatial = w.shape[-3:]
+        cz, cy, cx = tuple(min(c, s) for c, s in zip(self.spatial_size, spatial))
+        z, y, x = spatial
+        # reduce weight over channels and Z -> (Y, X)
+        wm = np.clip(w.reshape(-1, y, x).sum(axis=0), 0, None)
+        # integral image for O(1) window sums over valid origins
+        integral = np.pad(wm, ((1, 0), (1, 0))).cumsum(0).cumsum(1)
+        vy, vx = y - cy + 1, x - cx + 1
+        window = (
+            integral[cy:, cx:][:vy, :vx]
+            - integral[:-cy, cx:][:vy, :vx]
+            - integral[cy:, :-cx][:vy, :vx]
+            + integral[:-cy, :-cx][:vy, :vx]
+        )
+        flat = window.reshape(-1)
+        total = flat.sum()
+        p = np.full_like(flat, 1.0 / flat.size) if total <= 0 else flat / total
+        out = []
+        for _ in range(self.num_samples):
+            idx = rng.choice(flat.size, p=p)
+            ys, xs = divmod(int(idx), vx)
+            zs = 0 if cz >= z else int(rng.integers(0, z - cz + 1))
+            crop = dict(data)
+            for k in self.key_iterator(data):
+                crop[k] = np.ascontiguousarray(
+                    data[k][..., zs : zs + cz, ys : ys + cy, xs : xs + cx]
+                )
+            out.append(crop)
+        return out

@@ -1,0 +1,142 @@
+"""Prefetching threaded DataLoader for the TPU host input pipeline.
+
+Replaces torch DataLoader worker *processes* (reference call stack §3.1)
+with a thread pool: tensorstore's C++ readers release the GIL, so threads
+overlap zarr decode with device compute without fork-safety hazards (the
+reference needed mmap staging + handle-closing dances to survive fork;
+``hcs.py:241-349``). A bounded queue prefetches batches ahead of the
+training loop; ``jax.device_put`` overlap happens in the trainer.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Callable, Iterator, Sequence
+
+import numpy as np
+
+from viscy_tpu.data.utils import collate_samples
+
+
+class DataLoader:
+    """Iterable over collated numpy batches with background prefetch."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int = 1,
+        shuffle: bool = False,
+        sampler: Sequence[int] | None = None,
+        batch_sampler=None,
+        num_workers: int = 4,
+        collate_fn: Callable | None = None,
+        drop_last: bool = False,
+        prefetch_factor: int = 2,
+        seed: int = 42,
+    ) -> None:
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.sampler = sampler
+        self.batch_sampler = batch_sampler
+        self.num_workers = max(0, num_workers)
+        self.collate_fn = collate_fn or collate_samples
+        self.drop_last = drop_last
+        self.prefetch_factor = prefetch_factor
+        self.seed = seed
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+        if hasattr(self.sampler, "set_epoch"):
+            self.sampler.set_epoch(epoch)
+        if hasattr(self.batch_sampler, "set_epoch"):
+            self.batch_sampler.set_epoch(epoch)
+
+    def _batches(self) -> list[list[int]]:
+        if self.batch_sampler is not None:
+            return [list(b) for b in self.batch_sampler]
+        if self.sampler is not None:
+            indices = list(self.sampler)
+        else:
+            indices = list(range(len(self.dataset)))
+            if self.shuffle:
+                rng = np.random.default_rng(self.seed + self.epoch)
+                rng.shuffle(indices)
+        batches = [
+            indices[i : i + self.batch_size]
+            for i in range(0, len(indices), self.batch_size)
+        ]
+        if self.drop_last and batches and len(batches[-1]) < self.batch_size:
+            batches.pop()
+        return batches
+
+    def __len__(self) -> int:
+        return len(self._batches())
+
+    def __iter__(self) -> Iterator[dict]:
+        batches = self._batches()
+        if not batches:
+            return
+        if self.num_workers == 0:
+            for batch_idx in batches:
+                yield self._load_batch(batch_idx)
+            return
+
+        out_q: queue.Queue = queue.Queue(maxsize=max(1, self.prefetch_factor))
+        stop = threading.Event()
+
+        def producer():
+            try:
+                with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                    # pipeline: submit item futures per batch, collate in order
+                    pending = []
+                    ahead = max(2, self.prefetch_factor + 1)
+                    it = iter(batches)
+                    for _ in range(ahead):
+                        b = next(it, None)
+                        if b is None:
+                            break
+                        pending.append([pool.submit(self._load_item, i) for i in b])
+                    bi = 0
+                    while pending:
+                        futs = pending.pop(0)
+                        if stop.is_set():
+                            return
+                        samples = [f.result() for f in futs]
+                        out_q.put(self.collate_fn(samples))
+                        bi += 1
+                        nxt = next(it, None)
+                        if nxt is not None:
+                            pending.append([pool.submit(self._load_item, i) for i in nxt])
+            except Exception as e:  # propagate to consumer
+                out_q.put(e)
+            finally:
+                out_q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = out_q.get()
+                if item is None:
+                    break
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+
+    def _load_item(self, idx: int):
+        if hasattr(self.dataset, "get_item_with_epoch"):
+            return self.dataset.get_item_with_epoch(idx, self.epoch)
+        return self.dataset[idx]
+
+    def _load_batch(self, indices: list[int]) -> dict:
+        if hasattr(self.dataset, "__getitems__"):
+            samples = self.dataset.__getitems__(indices)
+        else:
+            samples = [self._load_item(i) for i in indices]
+        return self.collate_fn(samples)

@@ -1,0 +1,241 @@
+"""Sliding-window datasets over HCS OME-Zarr positions
+(reference ``viscy_data/sliding_window.py:21``).
+
+Each item is a (C, Z, Y, X) window keyed by a global index into the
+cumulative (FOV, t, z-window) LUT; reads go through tensorstore
+orthogonal indexing. Per-timepoint norm-meta resolution and
+nonzero-fraction retry sampling match the reference semantics, with
+explicit numpy Generators replacing global torch/numpy seeds.
+"""
+
+from __future__ import annotations
+
+import bisect
+import logging
+from typing import Sequence
+
+import numpy as np
+
+from viscy_tpu.data.typing import ChannelMap, HCSStackIndex
+from viscy_tpu.data.utils import ensure_channel_list, read_norm_meta
+from viscy_tpu.zarr_io.store import ImageArray, Position
+
+_logger = logging.getLogger("viscy_tpu")
+
+
+class SlidingWindowDataset:
+    """Sliding windows along (T, Z) of each FOV."""
+
+    def __init__(
+        self,
+        positions: list[Position],
+        channels: ChannelMap,
+        z_window_size: int,
+        array_key: str = "0",
+        transform=None,
+        load_normalization_metadata: bool = True,
+        min_nonzero_fraction: float = 0.0,
+        nonzero_threshold: float = 0.0,
+        nonzero_channel: str | None = None,
+        max_nonzero_retries: int = 100,
+        preloaded_fovs: list[np.ndarray] | None = None,
+        seed: int = 42,
+    ) -> None:
+        if not 0.0 <= min_nonzero_fraction <= 1.0:
+            raise ValueError(f"min_nonzero_fraction must be in [0, 1], got {min_nonzero_fraction}")
+        self.positions = positions
+        self.channels = {k: ensure_channel_list(v) for k, v in channels.items()}
+        self.source_ch_idx = [
+            positions[0].get_channel_index(c) for c in self.channels["source"]
+        ]
+        self.target_ch_idx = (
+            [positions[0].get_channel_index(c) for c in self.channels["target"]]
+            if "target" in self.channels
+            else None
+        )
+        self.z_window_size = z_window_size
+        self.transform = transform
+        self.array_key = array_key
+        self.load_normalization_metadata = load_normalization_metadata
+        self.min_nonzero_fraction = min_nonzero_fraction
+        self.nonzero_threshold = nonzero_threshold
+        self.nonzero_channel = nonzero_channel
+        self.max_nonzero_retries = max_nonzero_retries
+        self.seed = seed
+        self._all_ch_names = list(self.channels["source"])
+        self._all_ch_idx = list(self.source_ch_idx)
+        if self.target_ch_idx is not None:
+            self._all_ch_names += list(self.channels["target"])
+            self._all_ch_idx += list(self.target_ch_idx)
+        self._preloaded = preloaded_fovs
+        self._get_windows()
+        if nonzero_channel is not None and nonzero_channel not in self._all_ch_names:
+            raise ValueError(
+                f"nonzero_channel {nonzero_channel!r} not found in {self._all_ch_names}"
+            )
+
+    # -- window LUT ------------------------------------------------------------
+    def _get_windows(self) -> None:
+        w = 0
+        self.window_keys: list[int] = []
+        self.window_arrays: list[ImageArray] = []
+        self.window_norm_meta: list[dict | None] = []
+        for fov in self.positions:
+            img = fov[str(self.array_key)]
+            ts = img.frames
+            zs = img.slices - self.z_window_size + 1
+            if zs < 1:
+                raise IndexError(
+                    f"Z window size {self.z_window_size} larger than Z slices "
+                    f"({img.slices}) for FOV {img.path}."
+                )
+            w += ts * zs
+            self.window_keys.append(w)
+            self.window_arrays.append(img)
+            self.window_norm_meta.append(read_norm_meta(fov))
+        self._max_window = w
+
+    def _find_window(self, index: int) -> tuple[ImageArray, int, dict | None, int]:
+        arr_idx = bisect.bisect_right(self.window_keys, index)
+        tz = index - self.window_keys[arr_idx - 1] if arr_idx > 0 else index
+        return self.window_arrays[arr_idx], tz, self.window_norm_meta[arr_idx], arr_idx
+
+    @staticmethod
+    def _resolve_timepoint_norm_meta(norm_meta: dict | None, t: int) -> dict | None:
+        if norm_meta is None:
+            return None
+        resolved = {}
+        for ch, levels in norm_meta.items():
+            resolved[ch] = {
+                name: values[str(t)] if name == "timepoint_statistics" else values
+                for name, values in levels.items()
+            }
+        return resolved
+
+    def _read_img_window(
+        self, img: ImageArray, ch_idx: list[int], tz: int, arr_idx: int = -1
+    ) -> tuple[np.ndarray, HCSStackIndex]:
+        """Read a (C, Z, Y, X) window; returns (array, (path, t, z))."""
+        zs = img.shape[-3] - self.z_window_size + 1
+        t = (tz + zs) // zs - 1
+        z = tz - t * zs
+        if self._preloaded is not None and arr_idx >= 0:
+            data = self._preloaded[arr_idx][t, :, z : z + self.z_window_size].astype(
+                np.float32, copy=True
+            )
+        else:
+            data = img.oindex[
+                slice(t, t + 1),
+                [int(i) for i in ch_idx],
+                slice(z, z + self.z_window_size),
+            ].astype(np.float32)[0]
+        return data, HCSStackIndex(f"/{img.path}", t, z)
+
+    def __len__(self) -> int:
+        return self._max_window
+
+    def __getitem__(self, index: int):
+        return self.get_item_with_epoch(index, 0)
+
+    def get_item_with_epoch(self, index: int, epoch: int):
+        """Deterministic per-(seed, epoch, index) random stream."""
+        rng = np.random.default_rng((self.seed, epoch, index))
+        check_key = (
+            (self.nonzero_channel or self.channels.get("target", [None])[0])
+            if self.min_nonzero_fraction > 0
+            else None
+        )
+        idx = index
+        for attempt in range(self.max_nonzero_retries + 1):
+            img, tz, norm_meta, arr_idx = self._find_window(idx)
+            data, sample_index = self._read_img_window(img, self._all_ch_idx, tz, arr_idx)
+            sample_images = {
+                name: data[i : i + 1] for i, name in enumerate(self._all_ch_names)
+            }
+            if check_key is not None and check_key in sample_images:
+                patch = sample_images[check_key]
+                frac = (patch >= self.nonzero_threshold).sum() / patch.size
+                if frac < self.min_nonzero_fraction:
+                    if attempt < self.max_nonzero_retries:
+                        idx = int(rng.integers(0, len(self)))
+                        continue
+                    _logger.warning(
+                        f"Exhausted {self.max_nonzero_retries} retries for nonzero "
+                        f"fraction >= {self.min_nonzero_fraction} on {check_key!r} "
+                        f"(index {index}). Returning last sample."
+                    )
+            break
+        if self.target_ch_idx is not None:
+            # first target channel is the weight map for spatial co-alignment
+            sample_images["weight"] = sample_images[self.channels["target"][0]]
+        if norm_meta is not None:
+            norm_meta = self._resolve_timepoint_norm_meta(norm_meta, sample_index.time)
+            sample_images["norm_meta"] = norm_meta
+        if self.transform:
+            sample_images = self.transform(sample_images, rng)
+        multi = isinstance(sample_images, list)
+        patches = sample_images if multi else [sample_images]
+        out = []
+        for p in patches:
+            p.pop("weight", None)
+            sample = {
+                "index": sample_index,
+                "source": self._stack_channels(p, "source"),
+            }
+            if self.target_ch_idx is not None:
+                sample["target"] = self._stack_channels(p, "target")
+            if self.load_normalization_metadata and norm_meta is not None:
+                sample["norm_meta"] = norm_meta
+            out.append(sample)
+        return out if multi else out[0]
+
+    def _stack_channels(self, sample_images: dict, key: str) -> np.ndarray:
+        return np.concatenate(
+            [sample_images[ch] for ch in self.channels[key]], axis=0
+        )
+
+
+class MaskTestDataset(SlidingWindowDataset):
+    """Test dataset with optional ground-truth CellPose masks
+    (reference ``sliding_window.py:289``). PNG mask files named
+    ``*_p###_z#_cp_masks.png`` are matched by (position, t, center z).
+    """
+
+    def __init__(
+        self,
+        positions: list[Position],
+        channels: ChannelMap,
+        z_window_size: int,
+        transform=None,
+        ground_truth_masks: str | None = None,
+        array_key: str = "0",
+        **kwargs,
+    ) -> None:
+        super().__init__(
+            positions, channels, z_window_size, array_key=array_key, transform=transform, **kwargs
+        )
+        import re
+        from pathlib import Path
+
+        self.masks: dict[tuple[int, int, int], str] = {}
+        if ground_truth_masks is None:
+            return
+        for img_path in Path(ground_truth_masks).glob("*cp_masks.png"):
+            name = img_path.name
+            pos = re.search(r"(?<=_p)\d{3}", name)
+            z = re.search(r"(?<=_z)\d+", name)
+            if pos and z:
+                self.masks[(int(pos.group()), 0, int(z.group()))] = str(img_path)
+
+    def get_item_with_epoch(self, index: int, epoch: int):
+        sample = super().get_item_with_epoch(index, epoch)
+        if not self.masks or isinstance(sample, list):
+            return sample
+        img_name, t_idx, z_idx = sample["index"]
+        position_name = int(img_name.split("/")[-2])
+        key = (position_name, int(t_idx), int(z_idx) + self.z_window_size // 2)
+        if path := self.masks.get(key):
+            from PIL import Image
+
+            sample["labels"] = np.asarray(Image.open(path), np.int16)
+        return sample

@@ -1,0 +1,39 @@
+"""Model zoo (flax.linen, channels-last internals).
+
+TPU-native rebuild of ``viscy-models`` (reference §2.3): UNeXt2, FCMAE,
+legacy U-Nets, contrastive encoders, heads, VAEs, GAN, flow matching.
+Public ``__call__`` signatures take (B, C, Z, Y, X) arrays to match the
+reference API; internally everything is channels-last for the TPU MXU.
+"""
+
+from viscy_tpu.models.unet.unext2 import UNeXt2
+from viscy_tpu.models.unet.fcmae import FullyConvolutionalMAE
+from viscy_tpu.models.unet.unet2d import Unet2d
+from viscy_tpu.models.unet.unet25d import Unet25d
+from viscy_tpu.models.unet.unet3d import Unet3d
+from viscy_tpu.models.contrastive.encoder import ContrastiveEncoder
+from viscy_tpu.models.contrastive.loss import NTXentHCL, NTXentLoss, ntxent_loss
+from viscy_tpu.models.components.heads import (
+    CosineClassifier,
+    MLP,
+    PixelToVoxelHead,
+    PixelToVoxelShuffleHead,
+    UnsqueezeHead,
+)
+
+__all__ = [
+    "UNeXt2",
+    "FullyConvolutionalMAE",
+    "Unet2d",
+    "Unet25d",
+    "Unet3d",
+    "ContrastiveEncoder",
+    "NTXentLoss",
+    "NTXentHCL",
+    "ntxent_loss",
+    "CosineClassifier",
+    "MLP",
+    "PixelToVoxelHead",
+    "PixelToVoxelShuffleHead",
+    "UnsqueezeHead",
+]

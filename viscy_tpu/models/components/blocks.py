@@ -1,0 +1,280 @@
+"""ConvNeXt(-v2) building blocks and the UNeXt2 decoder (flax.linen).
+
+Native rebuild of the timm internals the reference composes
+(``packages/viscy-models/src/viscy_models/components/blocks.py``,
+``unet/unext2.py``): ConvNeXt-v2 blocks with Global Response Norm,
+multiscale encoder stages, pixel-shuffle upsampling stages, and the
+UNeXt2 decoder. Everything is channels-last (B, H, W, C) so depthwise and
+1x1 convolutions map directly onto TPU MXU/VPU tiles.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Literal, Sequence
+
+import jax
+import jax.numpy as jnp
+from einops import rearrange
+from flax import linen as nn
+
+Array = jax.Array
+
+# ConvNeXt(-v2) model registry: backbone name -> (depths, dims)
+CONVNEXT_ARCHS: dict[str, tuple[tuple[int, ...], tuple[int, ...]]] = {
+    "convnextv2_atto": ((2, 2, 6, 2), (40, 80, 160, 320)),
+    "convnextv2_femto": ((2, 2, 6, 2), (48, 96, 192, 384)),
+    "convnextv2_pico": ((2, 2, 6, 2), (64, 128, 256, 512)),
+    "convnextv2_nano": ((2, 2, 8, 2), (80, 160, 320, 640)),
+    "convnextv2_tiny": ((3, 3, 9, 3), (96, 192, 384, 768)),
+    "convnextv2_base": ((3, 3, 27, 3), (128, 256, 512, 1024)),
+    "convnextv2_large": ((3, 3, 27, 3), (192, 384, 768, 1536)),
+    "convnext_tiny": ((3, 3, 9, 3), (96, 192, 384, 768)),
+    "convnext_small": ((3, 3, 27, 3), (96, 192, 384, 768)),
+    "convnext_base": ((3, 3, 27, 3), (128, 256, 512, 1024)),
+    # tiny configs for fast CPU tests
+    "convnextv2_test": ((1, 1, 2, 1), (16, 32, 64, 128)),
+    "convnext_test": ((1, 1, 2, 1), (16, 32, 64, 128)),
+}
+
+
+def pixel_shuffle_2d(x: Array, r: int) -> Array:
+    """Sub-pixel upsample, torch ``nn.PixelShuffle`` channel ordering.
+
+    x: (B, H, W, C*r*r) -> (B, H*r, W*r, C); channel k = c*r^2 + i*r + j.
+    A pure reshape — the ICNR-style checkerboard mitigation lives in the
+    initialization of the producing convolution.
+    """
+    return rearrange(x, "b h w (c i j) -> b (h i) (w j) c", i=r, j=r)
+
+
+def pad_pool_blur_2d(x: Array, r: int) -> Array:
+    """MONAI SubpixelUpsample ``apply_pad_pool`` blur: replicate-pad then
+    average-pool (kernel r, stride 1)."""
+    if r == 1:
+        return x
+    x = jnp.pad(x, ((0, 0), (0, r - 1), (0, r - 1), (0, 0)), mode="edge")
+    return jax.lax.reduce_window(
+        x, 0.0, jax.lax.add, (1, r, r, 1), (1, 1, 1, 1), "VALID"
+    ) / float(r * r)
+
+
+class DropPath(nn.Module):
+    """Per-sample stochastic depth on a residual branch."""
+
+    rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: Array, deterministic: bool = True) -> Array:
+        if self.rate == 0.0 or deterministic:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("dropout")
+        mask = jax.random.bernoulli(rng, keep, (x.shape[0],) + (1,) * (x.ndim - 1))
+        return jnp.where(mask, x / keep, 0.0)
+
+
+class GRN(nn.Module):
+    """Global Response Normalization (ConvNeXt-v2).
+
+    Channels-last: gx = ||x||_2 over spatial dims per (sample, channel);
+    nx = gx / mean_c(gx); y = gamma * x * nx + beta + x.
+    """
+
+    dim: int
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        gamma = self.param("gamma", nn.initializers.zeros, (self.dim,))
+        beta = self.param("beta", nn.initializers.zeros, (self.dim,))
+        spatial_axes = tuple(range(1, x.ndim - 1))
+        gx = jnp.sqrt(
+            jnp.sum(jnp.square(x.astype(jnp.float32)), axis=spatial_axes, keepdims=True)
+        )
+        nx = gx / (jnp.mean(gx, axis=-1, keepdims=True) + self.eps)
+        nx = nx.astype(x.dtype)
+        return gamma * (x * nx) + beta + x
+
+
+class ConvNeXtBlock(nn.Module):
+    """ConvNeXt block: 7x7 depthwise conv -> LN -> MLP (fc1/act/[GRN]/fc2).
+
+    ``use_grn=True`` gives the v2 block (no layer scale); ``ls_init_value``
+    enables the v1 layer-scale path.
+    """
+
+    dim: int
+    kernel_size: int = 7
+    mlp_ratio: int = 4
+    use_grn: bool = True
+    ls_init_value: float | None = None
+    drop_path: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: Array, deterministic: bool = True) -> Array:
+        shortcut = x
+        x = nn.Conv(
+            self.dim,
+            (self.kernel_size, self.kernel_size),
+            feature_group_count=self.dim,
+            padding=self.kernel_size // 2,
+            name="dwconv",
+        )(x)
+        x = nn.LayerNorm(epsilon=1e-6, name="norm")(x)
+        hidden = self.mlp_ratio * self.dim
+        x = nn.Dense(hidden, name="fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        if self.use_grn:
+            x = GRN(hidden, name="grn")(x)
+        x = nn.Dense(self.dim, name="fc2")(x)
+        if self.ls_init_value is not None:
+            gamma = self.param(
+                "ls_gamma",
+                nn.initializers.constant(self.ls_init_value),
+                (self.dim,),
+            )
+            x = x * gamma
+        x = DropPath(self.drop_path, name="drop_path")(x, deterministic)
+        return shortcut + x
+
+
+class ConvNeXtStage(nn.Module):
+    """Downsample (LN + strided conv) followed by ConvNeXt blocks.
+
+    Matches timm ``ConvNeXtStage`` semantics: when ``in_chs != out_chs`` or
+    ``stride > 1`` the downsample is LayerNorm + conv(kernel=max(stride, 1));
+    otherwise identity.
+    """
+
+    in_chs: int
+    out_chs: int
+    depth: int = 2
+    stride: int = 2
+    kernel_size: int = 7
+    mlp_ratio: int = 4
+    use_grn: bool = True
+    ls_init_value: float | None = None
+    drop_path_rates: Sequence[float] | None = None
+
+    @nn.compact
+    def __call__(self, x: Array, deterministic: bool = True) -> Array:
+        if self.in_chs != self.out_chs or self.stride > 1:
+            k = self.stride if self.stride > 1 else 1
+            x = nn.LayerNorm(epsilon=1e-6, name="downsample_norm")(x)
+            x = nn.Conv(
+                self.out_chs,
+                (k, k),
+                strides=(self.stride, self.stride),
+                padding="VALID",
+                name="downsample_conv",
+            )(x)
+        rates = self.drop_path_rates or [0.0] * self.depth
+        for i in range(self.depth):
+            x = ConvNeXtBlock(
+                self.out_chs,
+                kernel_size=self.kernel_size,
+                mlp_ratio=self.mlp_ratio,
+                use_grn=self.use_grn,
+                ls_init_value=self.ls_init_value,
+                drop_path=rates[i],
+                name=f"block{i}",
+            )(x, deterministic)
+        return x
+
+
+class MultiscaleEncoder(nn.Module):
+    """ConvNeXt multiscale encoder with external stem.
+
+    The reference replaces timm's stem conv with ``nn.Identity`` and feeds
+    the output of its own 3D stem (``unext2.py:47``); timm's stem LayerNorm
+    is retained — reproduced here as ``stem_norm``.
+    """
+
+    depths: Sequence[int]
+    dims: Sequence[int]
+    use_grn: bool = True
+    ls_init_value: float | None = None
+    drop_path_rate: float = 0.0
+    stem_norm: bool = True
+
+    @nn.compact
+    def __call__(self, x: Array, deterministic: bool = True) -> list[Array]:
+        if self.stem_norm:
+            x = nn.LayerNorm(epsilon=1e-6, name="stem_norm")(x)
+        total = sum(self.depths)
+        dp_rates = [self.drop_path_rate * i / max(total - 1, 1) for i in range(total)]
+        features = []
+        start = 0
+        for i, (depth, dim) in enumerate(zip(self.depths, self.dims)):
+            x = ConvNeXtStage(
+                in_chs=self.dims[max(i - 1, 0)] if i > 0 else self.dims[0],
+                out_chs=dim,
+                depth=depth,
+                stride=1 if i == 0 else 2,
+                use_grn=self.use_grn,
+                ls_init_value=self.ls_init_value,
+                drop_path_rates=dp_rates[start : start + depth],
+                name=f"stage{i}",
+            )(x, deterministic)
+            features.append(x)
+            start += depth
+        return features
+
+
+class UNeXt2UpStage(nn.Module):
+    """Decoder stage: pixel-shuffle upsample, concat skip, ConvNeXt refine.
+
+    Reference ``components/blocks.py:77`` (pixelshuffle mode): the upsample
+    is a pure sub-pixel reshape (pre_conv=None), so ``in_channels`` must be
+    divisible by ``scale_factor**2``; refinement is a stride-1 ConvNeXt
+    stage whose channel change happens in its LN+1x1 downsample conv.
+    """
+
+    in_channels: int
+    out_channels: int
+    scale_factor: int
+    conv_blocks: int = 2
+    use_grn: bool = True
+
+    @nn.compact
+    def __call__(self, x: Array, skip: Array | None, deterministic: bool = True) -> Array:
+        x = pixel_shuffle_2d(x, self.scale_factor)
+        if skip is not None:
+            x = jnp.concatenate([x, skip], axis=-1)
+        x = ConvNeXtStage(
+            in_chs=x.shape[-1],
+            out_chs=self.out_channels,
+            depth=self.conv_blocks,
+            stride=1,
+            use_grn=self.use_grn,
+            name="conv",
+        )(x, deterministic)
+        return x
+
+
+class UNeXt2Decoder(nn.Module):
+    """Multi-stage decoder (reference ``components/blocks.py:175``).
+
+    ``num_channels`` is ordered bottleneck -> output. Each stage upsamples
+    by ``strides[i]`` and fuses the next-higher-resolution skip.
+    """
+
+    num_channels: Sequence[int]
+    strides: Sequence[int]
+    conv_blocks: int = 2
+    use_grn: bool = True
+
+    @nn.compact
+    def __call__(self, features: Sequence[Array], deterministic: bool = True) -> Array:
+        feat = features[0]
+        skips = list(features[1:]) + [None]
+        for i in range(len(self.num_channels) - 1):
+            feat = UNeXt2UpStage(
+                in_channels=self.num_channels[i],
+                out_channels=self.num_channels[i + 1],
+                scale_factor=self.strides[i],
+                conv_blocks=self.conv_blocks,
+                use_grn=self.use_grn,
+                name=f"stage{i}",
+            )(feat, skips[i], deterministic)
+        return feat

@@ -1,0 +1,127 @@
+"""Residual conv blocks for the legacy U-Nets and CELLDiff
+(reference ``components/conv_block_2d.py`` / ``conv_block_3d.py`` and the
+ResnetBlock/TimestepEmbedder used by ``unet/unet3d_base.py``).
+
+Channels-last internals; blocks take (B, *spatial, C).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Literal, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Array = jax.Array
+
+
+def _activation(name: str):
+    return {
+        "relu": nn.relu,
+        "leakyrelu": lambda x: nn.leaky_relu(x, 0.2),
+        "elu": nn.elu,
+        "selu": nn.selu,
+        "silu": nn.silu,
+        "gelu": nn.gelu,
+        "linear": lambda x: x,
+    }[name]
+
+
+class Norm(nn.Module):
+    """Configurable norm: batch / instance / group / none (channels-last)."""
+
+    kind: Literal["batch", "instance", "group", "none"] = "batch"
+    groups: int = 8
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        if self.kind == "batch":
+            return nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
+        if self.kind == "instance":
+            # instance norm = group norm with one channel per group, per-sample
+            return nn.GroupNorm(num_groups=None, group_size=1)(x)
+        if self.kind == "group":
+            return nn.GroupNorm(num_groups=self.groups)(x)
+        return x
+
+
+class ConvBlock(nn.Module):
+    """Repeated [conv -> activation -> norm] with optional residual
+    (reference ``ConvBlock3D``, layer order 'can', filter_steps='first')."""
+
+    out_filters: int
+    kernel_size: Sequence[int] = (3, 3, 3)
+    num_repeats: int = 2
+    residual: bool = True
+    norm: str = "batch"
+    activation: str = "relu"
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        inp = x
+        act = _activation(self.activation)
+        for i in range(self.num_repeats):
+            x = nn.Conv(self.out_filters, tuple(self.kernel_size), padding="SAME", name=f"conv{i}")(x)
+            x = act(x)
+            x = Norm(self.norm, name=f"norm{i}")(x, train)
+            if self.dropout:
+                x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        if self.residual:
+            if inp.shape[-1] != self.out_filters:
+                inp = nn.Conv(self.out_filters, (1,) * len(self.kernel_size), name="res_proj")(inp)
+            x = x + inp
+        return x
+
+
+class TimestepEmbedder(nn.Module):
+    """Sinusoidal timestep embedding + 2-layer MLP (diffusion-style)."""
+
+    hidden_size: int
+    freq_embed_size: int = 256
+
+    @nn.compact
+    def __call__(self, t: Array) -> Array:
+        half = self.freq_embed_size // 2
+        freqs = jnp.exp(
+            -math.log(10000) * jnp.arange(half, dtype=jnp.float32) / half
+        )
+        args = t.astype(jnp.float32)[:, None] * freqs[None]
+        emb = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+        emb = nn.Dense(self.hidden_size, name="fc0")(emb)
+        emb = nn.silu(emb)
+        emb = nn.Dense(self.hidden_size, name="fc1")(emb)
+        return emb
+
+
+class ResnetBlock(nn.Module):
+    """GroupNorm ResNet block with optional timestep conditioning
+    (reference ``unet3d_base.py`` ResnetBlock): norm -> act -> conv, twice,
+    with a FiLM-style time-embedding shift added between convs."""
+
+    out_channels: int
+    residual: bool = True
+    norm: str = "group"
+    activation: str = "silu"
+    groups: int = 8
+    time_emb_dim: int | None = None
+
+    @nn.compact
+    def __call__(self, x: Array, time_embeds: Array | None = None, train: bool = False) -> Array:
+        act = _activation(self.activation)
+        h = Norm(self.norm, self.groups, name="norm0")(x, train)
+        h = act(h)
+        h = nn.Conv(self.out_channels, (3, 3, 3), padding="SAME", name="conv0")(h)
+        if self.time_emb_dim is not None and time_embeds is not None:
+            shift = nn.Dense(self.out_channels, name="time_proj")(nn.silu(time_embeds))
+            h = h + shift[:, None, None, None, :]
+        h = Norm(self.norm, self.groups, name="norm1")(h, train)
+        h = act(h)
+        h = nn.Conv(self.out_channels, (3, 3, 3), padding="SAME", name="conv1")(h)
+        if self.residual:
+            if x.shape[-1] != self.out_channels:
+                x = nn.Conv(self.out_channels, (1, 1, 1), name="res_proj")(x)
+            h = h + x
+        return h

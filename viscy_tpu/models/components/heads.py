@@ -1,0 +1,196 @@
+"""Task heads (reference ``components/heads.py``).
+
+Spatial heads re-inflate 2D decoder features to 3D voxel outputs via
+sub-pixel shuffles; embedding heads are projection MLPs / cosine
+classifiers. Spatial heads consume channels-last (B, H, W, C) and emit
+(B, C, D, H, W) to match the public API.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Literal, Sequence
+
+import jax
+import jax.numpy as jnp
+from einops import rearrange
+from flax import linen as nn
+
+from viscy_tpu.models.components.blocks import pad_pool_blur_2d, pixel_shuffle_2d
+
+Array = jax.Array
+
+
+class PixelToVoxelHead(nn.Module):
+    """Pixel-shuffle head: 2D features -> 3D voxels (reference ``heads.py:594``).
+
+    Pipeline: pixel-shuffle x2 (pure reshape) -> fold channels into a
+    (D+2)-deep volume -> 3x3x3 conv valid in Z (D+2 -> D) -> 1x1x1 conv ->
+    per-slice pixel-shuffle x2.
+    """
+
+    in_channels: int
+    out_channels: int
+    out_stack_depth: int
+    expansion_ratio: int = 4
+    pool: bool = False
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        first_scale = 2
+        x = pixel_shuffle_2d(x, first_scale)
+        if self.pool:
+            x = pad_pool_blur_2d(x, first_scale)
+        d = self.out_stack_depth + 2
+        # torch reshape (b, c//d, d, h, w) from channels k = c_new*d + d_idx
+        x = rearrange(x, "b h w (c d) -> b d h w c", d=d)
+        mid_channels = self.out_channels * self.expansion_ratio * 2**2
+        x = nn.Conv(
+            mid_channels,
+            (3, 3, 3),
+            padding=((0, 0), (1, 1), (1, 1)),
+            name="conv0",
+        )(x)
+        x = nn.Conv(self.out_channels * 2**2, (1, 1, 1), name="conv1")(x)
+        # per-slice pixel shuffle x2: (b, d, h, w, c*4) -> (b, d, 2h, 2w, c)
+        x = rearrange(x, "b d h w (c i j) -> b d (h i) (w j) c", i=2, j=2)
+        return jnp.transpose(x, (0, 4, 1, 2, 3))
+
+
+class PixelToVoxelShuffleHead(nn.Module):
+    """Pure pixel-shuffle head (reference ``heads.py:656``): one sub-pixel
+    upsample by ``xy_scaling`` then reshape channels into (C_out, D)."""
+
+    in_channels: int
+    out_channels: int
+    out_stack_depth: int = 5
+    xy_scaling: int = 4
+    pool: bool = False
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        x = pixel_shuffle_2d(x, self.xy_scaling)
+        if self.pool:
+            x = pad_pool_blur_2d(x, self.xy_scaling)
+        # channels = out_channels * out_stack_depth, torch ordering c*D + d
+        x = rearrange(
+            x, "b h w (c d) -> b c d h w", c=self.out_channels, d=self.out_stack_depth
+        )
+        return x
+
+
+class UnsqueezeHead(nn.Module):
+    """(B, C, H, W) -> (B, C, 1, H, W) (reference ``heads.py:644``)."""
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        return x[:, :, None]
+
+
+class CosineClassifier(nn.Module):
+    """L2-normalized linear head with learnable log-temperature
+    (reference ``heads.py:430``)."""
+
+    in_dim: int
+    num_classes: int
+    init_scale: float = 20.0
+    learn_scale: bool = True
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        w = self.param(
+            "weight",
+            nn.initializers.normal(stddev=0.01),
+            (self.num_classes, self.in_dim),
+        )
+        if self.learn_scale:
+            log_scale = self.param(
+                "log_scale",
+                nn.initializers.constant(math.log(self.init_scale)),
+                (),
+            )
+        else:
+            log_scale = jnp.asarray(math.log(self.init_scale))
+        xn = x / (jnp.linalg.norm(x, axis=1, keepdims=True) + 1e-12)
+        wn = w / (jnp.linalg.norm(w, axis=1, keepdims=True) + 1e-12)
+        return jnp.exp(log_scale) * (xn @ wn.T)
+
+
+class MLP(nn.Module):
+    """Configurable MLP (reference ``heads.py:470``): projection mode
+    (hidden layers + final linear+norm) or classification mode (backbone +
+    linear/cosine head, with ``encode`` for normalized penultimate reps).
+    """
+
+    in_dims: int
+    hidden_dims: int | Sequence[int]
+    out_dims: int | None = None
+    norm: Literal["bn", "ln"] = "bn"
+    activation: Literal["relu", "gelu", "silu"] = "relu"
+    dropout: float = 0.0
+    num_classes: int | None = None
+    cosine_classifier: bool = True
+
+    def _norm(self, name: str):
+        if self.norm == "bn":
+            return nn.BatchNorm(use_running_average=None, momentum=0.9, epsilon=1e-5, name=name)
+        return nn.LayerNorm(name=name)
+
+    def _act(self, x):
+        if self.activation == "relu":
+            return nn.relu(x)
+        if self.activation == "gelu":
+            return nn.gelu(x, approximate=False)
+        return nn.silu(x)
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False, encode: bool = False) -> Array:
+        if self.num_classes is None and self.out_dims is None:
+            raise ValueError("out_dims is required in projection mode")
+        hidden = (
+            [self.hidden_dims] if isinstance(self.hidden_dims, int) else list(self.hidden_dims)
+        )
+        for i, h in enumerate(hidden):
+            x = nn.Dense(h, name=f"fc{i}")(x)
+            if self.norm == "bn":
+                x = nn.BatchNorm(
+                    use_running_average=not train, momentum=0.9, name=f"norm{i}"
+                )(x)
+            else:
+                x = nn.LayerNorm(name=f"norm{i}")(x)
+            x = self._act(x)
+            if self.dropout > 0:
+                x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        if self.num_classes is None:
+            x = nn.Dense(self.out_dims, name="fc_out")(x)
+            if self.norm == "bn":
+                x = nn.BatchNorm(
+                    use_running_average=not train, momentum=0.9, name="norm_out"
+                )(x)
+            else:
+                x = nn.LayerNorm(name="norm_out")(x)
+            return x
+        if encode:
+            return x / (jnp.linalg.norm(x, axis=1, keepdims=True) + 1e-12)
+        if self.cosine_classifier:
+            return CosineClassifier(x.shape[-1], self.num_classes, name="head")(x)
+        return nn.Dense(self.num_classes, name="head")(x)
+
+
+class ProjectionMLP(nn.Module):
+    """Two-layer BN projection head used by ``ContrastiveEncoder``
+    (reference ``contrastive/encoder.py:118``):
+    Linear -> BN -> ReLU -> Linear -> BN."""
+
+    in_dims: int
+    hidden_dims: int
+    out_dims: int
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        x = nn.Dense(self.hidden_dims, name="fc0")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bn0")(x)
+        x = nn.relu(x)
+        x = nn.Dense(self.out_dims, name="fc1")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bn1")(x)
+        return x

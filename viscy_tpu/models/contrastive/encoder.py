@@ -1,0 +1,68 @@
+"""Contrastive encoder (reference ``contrastive/encoder.py:52``).
+
+ConvNeXt backbone with a 3D ``StemDepthtoChannels`` stem (Z folded into
+channels) and a BatchNorm projection MLP. Returns
+``(embedding, projection)``.
+"""
+
+from __future__ import annotations
+
+from typing import Literal
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from viscy_tpu.models.components.blocks import CONVNEXT_ARCHS, MultiscaleEncoder
+from viscy_tpu.models.components.heads import ProjectionMLP
+from viscy_tpu.models.components.stems import StemDepthtoChannels
+
+Array = jax.Array
+
+
+class ContrastiveEncoder(nn.Module):
+    """ConvNeXt contrastive encoder with 3D stem and projection head."""
+
+    backbone: str = "convnext_tiny"
+    in_channels: int = 2
+    in_stack_depth: int = 15
+    stem_kernel_size: tuple[int, int, int] = (5, 4, 4)
+    stem_stride: tuple[int, int, int] = (5, 4, 4)
+    embedding_dim: int = 768
+    projection_dim: int = 128
+    drop_path_rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> tuple[Array, Array]:
+        if self.backbone not in CONVNEXT_ARCHS:
+            raise ValueError(f"Unsupported backbone {self.backbone!r}")
+        depths, dims = CONVNEXT_ARCHS[self.backbone]
+        use_grn = "v2" in self.backbone
+
+        x = StemDepthtoChannels(
+            in_channels=self.in_channels,
+            in_stack_depth=self.in_stack_depth,
+            in_channels_encoder=dims[0],
+            stem_kernel_size=self.stem_kernel_size,
+            stem_stride=self.stem_stride,
+            name="stem",
+        )(x)
+        features = MultiscaleEncoder(
+            depths=depths,
+            dims=dims,
+            use_grn=use_grn,
+            ls_init_value=None if use_grn else 1e-6,
+            drop_path_rate=self.drop_path_rate,
+            name="encoder",
+        )(x, deterministic=not train)
+        # classification-style head: global average pool -> LN -> fc
+        h = features[-1].mean(axis=(1, 2))
+        h = nn.LayerNorm(epsilon=1e-6, name="head_norm")(h)
+        embedding = nn.Dense(self.embedding_dim, name="head_fc")(h)
+        projection = ProjectionMLP(
+            in_dims=self.embedding_dim,
+            hidden_dims=self.embedding_dim,
+            out_dims=self.projection_dim,
+            name="projection",
+        )(embedding, train)
+        return embedding, projection

@@ -1,0 +1,96 @@
+"""UNeXt2: flagship virtual-staining U-Net (reference ``unet/unext2.py:13``).
+
+3D->2D projection stem, ConvNeXt-v2 multiscale encoder, pixel-shuffle
+decoder, and a ``PixelToVoxelHead`` re-inflating 2D features to an
+``out_stack_depth`` voxel output. Public API: (B, C, D, H, W) in/out.
+"""
+
+from __future__ import annotations
+
+from typing import Literal, Sequence
+
+import jax
+from flax import linen as nn
+
+from viscy_tpu.models.components.blocks import (
+    CONVNEXT_ARCHS,
+    MultiscaleEncoder,
+    UNeXt2Decoder,
+)
+from viscy_tpu.models.components.heads import PixelToVoxelHead
+from viscy_tpu.models.components.stems import UNeXt2Stem
+
+Array = jax.Array
+
+
+class UNeXt2(nn.Module):
+    """UNeXt2 model: stem + ConvNeXt encoder + pixel-shuffle decoder + head."""
+
+    in_channels: int = 1
+    out_channels: int = 1
+    in_stack_depth: int = 5
+    out_stack_depth: int | None = None
+    backbone: str = "convnextv2_tiny"
+    stem_kernel_size: tuple[int, int, int] = (5, 4, 4)
+    decoder_mode: Literal["pixelshuffle"] = "pixelshuffle"
+    decoder_conv_blocks: int = 2
+    head_pool: bool = False
+    head_expansion_ratio: int = 4
+    drop_path_rate: float = 0.0
+
+    @property
+    def num_blocks(self) -> int:
+        """2-times downscaling factor of the smallest feature map."""
+        return 6
+
+    def _dims(self) -> tuple[tuple[int, ...], tuple[int, ...]]:
+        if self.backbone not in CONVNEXT_ARCHS:
+            raise ValueError(f"Unknown backbone {self.backbone!r}")
+        return CONVNEXT_ARCHS[self.backbone]
+
+    @nn.compact
+    def __call__(self, x: Array, deterministic: bool = True) -> Array:
+        if self.in_stack_depth % self.stem_kernel_size[0] != 0:
+            raise ValueError(
+                f"Input stack depth {self.in_stack_depth} is not divisible "
+                f"by stem kernel depth {self.stem_kernel_size[0]}."
+            )
+        out_stack_depth = (
+            self.out_stack_depth if self.out_stack_depth is not None else self.in_stack_depth
+        )
+        depths, dims = self._dims()
+        use_grn = "v2" in self.backbone
+
+        x = UNeXt2Stem(
+            self.in_channels, dims[0], self.stem_kernel_size, self.in_stack_depth, name="stem"
+        )(x)
+        features = MultiscaleEncoder(
+            depths=depths,
+            dims=dims,
+            use_grn=use_grn,
+            ls_init_value=None if use_grn else 1e-6,
+            drop_path_rate=self.drop_path_rate,
+            name="encoder",
+        )(x, deterministic)
+        features = features[::-1]
+
+        decoder_channels = list(dims[::-1])
+        decoder_channels[-1] = (
+            (out_stack_depth + 2) * self.out_channels * 2**2 * self.head_expansion_ratio
+        )
+        strides = [2] * (len(dims) - 1) + [self.stem_kernel_size[-1]]
+        feat = UNeXt2Decoder(
+            num_channels=decoder_channels,
+            strides=strides,
+            conv_blocks=self.decoder_conv_blocks,
+            use_grn=True,
+            name="decoder",
+        )(features, deterministic)
+        return PixelToVoxelHead(
+            in_channels=decoder_channels[-1],
+            out_channels=self.out_channels,
+            out_stack_depth=out_stack_depth,
+            expansion_ratio=self.head_expansion_ratio,
+            pool=self.head_pool,
+            name="head",
+        )(feat)

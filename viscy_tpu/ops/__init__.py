@@ -1,0 +1,12 @@
+"""Core numerical ops: warps, SSIM, windowed blending, Pallas kernels."""
+
+from viscy_tpu.ops.warp import affine_grid_3d, affine_warp_3d, trilinear_sample
+from viscy_tpu.ops.ssim import ms_ssim_25d, ssim_25d
+
+__all__ = [
+    "affine_grid_3d",
+    "affine_warp_3d",
+    "trilinear_sample",
+    "ms_ssim_25d",
+    "ssim_25d",
+]

@@ -1,0 +1,143 @@
+"""2.5D SSIM / MS-SSIM with bf16-safe numerics.
+
+JAX rebuild of the reference's precision-aware SSIM
+(``packages/viscy-utils/src/viscy_utils/evaluation/metrics.py:174-349``):
+uniform windows, depth window = full stack depth, conv accumulation driven
+in fp32, ReLU/clamp stabilization for training in bf16, and no depth
+downsampling across MS-SSIM scales.
+
+Layout: inputs are (B, C, D, H, W) to match the public API; internally the
+mean filters run as depthwise convolutions in NDHWC, which XLA maps to
+efficient TPU reductions.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+_MS_SSIM_BETAS = (0.0448, 0.2856, 0.3001, 0.2363, 0.1333)
+
+
+def _uniform_filter(x: Array, kernel_size: tuple[int, int, int]) -> Array:
+    """Mean filter (valid padding) over (D, H, W) of a (B, C, D, H, W) batch.
+
+    Separable: three 1-D mean convolutions via reduce_window-equivalent
+    ``lax.conv_general_dilated`` calls, fp32 accumulation.
+    """
+    b, c = x.shape[:2]
+    y = x.reshape(b * c, 1, *x.shape[2:]).astype(jnp.float32)
+    for axis, k in enumerate(kernel_size):
+        if k == 1:
+            continue
+        kshape = [1, 1, 1, 1, 1]
+        kshape[2 + axis] = k
+        kernel = jnp.full(kshape, 1.0 / k, jnp.float32)
+        y = jax.lax.conv_general_dilated(
+            y,
+            kernel,
+            window_strides=(1, 1, 1),
+            padding="VALID",
+            dimension_numbers=("NCDHW", "OIDHW", "NCDHW"),
+        )
+    return y.reshape(b, c, *y.shape[2:])
+
+
+def _ssim_and_cs(
+    pred: Array,
+    target: Array,
+    kernel_size: tuple[int, int, int],
+    data_range: Array | float = 1.0,
+    k1: float = 0.01,
+    k2: float = 0.03,
+) -> tuple[Array, Array]:
+    """Per-pixel SSIM and contrast-sensitivity maps (fp32)."""
+    p = pred.astype(jnp.float32)
+    t = target.astype(jnp.float32)
+    mu_x = _uniform_filter(p, kernel_size)
+    mu_y = _uniform_filter(t, kernel_size)
+    mu_xx = _uniform_filter(p * p, kernel_size)
+    mu_yy = _uniform_filter(t * t, kernel_size)
+    mu_xy = _uniform_filter(p * t, kernel_size)
+
+    c1 = (k1 * data_range) ** 2
+    c2 = (k2 * data_range) ** 2
+
+    sigma_x = mu_xx - mu_x * mu_x
+    sigma_y = mu_yy - mu_y * mu_y
+    sigma_xy = mu_xy - mu_x * mu_y
+
+    cs = (2 * sigma_xy + c2) / (sigma_x + sigma_y + c2)
+    ssim = ((2 * mu_x * mu_y + c1) / (mu_x * mu_x + mu_y * mu_y + c1)) * cs
+    return ssim, cs
+
+
+def ssim_25d(
+    preds: Array,
+    target: Array,
+    in_plane_window_size: tuple[int, int] = (11, 11),
+    return_contrast_sensitivity: bool = False,
+    data_range: Array | float | None = None,
+) -> Array | tuple[Array, Array]:
+    """SSIM for 2.5D volumes: uniform window, depth window = full depth.
+
+    Parameters mirror the reference ``ssim_25d`` (metrics.py:283). Returns a
+    per-batch-element SSIM vector ``(B,)`` (and CS vector when requested).
+    """
+    if preds.ndim != 5:
+        raise ValueError(f"Input shape must be (B, C, D, H, W), got {preds.shape}")
+    depth = preds.shape[2]
+    if data_range is None:
+        data_range = jnp.max(target).astype(jnp.float32)
+    ssim_img, cs_img = _ssim_and_cs(
+        preds, target, (depth, *in_plane_window_size), data_range=data_range
+    )
+    ssim = ssim_img.reshape(ssim_img.shape[0], -1).mean(axis=1)
+    if return_contrast_sensitivity:
+        return ssim, cs_img.reshape(cs_img.shape[0], -1).mean(axis=1)
+    return ssim
+
+
+def ms_ssim_25d(
+    preds: Array,
+    target: Array,
+    in_plane_window_size: tuple[int, int] = (11, 11),
+    clamp: bool = False,
+    betas: Sequence[float] = _MS_SSIM_BETAS,
+) -> Array:
+    """Multi-scale SSIM for 2.5D volumes; depth is never downsampled.
+
+    Matches the reference ``ms_ssim_25d`` (metrics.py:313): per-scale
+    contrast sensitivity (last scale replaced by full SSIM), optional
+    clamp-to-[1e-4, inf) stabilization for bf16 training, beta-weighted
+    geometric mean, batch-averaged scalar.
+    """
+    base_min = 1e-4
+    data_range = jnp.max(target).astype(jnp.float32)
+    mcs_list = []
+    ssim = None
+    p, t = preds, target
+    for _ in range(len(betas)):
+        ssim, cs = ssim_25d(
+            p, t, in_plane_window_size, return_contrast_sensitivity=True, data_range=data_range
+        )
+        if clamp:
+            cs = jnp.clip(cs, base_min, None)
+        mcs_list.append(cs)
+        # downsample H, W only (avg pool 1x2x2)
+        p = jax.lax.reduce_window(
+            p.astype(jnp.float32), 0.0, jax.lax.add, (1, 1, 1, 2, 2), (1, 1, 1, 2, 2), "VALID"
+        ) / 4.0
+        t = jax.lax.reduce_window(
+            t.astype(jnp.float32), 0.0, jax.lax.add, (1, 1, 1, 2, 2), (1, 1, 1, 2, 2), "VALID"
+        ) / 4.0
+    if clamp:
+        ssim = jnp.clip(ssim, base_min, None)
+    mcs_list[-1] = ssim
+    mcs = jnp.stack(mcs_list)  # (S, B)
+    b = jnp.asarray(betas, jnp.float32)[:, None]
+    return jnp.prod(mcs**b, axis=0).mean()

@@ -1,0 +1,11 @@
+"""Device mesh and sharding utilities for SPMD training."""
+
+from viscy_tpu.parallel.mesh import (
+    get_mesh,
+    make_mesh,
+    replicate,
+    shard_batch,
+    local_batch_slice,
+)
+
+__all__ = ["make_mesh", "get_mesh", "shard_batch", "replicate", "local_batch_slice"]

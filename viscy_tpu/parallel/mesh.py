@@ -1,0 +1,98 @@
+"""Mesh / sharding utilities (TPU-native replacement for the reference's
+Lightning DDP + NCCL stack; SURVEY.md §2.6).
+
+The reference's only parallelism is data parallelism (gradient allreduce by
+torch DDP). Here the equivalent is a 1-D ``data`` mesh axis: the global
+batch is sharded over it with ``NamedSharding``; gradients are reduced by
+XLA-inserted collectives over ICI when the jitted step consumes sharded
+inputs and replicated parameters. The axis abstraction is kept open for
+model axes (``model``) so TP/FSDP shardings can be layered on later.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+_ACTIVE_MESH: Mesh | None = None
+
+
+def make_mesh(
+    data: int | None = None,
+    model: int = 1,
+    devices: list | None = None,
+) -> Mesh:
+    """Create a (data, model) mesh; defaults to all devices on ``data``."""
+    global _ACTIVE_MESH
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if data is None:
+        data = n // model
+    if data * model != n:
+        raise ValueError(f"mesh {data}x{model} != {n} devices")
+    arr = np.array(devices).reshape(data, model)
+    _ACTIVE_MESH = Mesh(arr, axis_names=("data", "model"))
+    return _ACTIVE_MESH
+
+
+def get_mesh() -> Mesh:
+    """Return the active mesh, creating a default all-data mesh if needed."""
+    global _ACTIVE_MESH
+    if _ACTIVE_MESH is None:
+        make_mesh()
+    return _ACTIVE_MESH
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Any, mesh: Mesh | None = None) -> Any:
+    """Device-put a host batch pytree with leading-axis sharding over 'data'.
+
+    Non-array leaves pass through; arrays whose batch dim is not divisible
+    by the mesh are replicated instead.
+    """
+    mesh = mesh or get_mesh()
+    n = mesh.shape["data"]
+    sharded = batch_sharding(mesh)
+    rep = replicated(mesh)
+
+    def put(x):
+        if hasattr(x, "shape") and getattr(x, "ndim", 0) >= 1 and x.shape[0] % n == 0:
+            return jax.device_put(x, sharded)
+        if hasattr(x, "shape"):
+            return jax.device_put(x, rep)
+        return x
+
+    return jax.tree_util.tree_map(put, batch)
+
+
+def replicate(tree: Any, mesh: Mesh | None = None) -> Any:
+    """Replicate a pytree (e.g. train state) across the mesh."""
+    mesh = mesh or get_mesh()
+    rep = replicated(mesh)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, rep) if hasattr(x, "shape") else x, tree
+    )
+
+
+def local_batch_slice(global_index_count: int, process_index: int | None = None) -> slice:
+    """Host-local shard of a global index space (multi-host input pipeline).
+
+    Replaces the reference's ``ShardedDistributedSampler`` rank slicing:
+    each host reads a contiguous slice of the global index space
+    (cache-local zarr reads), and per-host batches concatenate into the
+    global device batch.
+    """
+    p = jax.process_index() if process_index is None else process_index
+    n = jax.process_count()
+    per = global_index_count // n
+    return slice(p * per, (p + 1) * per if p < n - 1 else global_index_count)

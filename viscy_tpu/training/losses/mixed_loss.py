@@ -1,0 +1,41 @@
+"""Mixed reconstruction loss (reference ``losses/mixed_loss.py:13``):
+alpha_l1 * L1 + alpha_l2 * L2 + alpha_dssim * (1 - MS-SSIM-2.5D),
+with the bf16-safe clamped MS-SSIM."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from viscy_tpu.ops.ssim import ms_ssim_25d
+
+Array = jax.Array
+
+
+class MixedLoss:
+    """Callable mixed loss over (B, C, D, H, W) prediction/target pairs."""
+
+    def __init__(
+        self,
+        l1_alpha: float = 0.5,
+        l2_alpha: float = 0.0,
+        ms_dssim_alpha: float = 0.5,
+    ) -> None:
+        if not any([l1_alpha, l2_alpha, ms_dssim_alpha]):
+            raise ValueError("Loss term weights cannot be all zero!")
+        self.l1_alpha = l1_alpha
+        self.l2_alpha = l2_alpha
+        self.ms_dssim_alpha = ms_dssim_alpha
+
+    def __call__(self, preds: Array, target: Array) -> Array:
+        preds = preds.astype(jnp.float32)
+        target = target.astype(jnp.float32)
+        loss = 0.0
+        if self.l1_alpha:
+            loss += jnp.abs(preds - target).mean() * self.l1_alpha
+        if self.l2_alpha:
+            loss += jnp.square(preds - target).mean() * self.l2_alpha
+        if self.ms_dssim_alpha:
+            ms_ssim = ms_ssim_25d(preds, target, clamp=True)
+            loss += (1 - ms_ssim) * self.ms_dssim_alpha
+        return loss

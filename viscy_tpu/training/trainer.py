@@ -1,0 +1,391 @@
+"""Trainer: jit-compiled SPMD train/eval/predict loops.
+
+TPU-native replacement for Lightning's ``Trainer`` + ``VisCyTrainer``
+(reference ``viscy_utils/trainer.py:19``, call stack SURVEY.md §3.1):
+
+- one jitted train step per (module, datamodule) pair: device-side
+  augmentation (the datamodule's batched transform pipeline) fuses with
+  the forward/backward into a single XLA program;
+- data parallelism over a ``data`` mesh axis (``NamedSharding``): batches
+  shard, state replicates, gradients reduce over ICI — no NCCL/DDP;
+- host input pipeline overlaps zarr reads with device compute via a
+  prefetching loader and async ``device_put``;
+- Orbax checkpointing (top-k on monitored metric + last), CSV/TensorBoard
+  logging, fast-dev-run.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import time
+from functools import partial
+from pathlib import Path
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from viscy_tpu.parallel.mesh import get_mesh, make_mesh, replicate, shard_batch
+from viscy_tpu.training.callbacks.base import Callback
+from viscy_tpu.training.module import TrainModule
+from viscy_tpu.training.state import TrainState
+
+_logger = logging.getLogger("viscy_tpu")
+
+
+class CSVLogger:
+    """Minimal metrics logger: CSV + optional TensorBoard."""
+
+    def __init__(self, log_dir: Path, use_tensorboard: bool = True) -> None:
+        self.log_dir = Path(log_dir)
+        self.log_dir.mkdir(parents=True, exist_ok=True)
+        self._csv = open(self.log_dir / "metrics.csv", "a")
+        self._tb = None
+        if use_tensorboard:
+            try:
+                from tensorboardX import SummaryWriter
+
+                self._tb = SummaryWriter(str(self.log_dir))
+            except Exception:
+                self._tb = None
+
+    def log_metrics(self, metrics: dict[str, float], step: int) -> None:
+        payload = {"step": step, **{k: float(v) for k, v in metrics.items()}}
+        self._csv.write(json.dumps(payload) + "\n")
+        self._csv.flush()
+        if self._tb is not None:
+            for k, v in metrics.items():
+                self._tb.add_scalar(k, float(v), step)
+
+    def log_image(self, tag: str, image: np.ndarray, step: int) -> None:
+        if self._tb is not None:
+            self._tb.add_image(tag, image, step, dataformats="HWC")
+
+    def close(self) -> None:
+        self._csv.close()
+        if self._tb is not None:
+            self._tb.close()
+
+
+class Trainer:
+    """Compact trainer driving TrainModule engines over DataModules."""
+
+    def __init__(
+        self,
+        max_epochs: int = 1,
+        max_steps: int | None = None,
+        callbacks: Sequence[Callback] | None = None,
+        default_root_dir: str | Path = "lightning_logs",
+        fast_dev_run: bool = False,
+        limit_train_batches: int | None = None,
+        limit_val_batches: int | None = None,
+        log_every_n_steps: int = 10,
+        checkpoint_every_n_epochs: int = 1,
+        checkpoint_monitor: str = "loss/validate",
+        checkpoint_top_k: int = 5,
+        seed: int = 42,
+        mesh=None,
+        use_tensorboard: bool = True,
+        precision: str = "bf16-mixed",
+    ) -> None:
+        self.max_epochs = max_epochs
+        self.max_steps = max_steps
+        self.callbacks = list(callbacks or [])
+        self.default_root_dir = Path(default_root_dir)
+        self.fast_dev_run = fast_dev_run
+        self.limit_train_batches = 1 if fast_dev_run else limit_train_batches
+        self.limit_val_batches = 1 if fast_dev_run else limit_val_batches
+        self.log_every_n_steps = log_every_n_steps
+        self.checkpoint_every_n_epochs = checkpoint_every_n_epochs
+        self.checkpoint_monitor = checkpoint_monitor
+        self.checkpoint_top_k = checkpoint_top_k
+        self.seed = seed
+        self.mesh = mesh or get_mesh()
+        self.precision = precision
+        self.logger = CSVLogger(self.default_root_dir, use_tensorboard)
+        self.state: TrainState | None = None
+        self.current_epoch = 0
+        self.global_step = 0
+        self._ckpt_scores: list[tuple[float, str]] = []
+        self.logged_metrics: dict[str, float] = {}
+
+    # -- helpers --------------------------------------------------------------
+    def _init_state(self, module: TrainModule, datamodule, total_steps: int) -> TrainState:
+        rng = jax.random.PRNGKey(self.seed)
+        batch = module.example_input()
+        variables = module.init_variables(rng, batch)
+        variables = module.load_pretrained(variables)
+        tx, self._schedule = module.configure_optimizers(total_steps)
+        state = TrainState.create(variables, tx)
+        return replicate(state, self.mesh)
+
+    def _device_transform(self, datamodule, stage: str):
+        fn = getattr(datamodule, "device_transform", None)
+        if fn is None:
+            return None
+        return partial(fn, stage=stage)
+
+    def _build_train_step(self, module: TrainModule, aug):
+        def train_step(state: TrainState, batch: dict, rng):
+            if aug is not None:
+                rng, aug_rng = jax.random.split(rng)
+                batch = aug(batch, aug_rng)
+
+            def loss_fn(params):
+                variables = {"params": params, **state.extra_vars}
+                loss, (metrics, updates) = module.training_loss(variables, batch, rng)
+                return loss, (metrics, updates)
+
+            (loss, (metrics, updates)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params
+            )
+            new_state = state.apply_gradients(grads, updates or state.extra_vars)
+            metrics = dict(metrics)
+            metrics["loss/train"] = loss
+            return new_state, metrics
+
+        return jax.jit(train_step, donate_argnums=(0,))
+
+    def _build_val_step(self, module: TrainModule, aug):
+        def val_step(state: TrainState, batch: dict, rng):
+            if aug is not None:
+                rng, aug_rng = jax.random.split(rng)
+                batch = aug(batch, aug_rng)
+            loss, metrics = module.validation_loss(state.variables, batch, rng)
+            metrics = dict(metrics)
+            metrics["loss/validate"] = loss
+            return metrics
+
+        return jax.jit(val_step)
+
+    def _iter_loader(self, loader, limit: int | None):
+        for i, batch in enumerate(loader):
+            if limit is not None and i >= limit:
+                break
+            yield i, shard_batch(batch, self.mesh)
+
+    # -- fit --------------------------------------------------------------------
+    def fit(self, module: TrainModule, datamodule, ckpt_path: str | None = None) -> None:
+        datamodule.prepare_data()
+        datamodule.setup("fit")
+        train_loader = datamodule.train_dataloader()
+        try:
+            steps_per_epoch = len(train_loader)
+        except TypeError:
+            steps_per_epoch = 100
+        if self.limit_train_batches:
+            steps_per_epoch = min(steps_per_epoch, self.limit_train_batches)
+        total_steps = self.max_steps or steps_per_epoch * self.max_epochs
+
+        if self.state is None:
+            self.state = self._init_state(module, datamodule, total_steps)
+        if ckpt_path is not None:
+            self.load_checkpoint(ckpt_path, module)
+
+        train_step = self._build_train_step(module, self._device_transform(datamodule, "train"))
+        val_step = self._build_val_step(module, self._device_transform(datamodule, "val"))
+
+        for cb in self.callbacks:
+            cb.on_fit_start(self, module)
+
+        rng = jax.random.PRNGKey(self.seed + 1)
+        max_epochs = 1 if self.fast_dev_run else self.max_epochs
+        for epoch in range(self.current_epoch, max_epochs):
+            self.current_epoch = epoch
+            module.on_epoch_start(epoch)
+            if hasattr(datamodule, "set_epoch"):
+                datamodule.set_epoch(epoch)
+            for cb in self.callbacks:
+                cb.on_train_epoch_start(self, module, epoch)
+
+            t0 = time.time()
+            n_seen = 0
+            for i, batch in self._iter_loader(datamodule.train_dataloader(), self.limit_train_batches):
+                rng, step_rng = jax.random.split(rng)
+                self.state, metrics = train_step(self.state, batch, step_rng)
+                self.global_step += 1
+                n_seen += 1
+                if self.global_step % self.log_every_n_steps == 0 or self.fast_dev_run:
+                    host = {k: float(v) for k, v in jax.device_get(metrics).items()}
+                    host["lr"] = float(self._schedule(self.global_step))
+                    self.logged_metrics.update(host)
+                    self.logger.log_metrics(host, self.global_step)
+                for cb in self.callbacks:
+                    cb.on_train_batch_end(self, module, metrics, batch, i)
+                if self.max_steps and self.global_step >= self.max_steps:
+                    break
+            dt = time.time() - t0
+            if n_seen:
+                _logger.info(
+                    f"epoch {epoch}: {n_seen} steps in {dt:.1f}s ({n_seen / dt:.2f} it/s)"
+                )
+
+            # validation
+            val_metrics = self._run_validation(module, datamodule, val_step, rng)
+            for cb in self.callbacks:
+                cb.on_train_epoch_end(self, module, epoch)
+
+            if (epoch + 1) % self.checkpoint_every_n_epochs == 0 and not self.fast_dev_run:
+                self._save_checkpoint(val_metrics)
+            if self.max_steps and self.global_step >= self.max_steps:
+                break
+
+        for cb in self.callbacks:
+            cb.on_fit_end(self, module)
+
+    def _run_validation(self, module, datamodule, val_step, rng) -> dict:
+        loader_fn = getattr(datamodule, "val_dataloader", None)
+        if loader_fn is None:
+            return {}
+        loader = loader_fn()
+        if loader is None:
+            return {}
+        for cb in self.callbacks:
+            cb.on_validation_epoch_start(self, module)
+        agg: dict[str, list[float]] = {}
+        for i, batch in self._iter_loader(loader, self.limit_val_batches):
+            rng, step_rng = jax.random.split(rng)
+            metrics = val_step(self.state, batch, step_rng)
+            host = {k: float(v) for k, v in jax.device_get(metrics).items()}
+            for k, v in host.items():
+                agg.setdefault(k, []).append(v)
+            for cb in self.callbacks:
+                cb.on_validation_batch_end(self, module, host, batch, i)
+        mean_metrics = {k: float(np.mean(v)) for k, v in agg.items()}
+        if mean_metrics:
+            self.logged_metrics.update(mean_metrics)
+            self.logger.log_metrics(mean_metrics, self.global_step)
+        for cb in self.callbacks:
+            cb.on_validation_epoch_end(self, module, mean_metrics)
+        return mean_metrics
+
+    # -- validate / test ---------------------------------------------------------
+    def validate(self, module: TrainModule, datamodule, ckpt_path: str | None = None) -> dict:
+        datamodule.prepare_data()
+        datamodule.setup("validate")
+        if self.state is None:
+            self.state = self._init_state(module, datamodule, 1)
+        if ckpt_path:
+            self.load_checkpoint(ckpt_path, module)
+        val_step = self._build_val_step(module, self._device_transform(datamodule, "val"))
+        return self._run_validation(module, datamodule, val_step, jax.random.PRNGKey(0))
+
+    def test(self, module: TrainModule, datamodule, ckpt_path: str | None = None) -> dict:
+        datamodule.prepare_data()
+        datamodule.setup("test")
+        if self.state is None:
+            self.state = self._init_state(module, datamodule, 1)
+        if ckpt_path:
+            self.load_checkpoint(ckpt_path, module)
+        test_step = jax.jit(lambda state, batch: module.test_step(state.variables, batch))
+        agg: dict[str, list[float]] = {}
+        for i, batch in self._iter_loader(datamodule.test_dataloader(), None):
+            metrics = jax.device_get(test_step(self.state, batch))
+            host = {k: float(np.mean(v)) for k, v in metrics.items()}
+            for k, v in host.items():
+                agg.setdefault(k, []).append(v)
+            for cb in self.callbacks:
+                cb.on_test_batch_end(self, module, host, batch, i)
+        mean_metrics = {k: float(np.mean(v)) for k, v in agg.items()}
+        self.logger.log_metrics({f"test/{k}": v for k, v in mean_metrics.items()}, self.global_step)
+        for cb in self.callbacks:
+            cb.on_test_end(self, module, mean_metrics)
+        return mean_metrics
+
+    # -- predict ------------------------------------------------------------------
+    def predict(
+        self, module: TrainModule, datamodule, ckpt_path: str | None = None, return_predictions: bool = False
+    ):
+        datamodule.prepare_data()
+        datamodule.setup("predict")
+        if self.state is None:
+            self.state = self._init_state(module, datamodule, 1)
+        if ckpt_path:
+            self.load_checkpoint(ckpt_path, module)
+        predict_step = jax.jit(lambda state, batch: module.predict_step(state.variables, batch))
+        for cb in self.callbacks:
+            cb.on_predict_start(self, module)
+        outputs = []
+        for i, batch in enumerate(datamodule.predict_dataloader()):
+            device_batch = shard_batch(
+                {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}, self.mesh
+            )
+            pred = predict_step(self.state, device_batch)
+            pred = jax.device_get(pred)
+            for cb in self.callbacks:
+                cb.write_on_batch_end(self, module, pred, batch, i)
+            if return_predictions:
+                outputs.append(pred)
+        for cb in self.callbacks:
+            cb.on_predict_end(self, module)
+        return outputs if return_predictions else None
+
+    # -- checkpointing ---------------------------------------------------------------
+    def _ckpt_dir(self) -> Path:
+        d = self.default_root_dir / "checkpoints"
+        d.mkdir(parents=True, exist_ok=True)
+        return d
+
+    def _save_checkpoint(self, val_metrics: dict) -> None:
+        import orbax.checkpoint as ocp
+
+        score = val_metrics.get(self.checkpoint_monitor)
+        name = f"epoch={self.current_epoch}-step={self.global_step}"
+        if score is not None:
+            name += f"-loss={score:.3f}"
+        path = self._ckpt_dir() / name
+        payload = {
+            "params": jax.device_get(self.state.params),
+            "extra_vars": jax.device_get(self.state.extra_vars),
+            "opt_state": jax.device_get(self.state.opt_state),
+            "step": int(self.state.step),
+            "epoch": self.current_epoch,
+        }
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(path.absolute(), payload, force=True)
+        ckptr.wait_until_finished()
+        # maintain top-k by monitored score (lower is better) + always keep last
+        last = self._ckpt_dir() / "last"
+        if last.is_symlink() or last.exists():
+            try:
+                last.unlink()
+            except OSError:
+                import shutil
+
+                shutil.rmtree(last, ignore_errors=True)
+        last.symlink_to(path.absolute())
+        if score is not None:
+            self._ckpt_scores.append((score, str(path)))
+            self._ckpt_scores.sort(key=lambda t: t[0])
+            while len(self._ckpt_scores) > self.checkpoint_top_k:
+                _, worst = self._ckpt_scores.pop()
+                import shutil
+
+                shutil.rmtree(worst, ignore_errors=True)
+
+    def load_checkpoint(self, path: str | Path, module: TrainModule) -> None:
+        import orbax.checkpoint as ocp
+
+        path = Path(path)
+        if path.name == "last" and path.is_symlink():
+            path = path.resolve()
+        ckptr = ocp.StandardCheckpointer()
+        template = {
+            "params": jax.device_get(self.state.params),
+            "extra_vars": jax.device_get(self.state.extra_vars),
+            "opt_state": jax.device_get(self.state.opt_state),
+            "step": 0,
+            "epoch": 0,
+        }
+        restored = ckptr.restore(path.absolute(), target=template)
+        self.state = self.state.replace(
+            params=restored["params"],
+            extra_vars=restored["extra_vars"],
+            opt_state=restored["opt_state"],
+            step=jnp.asarray(restored["step"], jnp.int32),
+        )
+        self.state = replicate(self.state, self.mesh)
+        self.current_epoch = int(restored["epoch"])
+        self.global_step = int(restored["step"])

@@ -1,0 +1,255 @@
+"""Batched random 3D affine and elastic deformation transforms.
+
+Rebuild of the reference's Kornia-backed ``BatchedRandAffined``
+(``viscy_transforms/_affine.py:50``) and ``BatchedRand3DElasticd``
+(``_elastic.py``) on the XLA-native warp (:mod:`viscy_tpu.ops.warp`):
+per-sample parameter draws shared across keys, MONAI (Z, Y, X) parameter
+ordering, optional safe-crop scale clamping against a downstream center
+crop, and configurable padding mode.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterable, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from viscy_tpu.ops.warp import affine_grid_3d, compose_affine_3d, trilinear_sample
+from viscy_tpu.transforms.base import RandTransform
+
+Array = jax.Array
+
+__all__ = ["BatchedRandAffined", "BatchedRand3DElasticd"]
+
+
+def _as_range3(value, default=0.0) -> list[tuple[float, float]]:
+    """Normalize a MONAI-style per-axis range spec to 3 (lo, hi) pairs (ZYX)."""
+    if value is None:
+        return [(default, default)] * 3
+    if isinstance(value, (int, float)):
+        v = float(value)
+        return [(-v, v)] * 3
+    value = list(value)
+    if len(value) == 2 and all(isinstance(v, (int, float)) for v in value):
+        lo, hi = float(value[0]), float(value[1])
+        return [(lo, hi)] * 3
+    out = []
+    for v in value:
+        if isinstance(v, (int, float)):
+            out.append((-float(v), float(v)))
+        else:
+            out.append((float(v[0]), float(v[1])))
+    while len(out) < 3:
+        out.append((default, default))
+    return out[:3]
+
+
+class BatchedRandAffined(RandTransform):
+    """Random batched 3D affine: rotate / shear / translate / scale.
+
+    Parameters follow the reference/MONAI convention:
+
+    - ``rotate_range``: radians per (Z, Y, X) axis.
+    - ``shear_range``: ``(min, max)`` shared, or 3-value shorthand
+      ``[s_zy, s_zx, s_yz]``, in degrees-equivalent shear coefficients.
+    - ``translate_range``: fraction of the image size per (Z, Y, X) axis.
+    - ``scale_range``: absolute scale factor range, ``(min, max)`` shared or
+      per-axis ZYX pairs; ``isotropic_scale`` draws one factor for all axes.
+    - ``safe_crop_size`` / ``safe_crop_coverage``: clamp the sampled scale
+      from below so the warped source covers the downstream center crop
+      (rotation coverage bound, see reference ``_affine.py`` docstring).
+    """
+
+    is_spatial = True
+
+    def __init__(
+        self,
+        keys: str | Iterable[str],
+        prob: float = 0.1,
+        rotate_range=None,
+        shear_range=None,
+        translate_range=None,
+        scale_range=None,
+        isotropic_scale: bool = False,
+        scale_z_shear: bool = True,
+        mode: str = "bilinear",
+        padding_mode: str = "zeros",
+        safe_crop_size: Sequence[int] | None = None,
+        safe_crop_coverage: float = 1.0,
+        allow_missing_keys: bool = False,
+    ) -> None:
+        super().__init__(keys, prob, allow_missing_keys)
+        self.rotate_range = _as_range3(rotate_range)
+        self.translate_range = _as_range3(translate_range)
+        self.scale_range = _as_range3(scale_range, default=1.0) if scale_range is not None else None
+        self.isotropic_scale = isotropic_scale
+        self.scale_z_shear = scale_z_shear
+        self.padding_mode = padding_mode
+        self.safe_crop_size = tuple(safe_crop_size) if safe_crop_size else None
+        self.safe_crop_coverage = safe_crop_coverage
+        # shear: 3-value shorthand [s_zy, s_zx, s_yz] or full ranges
+        self._shear3 = None
+        if shear_range is None:
+            self.shear_range = None
+        else:
+            sr = list(shear_range) if not isinstance(shear_range, (int, float)) else [shear_range]
+            if len(sr) == 3 and all(isinstance(v, (int, float)) for v in sr):
+                self._shear3 = [float(v) for v in sr]
+                self.shear_range = None
+            else:
+                self.shear_range = _as_range3(shear_range)
+
+    def _sample_params(self, key: Array, b: int, spatial: tuple[int, int, int]):
+        kr, ks, kt, kc, ksh = jax.random.split(key, 5)
+        z, y, x = spatial
+
+        lo = jnp.array([r[0] for r in self.rotate_range])
+        hi = jnp.array([r[1] for r in self.rotate_range])
+        rotation = jax.random.uniform(kr, (b, 3)) * (hi - lo) + lo
+
+        if self.scale_range is not None:
+            slo = jnp.array([r[0] for r in self.scale_range])
+            shi = jnp.array([r[1] for r in self.scale_range])
+            if self.isotropic_scale:
+                s = jax.random.uniform(ks, (b, 1)) * (shi[0] - slo[0]) + slo[0]
+                scale = jnp.broadcast_to(s, (b, 3))
+            else:
+                scale = jax.random.uniform(ks, (b, 3)) * (shi - slo) + slo
+        else:
+            scale = jnp.ones((b, 3))
+
+        tlo = jnp.array([r[0] for r in self.translate_range])
+        thi = jnp.array([r[1] for r in self.translate_range])
+        tfrac = jax.random.uniform(kt, (b, 3)) * (thi - tlo) + tlo
+        translate = tfrac * jnp.array([z, y, x], jnp.float32)[None, :]
+
+        shear = None
+        if self._shear3 is not None:
+            s3 = jnp.array(self._shear3)
+            if self.scale_z_shear:
+                # rescale Z-related facets so displacement ∝ depth not YX extent
+                zf = z / max(y, 1)
+                s3 = s3 * jnp.array([zf, zf, 1.0])
+            draws = jax.random.uniform(ksh, (b, 3), minval=-1.0, maxval=1.0) * s3[None, :]
+            shear = jnp.zeros((b, 6)).at[:, 0].set(draws[:, 0]).at[:, 1].set(draws[:, 1]).at[:, 2].set(draws[:, 2])
+        elif self.shear_range is not None:
+            shlo = jnp.array([r[0] for r in self.shear_range])
+            shhi = jnp.array([r[1] for r in self.shear_range])
+            draws = jax.random.uniform(ksh, (b, 3)) * (shhi - shlo) + shlo
+            shear = jnp.zeros((b, 6)).at[:, 0].set(draws[:, 0]).at[:, 1].set(draws[:, 1]).at[:, 2].set(draws[:, 2])
+
+        if self.safe_crop_size is not None:
+            scale = self._clamp_scale_for_crop(rotation, scale, spatial)
+        return rotation, scale, shear, translate
+
+    def _clamp_scale_for_crop(self, rotation: Array, scale: Array, spatial) -> Array:
+        """Lower-bound scale so the rotated source covers the safe crop."""
+        b = rotation.shape[0]
+        d = jnp.array(self.safe_crop_size, jnp.float32) / 2.0
+        h = jnp.array(spatial, jnp.float32) / 2.0
+        az, ay, ax = rotation[:, 0], rotation[:, 1], rotation[:, 2]
+        cz_, sz_ = jnp.cos(az), jnp.sin(az)
+        cy_, sy_ = jnp.cos(ay), jnp.sin(ay)
+        cx_, sx_ = jnp.cos(ax), jnp.sin(ax)
+        zero = jnp.zeros_like(cz_)
+        one = jnp.ones_like(cz_)
+        rz = jnp.stack([one, zero, zero, zero, cz_, -sz_, zero, sz_, cz_], -1).reshape(b, 3, 3)
+        ry = jnp.stack([cy_, zero, -sy_, zero, one, zero, sy_, zero, cy_], -1).reshape(b, 3, 3)
+        rx = jnp.stack([cx_, -sx_, zero, sx_, cx_, zero, zero, zero, one], -1).reshape(b, 3, 3)
+        R = jnp.matmul(rz, jnp.matmul(ry, rx))
+        smin = self.safe_crop_coverage * jnp.einsum("bij,j->bi", jnp.abs(R), d) / h[None, :]
+        return jnp.maximum(scale, smin)
+
+    def __call__(self, data: dict, key: Array = None) -> dict:
+        data = dict(data)
+        first = data[self.first_key(data)]
+        b = first.shape[0]
+        spatial = first.shape[-3:]
+        k_mask, k_params = jax.random.split(key)
+        mask = self._apply_mask(k_mask, b)
+        rotation, scale, shear, translate = self._sample_params(k_params, b, spatial)
+        matrices = compose_affine_3d(
+            rotation=rotation, scale=scale, shear=shear, translate=translate
+        )
+        grids = affine_grid_3d(matrices, spatial, spatial)
+        for k in self.key_iterator(data):
+            x = data[k]
+            new = jax.vmap(lambda v, g: trilinear_sample(v, g, self.padding_mode))(x, grids)
+            data[k] = self._where(mask, new, x)
+        return data
+
+
+class BatchedRand3DElasticd(RandTransform):
+    """Batched random elastic deformation (smoothed random displacement field)."""
+
+    is_spatial = True
+
+    def __init__(
+        self,
+        keys: str | Iterable[str],
+        sigma_range: tuple[float, float],
+        magnitude_range: tuple[float, float],
+        prob: float = 0.1,
+        mode: str = "bilinear",
+        padding_mode: str = "reflection",
+        allow_missing_keys: bool = False,
+    ) -> None:
+        super().__init__(keys, prob, allow_missing_keys)
+        self.sigma_range = tuple(sigma_range)
+        self.magnitude_range = tuple(magnitude_range)
+        self.padding_mode = padding_mode
+        # static smoothing kernel: box-filter approximation of Gaussian,
+        # repeated 3x, radius from max sigma
+        self._radius = max(1, int(self.sigma_range[1] * 3) | 1) // 2
+
+    def _smooth(self, field: Array) -> Array:
+        """Separable box blur repeated 3x ~ Gaussian; field (B, 3, Z, Y, X)."""
+        r = self._radius
+        y = field
+        for _ in range(3):
+            for axis in range(3):
+                k = 2 * r + 1
+                pad = [(0, 0)] * 3
+                pad[axis] = (r, r)
+                kshape = [1, 1, 1, 1, 1]
+                kshape[2 + axis] = k
+                b, c = y.shape[:2]
+                kern = jnp.full((b * c, 1, *kshape[2:]), 1.0 / k, jnp.float32)
+                y = jax.lax.conv_general_dilated(
+                    y.reshape(1, b * c, *y.shape[2:]),
+                    kern,
+                    (1, 1, 1),
+                    pad,
+                    dimension_numbers=("NCDHW", "OIDHW", "NCDHW"),
+                    feature_group_count=b * c,
+                ).reshape(b, c, *y.shape[2:])
+        return y
+
+    def __call__(self, data: dict, key: Array = None) -> dict:
+        data = dict(data)
+        first = data[self.first_key(data)]
+        b = first.shape[0]
+        z, y, x = first.shape[-3:]
+        k_mask, k_mag, k_field = jax.random.split(key, 3)
+        mask = self._apply_mask(k_mask, b)
+        mag = jax.random.uniform(
+            k_mag, (b, 1, 1, 1, 1), minval=self.magnitude_range[0], maxval=self.magnitude_range[1]
+        )
+        field = jax.random.normal(k_field, (b, 3, z, y, x)) * mag
+        field = self._smooth(field)
+        # identity grid + displacement
+        gz, gy, gx = jnp.meshgrid(
+            jnp.arange(z, dtype=jnp.float32),
+            jnp.arange(y, dtype=jnp.float32),
+            jnp.arange(x, dtype=jnp.float32),
+            indexing="ij",
+        )
+        base = jnp.stack([gz, gy, gx])[None]  # (1, 3, Z, Y, X)
+        grids = base + field
+        for k in self.key_iterator(data):
+            v = data[k]
+            new = jax.vmap(lambda img, g: trilinear_sample(img, g, self.padding_mode))(v, grids)
+            data[k] = self._where(mask, new, v)
+        return data

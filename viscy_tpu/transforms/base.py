@@ -1,0 +1,122 @@
+"""Transform protocol for batched on-device augmentation.
+
+TPU-first redesign of the reference's MONAI/Kornia transform stack
+(``packages/viscy-transforms``): every batched transform here is a *pure,
+traceable* function of ``(data, key)`` where ``data`` is a dict of
+``(B, C, Z, Y, X)`` arrays and ``key`` is an explicit ``jax.random`` PRNG
+key. Because they are traceable, the trainer composes the whole
+augmentation pipeline *inside* the jitted train step, so XLA fuses
+normalization + augmentation + model input pre-processing into the same
+program (the reference needs a separate Kornia GPU pass in
+``on_after_batch_transfer``).
+
+Random-parameter semantics match the reference: parameters are sampled
+once per call and shared across all ``keys`` so paired inputs (source /
+target / fg_mask) stay spatially aligned; per-sample draws vary within the
+batch.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Sequence
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+def ensure_tuple(keys: str | Iterable[str]) -> tuple[str, ...]:
+    if isinstance(keys, str):
+        return (keys,)
+    return tuple(keys)
+
+
+class Transform:
+    """Base class: deterministic dict transform."""
+
+    is_spatial: bool = False
+    is_random: bool = False
+
+    def __call__(self, data: dict, key: Array | None = None) -> dict:
+        raise NotImplementedError
+
+
+class MapTransform(Transform):
+    """Dict transform applied to a set of keys."""
+
+    def __init__(self, keys: str | Iterable[str], allow_missing_keys: bool = False) -> None:
+        self.keys = ensure_tuple(keys)
+        self.allow_missing_keys = allow_missing_keys
+
+    def key_iterator(self, data: dict):
+        for k in self.keys:
+            if k in data:
+                yield k
+            elif not self.allow_missing_keys:
+                raise KeyError(f"Key {k!r} missing from sample with keys {list(data)}")
+
+    def first_key(self, data: dict) -> str:
+        for k in self.key_iterator(data):
+            return k
+        raise KeyError("no keys present")
+
+
+class RandTransform(MapTransform):
+    """Random dict transform; consumes a PRNG key per call."""
+
+    is_random = True
+
+    def __init__(
+        self,
+        keys: str | Iterable[str],
+        prob: float = 1.0,
+        allow_missing_keys: bool = False,
+    ) -> None:
+        super().__init__(keys, allow_missing_keys)
+        self.prob = float(prob)
+
+    def _apply_mask(self, key: Array, batch: int) -> Array:
+        """Per-sample Bernoulli(prob) application mask, shape (B,)."""
+        return jax.random.uniform(key, (batch,)) < self.prob
+
+    @staticmethod
+    def _where(mask: Array, new: Array, old: Array) -> Array:
+        """Select transformed samples by per-sample mask."""
+        shape = (-1,) + (1,) * (new.ndim - 1)
+        return jnp.where(mask.reshape(shape), new, old)
+
+
+class Compose(Transform):
+    """Compose transforms, splitting the PRNG key across random members.
+
+    Works both for device (jnp) and host (numpy) transform members — the
+    key is only split for members flagged ``is_random``.
+    """
+
+    def __init__(self, transforms: Sequence[Transform]) -> None:
+        self.transforms = [t for t in transforms if t is not None]
+
+    @property
+    def is_spatial(self) -> bool:  # type: ignore[override]
+        return any(getattr(t, "is_spatial", False) for t in self.transforms)
+
+    def __call__(self, data: dict, key: Array | None = None) -> dict:
+        n_random = sum(1 for t in self.transforms if getattr(t, "is_random", False))
+        if n_random and key is None:
+            raise ValueError("Compose with random transforms requires a PRNG key")
+        subkeys = list(jax.random.split(key, n_random)) if n_random else []
+        ki = 0
+        for t in self.transforms:
+            if getattr(t, "is_random", False):
+                data = t(data, subkeys[ki])
+                ki += 1
+            else:
+                data = t(data)
+        return data
+
+    def __iter__(self):
+        return iter(self.transforms)
+
+    def __len__(self) -> int:
+        return len(self.transforms)

@@ -1,0 +1,479 @@
+"""Batched intensity augmentations (device-side, traceable).
+
+Rebuilds the reference per-op batched GPU augmentations
+(``viscy_transforms/_adjust_contrast.py``, ``_noise.py``,
+``_scale_intensity.py``, ``_gaussian_smooth.py``, ``_histogram_shift.py``,
+``_invert_intensity.py``, ``_sharpen.py``, ``_pixel_shuffle.py``,
+``_percentile_scale.py``) as pure jnp functions: per-sample random
+parameters, Bernoulli application masks, all shapes static so XLA fuses the
+whole stack into the training step.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterable, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from viscy_tpu.transforms.base import RandTransform, MapTransform
+
+Array = jax.Array
+
+__all__ = [
+    "BatchedRandAdjustContrastd",
+    "BatchedRandGaussianNoised",
+    "BatchedRandScaleIntensityd",
+    "BatchedRandGaussianSmoothd",
+    "BatchedScaleIntensityRangePercentilesd",
+    "BatchedRandHistogramShiftd",
+    "BatchedRandInvertIntensityd",
+    "BatchedRandSharpend",
+    "BatchedRandLocalPixelShufflingd",
+    "BatchedRandZStackShiftd",
+]
+
+
+def _per_sample(x: Array, v: Array) -> Array:
+    """Reshape a (B,) parameter vector to broadcast over (B, C, ...)."""
+    return v.reshape((-1,) + (1,) * (x.ndim - 1))
+
+
+def _adjust_contrast(x: Array, gamma: Array, invert: bool, retain_stats: bool) -> Array:
+    """MONAI AdjustContrast math, vectorized per sample."""
+    eps = 1e-7
+    if invert:
+        x = -x
+    if retain_stats:
+        mean0 = x.mean(axis=tuple(range(1, x.ndim)), keepdims=True)
+        std0 = x.std(axis=tuple(range(1, x.ndim)), keepdims=True)
+    mn = x.min(axis=tuple(range(1, x.ndim)), keepdims=True)
+    rng = x.max(axis=tuple(range(1, x.ndim)), keepdims=True) - mn
+    y = ((x - mn) / (rng + eps)) ** _per_sample(x, gamma) * rng + mn
+    if retain_stats:
+        mean1 = y.mean(axis=tuple(range(1, y.ndim)), keepdims=True)
+        std1 = y.std(axis=tuple(range(1, y.ndim)), keepdims=True)
+        y = (y - mean1) / (std1 + eps) * std0 + mean0
+    if invert:
+        y = -y
+    return y
+
+
+class BatchedRandAdjustContrastd(RandTransform):
+    """Random per-sample gamma contrast (reference ``_adjust_contrast.py:89``)."""
+
+    is_spatial = False
+
+    def __init__(
+        self,
+        keys: str | Iterable[str],
+        gamma: tuple[float, float] | float = (0.5, 4.5),
+        prob: float = 0.1,
+        invert_image: bool = False,
+        retain_stats: bool = False,
+        allow_missing_keys: bool = False,
+    ) -> None:
+        super().__init__(keys, prob, allow_missing_keys)
+        if isinstance(gamma, (int, float)):
+            self.gamma_range = (float(gamma), float(gamma))
+        else:
+            self.gamma_range = (min(gamma), max(gamma))
+        if self.gamma_range[0] <= 0.0:
+            raise ValueError("Gamma must be a positive value.")
+        self.invert_image = invert_image
+        self.retain_stats = retain_stats
+
+    def __call__(self, data: dict, key: Array = None) -> dict:
+        data = dict(data)
+        b = data[self.first_key(data)].shape[0]
+        k_mask, k_gamma = jax.random.split(key)
+        mask = self._apply_mask(k_mask, b)
+        gamma = jax.random.uniform(
+            k_gamma, (b,), minval=self.gamma_range[0], maxval=self.gamma_range[1]
+        )
+        for k in self.key_iterator(data):
+            new = _adjust_contrast(data[k], gamma, self.invert_image, self.retain_stats)
+            data[k] = self._where(mask, new, data[k])
+        return data
+
+
+class BatchedRandGaussianNoised(RandTransform):
+    """Additive Gaussian noise with per-sample application (``_noise.py``)."""
+
+    is_spatial = False
+
+    def __init__(
+        self,
+        keys: str | Iterable[str],
+        prob: float = 0.1,
+        mean: float = 0.0,
+        std: float = 0.1,
+        sample_std: bool = True,
+        allow_missing_keys: bool = False,
+    ) -> None:
+        super().__init__(keys, prob, allow_missing_keys)
+        self.mean = mean
+        self.std = std
+        self.sample_std = sample_std
+
+    def __call__(self, data: dict, key: Array = None) -> dict:
+        data = dict(data)
+        b = data[self.first_key(data)].shape[0]
+        k_mask, k_std, k_noise = jax.random.split(key, 3)
+        mask = self._apply_mask(k_mask, b)
+        if self.sample_std:
+            std = jax.random.uniform(k_std, (b,), minval=0.0, maxval=self.std)
+        else:
+            std = jnp.full((b,), self.std)
+        for i, k in enumerate(self.key_iterator(data)):
+            x = data[k]
+            noise = jax.random.normal(jax.random.fold_in(k_noise, i), x.shape, x.dtype)
+            new = x + self.mean + noise * _per_sample(x, std).astype(x.dtype)
+            data[k] = self._where(mask, new, x)
+        return data
+
+
+class BatchedRandScaleIntensityd(RandTransform):
+    """x * (1 + U(-factors, factors)) per sample (``_scale_intensity.py``)."""
+
+    is_spatial = False
+
+    def __init__(
+        self,
+        keys: str | Iterable[str],
+        factors: float | tuple[float, float],
+        prob: float = 0.1,
+        allow_missing_keys: bool = False,
+    ) -> None:
+        super().__init__(keys, prob, allow_missing_keys)
+        if isinstance(factors, (int, float)):
+            self.factors = (-abs(factors), abs(factors))
+        else:
+            self.factors = (min(factors), max(factors))
+
+    def __call__(self, data: dict, key: Array = None) -> dict:
+        data = dict(data)
+        b = data[self.first_key(data)].shape[0]
+        k_mask, k_f = jax.random.split(key)
+        mask = self._apply_mask(k_mask, b)
+        factor = jax.random.uniform(k_f, (b,), minval=self.factors[0], maxval=self.factors[1])
+        for k in self.key_iterator(data):
+            x = data[k]
+            new = x * (1.0 + _per_sample(x, factor).astype(x.dtype))
+            data[k] = self._where(mask, new, x)
+        return data
+
+
+def _gaussian_kernel_1d(sigma: Array, radius: int) -> Array:
+    """Per-sample 1-D Gaussian kernels: sigma (B,) -> (B, 2r+1), normalized."""
+    x = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    k = jnp.exp(-0.5 * (x[None, :] / jnp.maximum(sigma[:, None], 1e-6)) ** 2)
+    return k / k.sum(axis=1, keepdims=True)
+
+
+def _separable_blur(x: Array, sigmas: Array, radius: tuple[int, int, int]) -> Array:
+    """Per-sample separable Gaussian blur over (Z, Y, X) of (B, C, Z, Y, X).
+
+    Uses grouped convolution with batch folded into channels so each sample
+    gets its own kernel.
+    """
+    b, c = x.shape[:2]
+    y = x.reshape(1, b * c, *x.shape[2:]).astype(jnp.float32)
+    for axis in range(3):
+        r = radius[axis]
+        if r == 0:
+            continue
+        kern = _gaussian_kernel_1d(sigmas[:, axis], r)  # (B, 2r+1)
+        kern = jnp.repeat(kern, c, axis=0)  # (B*C, k)
+        kshape = [b * c, 1, 1, 1, 1]
+        kshape[2 + axis] = 2 * r + 1
+        kern = kern.reshape(kshape)
+        pad = [(0, 0)] * 3
+        pad[axis] = (r, r)
+        y = jax.lax.conv_general_dilated(
+            y,
+            kern,
+            window_strides=(1, 1, 1),
+            padding=pad,
+            dimension_numbers=("NCDHW", "OIDHW", "NCDHW"),
+            feature_group_count=b * c,
+        )
+    return y.reshape(x.shape).astype(x.dtype)
+
+
+class BatchedRandGaussianSmoothd(RandTransform):
+    """Per-sample random Gaussian blur (``_gaussian_smooth.py:170``)."""
+
+    is_spatial = False
+
+    def __init__(
+        self,
+        keys: str | Iterable[str],
+        sigma_z: tuple[float, float] = (0.25, 1.5),
+        sigma_y: tuple[float, float] = (0.25, 1.5),
+        sigma_x: tuple[float, float] = (0.25, 1.5),
+        prob: float = 0.1,
+        allow_missing_keys: bool = False,
+    ) -> None:
+        super().__init__(keys, prob, allow_missing_keys)
+        self.sigma_ranges = (tuple(sigma_z), tuple(sigma_y), tuple(sigma_x))
+        # static kernel radius from the max sigma (truncate at 4 sigma, MONAI-style)
+        self.radius = tuple(max(1, int(4.0 * s[1] + 0.5)) for s in self.sigma_ranges)
+
+    def __call__(self, data: dict, key: Array = None) -> dict:
+        data = dict(data)
+        b = data[self.first_key(data)].shape[0]
+        k_mask, k_s = jax.random.split(key)
+        mask = self._apply_mask(k_mask, b)
+        lo = jnp.array([s[0] for s in self.sigma_ranges])
+        hi = jnp.array([s[1] for s in self.sigma_ranges])
+        sigmas = jax.random.uniform(k_s, (b, 3)) * (hi - lo) + lo
+        for k in self.key_iterator(data):
+            x = data[k]
+            new = _separable_blur(x, sigmas, self.radius)
+            data[k] = self._where(mask, new, x)
+        return data
+
+
+class BatchedScaleIntensityRangePercentilesd(MapTransform):
+    """Rescale per-sample percentile window to [b_min, b_max] (``_percentile_scale.py``)."""
+
+    is_spatial = False
+
+    def __init__(
+        self,
+        keys: str | Iterable[str],
+        lower: float,
+        upper: float,
+        b_min: float,
+        b_max: float,
+        clip: bool = False,
+        channel_wise: bool = True,
+        allow_missing_keys: bool = False,
+    ) -> None:
+        super().__init__(keys, allow_missing_keys)
+        self.lower = lower
+        self.upper = upper
+        self.b_min = b_min
+        self.b_max = b_max
+        self.clip = clip
+        self.channel_wise = channel_wise
+
+    def __call__(self, data: dict, key: Array = None) -> dict:
+        data = dict(data)
+        for k in self.key_iterator(data):
+            x = data[k]
+            if self.channel_wise:
+                flat = x.reshape(x.shape[0], x.shape[1], -1)
+                a_min = jnp.percentile(flat, self.lower, axis=-1)[..., None, None, None]
+                a_max = jnp.percentile(flat, self.upper, axis=-1)[..., None, None, None]
+            else:
+                flat = x.reshape(x.shape[0], -1)
+                a_min = jnp.percentile(flat, self.lower, axis=-1).reshape(
+                    (-1,) + (1,) * (x.ndim - 1)
+                )
+                a_max = jnp.percentile(flat, self.upper, axis=-1).reshape(
+                    (-1,) + (1,) * (x.ndim - 1)
+                )
+            y = (x - a_min) / jnp.maximum(a_max - a_min, 1e-8)
+            y = y * (self.b_max - self.b_min) + self.b_min
+            if self.clip:
+                y = jnp.clip(y, self.b_min, self.b_max)
+            data[k] = y.astype(x.dtype)
+        return data
+
+
+class BatchedRandHistogramShiftd(RandTransform):
+    """Random piecewise-linear intensity remap (``_histogram_shift.py:15``).
+
+    Random control points over the per-sample intensity range are perturbed
+    and the image is remapped by monotone piecewise-linear interpolation.
+    """
+
+    is_spatial = False
+
+    def __init__(
+        self,
+        keys: str | Iterable[str],
+        num_control_points: int | tuple[int, int] = 10,
+        prob: float = 0.1,
+        allow_missing_keys: bool = False,
+    ) -> None:
+        super().__init__(keys, prob, allow_missing_keys)
+        if isinstance(num_control_points, int):
+            self.num_control_points = num_control_points
+        else:
+            # static shapes: use the max of the range
+            self.num_control_points = int(max(num_control_points))
+        if self.num_control_points < 2:
+            raise ValueError("num_control_points must be >= 2")
+
+    def __call__(self, data: dict, key: Array = None) -> dict:
+        data = dict(data)
+        b = data[self.first_key(data)].shape[0]
+        n = self.num_control_points
+        k_mask, k_pts = jax.random.split(key)
+        mask = self._apply_mask(k_mask, b)
+        # reference/MONAI: uniformly-spaced reference points; floating control
+        # points are jittered within +-1/(2(n-1)) of each interior point
+        ref = jnp.linspace(0.0, 1.0, n)
+        jitter = jax.random.uniform(
+            k_pts, (b, n), minval=-0.5 / (n - 1), maxval=0.5 / (n - 1)
+        )
+        float_pts = ref[None, :] + jitter
+        float_pts = float_pts.at[:, 0].set(0.0).at[:, -1].set(1.0)
+        float_pts = jnp.sort(float_pts, axis=1)
+        for k in self.key_iterator(data):
+            x = data[k]
+            mn = x.min(axis=tuple(range(1, x.ndim)), keepdims=True)
+            mx = x.max(axis=tuple(range(1, x.ndim)), keepdims=True)
+            unit = (x - mn) / jnp.maximum(mx - mn, 1e-8)
+            remapped = jax.vmap(lambda u, fp: jnp.interp(u.reshape(-1), ref, fp).reshape(u.shape))(
+                unit, float_pts
+            )
+            new = (remapped * (mx - mn) + mn).astype(x.dtype)
+            data[k] = self._where(mask, new, x)
+        return data
+
+
+class BatchedRandInvertIntensityd(RandTransform):
+    """Random per-sample intensity inversion about the per-sample maximum."""
+
+    is_spatial = False
+
+    def __init__(
+        self,
+        keys: str | Iterable[str],
+        prob: float = 0.1,
+        allow_missing_keys: bool = False,
+    ) -> None:
+        super().__init__(keys, prob, allow_missing_keys)
+
+    def __call__(self, data: dict, key: Array = None) -> dict:
+        data = dict(data)
+        b = data[self.first_key(data)].shape[0]
+        mask = self._apply_mask(key, b)
+        for k in self.key_iterator(data):
+            x = data[k]
+            new = -x
+            data[k] = self._where(mask, new, x)
+        return data
+
+
+class BatchedRandSharpend(RandTransform):
+    """Random unsharp masking: x + alpha * (x - blur(x)) (``_sharpen.py:16``)."""
+
+    is_spatial = False
+
+    def __init__(
+        self,
+        keys: str | Iterable[str],
+        prob: float = 0.1,
+        alpha: tuple[float, float] = (10.0, 30.0),
+        sigma: float = 1.0,
+        allow_missing_keys: bool = False,
+    ) -> None:
+        super().__init__(keys, prob, allow_missing_keys)
+        self.alpha = tuple(alpha)
+        self.sigma = sigma
+        self.radius = max(1, int(4.0 * sigma + 0.5))
+
+    def __call__(self, data: dict, key: Array = None) -> dict:
+        data = dict(data)
+        b = data[self.first_key(data)].shape[0]
+        k_mask, k_a = jax.random.split(key)
+        mask = self._apply_mask(k_mask, b)
+        alpha = jax.random.uniform(k_a, (b,), minval=self.alpha[0], maxval=self.alpha[1])
+        sigmas = jnp.full((b, 3), self.sigma).at[:, 0].set(0.0)  # in-plane blur only
+        for k in self.key_iterator(data):
+            x = data[k]
+            blurred = _separable_blur(x, sigmas, (0, self.radius, self.radius))
+            new = x + _per_sample(x, alpha).astype(x.dtype) * (x - blurred)
+            data[k] = self._where(mask, new, x)
+        return data
+
+
+class BatchedRandLocalPixelShufflingd(RandTransform):
+    """Local pixel shuffling (model-genesis style, ``_pixel_shuffle.py``).
+
+    Approximated densely for TPU: a blocky random permutation is emulated
+    by mixing each voxel with a random neighbor inside a local window,
+    applied within randomly selected patches.
+    """
+
+    is_spatial = False
+
+    def __init__(
+        self,
+        keys: str | Iterable[str],
+        prob: float = 0.1,
+        num_blocks: int = 100,
+        block_size: int = 8,
+        allow_missing_keys: bool = False,
+    ) -> None:
+        super().__init__(keys, prob, allow_missing_keys)
+        self.num_blocks = num_blocks
+        self.block_size = block_size
+
+    def __call__(self, data: dict, key: Array = None) -> dict:
+        data = dict(data)
+        first = data[self.first_key(data)]
+        b = first.shape[0]
+        k_mask, k_shift, k_blocks = jax.random.split(key, 3)
+        mask = self._apply_mask(k_mask, b)
+        z, y, x = first.shape[-3:]
+        bs = self.block_size
+        # random in-plane roll per sample emulates shuffling within blocks
+        shifts = jax.random.randint(k_shift, (b, 2), -bs // 2, bs // 2 + 1)
+        # block mask: which coarse cells get shuffled
+        gy, gx = max(1, y // bs), max(1, x // bs)
+        frac = min(1.0, self.num_blocks / (gy * gx))
+        block_sel = jax.random.uniform(k_blocks, (b, 1, 1, gy, gx)) < frac
+        block_mask = jnp.repeat(jnp.repeat(block_sel, bs, axis=-2), bs, axis=-1)
+        block_mask = block_mask[..., :y, :x]
+        block_mask = jnp.broadcast_to(block_mask, (b, 1, 1, y, x))
+        for k in self.key_iterator(data):
+            v = data[k]
+            rolled = jax.vmap(
+                lambda img, s: jnp.roll(img, (s[0], s[1]), axis=(-2, -1))
+            )(v, shifts)
+            new = jnp.where(block_mask, rolled, v)
+            data[k] = self._where(mask, new, v)
+        return data
+
+
+class BatchedRandZStackShiftd(RandTransform):
+    """Random Z-axis shift with constant padding (``_zstack_shift.py``)."""
+
+    is_spatial = True
+
+    def __init__(
+        self,
+        keys: str | Iterable[str],
+        max_shift: int = 3,
+        prob: float = 0.1,
+        mode: str = "constant",
+        cval: float = 0.0,
+        allow_missing_keys: bool = False,
+    ) -> None:
+        super().__init__(keys, prob, allow_missing_keys)
+        self.max_shift = max_shift
+        self.cval = cval
+
+    def __call__(self, data: dict, key: Array = None) -> dict:
+        data = dict(data)
+        b = data[self.first_key(data)].shape[0]
+        k_mask, k_shift = jax.random.split(key)
+        mask = self._apply_mask(k_mask, b)
+        shifts = jax.random.randint(k_shift, (b,), -self.max_shift, self.max_shift + 1)
+        for k in self.key_iterator(data):
+            x = data[k]
+            z = x.shape[2]
+            zidx = jnp.arange(z)[None, :] - shifts[:, None]  # (B, Z) source index
+            valid = (zidx >= 0) & (zidx < z)
+            zidx = jnp.clip(zidx, 0, z - 1)
+            gathered = jax.vmap(lambda img, idx: img[:, idx], in_axes=(0, 0))(x, zidx)
+            new = jnp.where(valid[:, None, :, None, None], gathered, self.cval)
+            data[k] = self._where(mask, new.astype(x.dtype), x)
+        return data
