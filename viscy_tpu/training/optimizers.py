@@ -23,6 +23,7 @@ def configure_adamw_scheduler(
     if schedule == "WarmupCosine":
         if warmup_steps is None:
             warmup_steps = max(1, total_steps // 100)
+        total_steps = max(total_steps, warmup_steps + 1)
         sched = optax.warmup_cosine_decay_schedule(
             init_value=lr * warmup_multiplier,
             peak_value=lr,

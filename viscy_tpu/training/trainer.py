@@ -160,14 +160,32 @@ class Trainer:
 
         return jax.jit(val_step)
 
+    @staticmethod
+    def _device_view(batch: dict) -> dict:
+        """Keep only numeric-array leaves (recursively) for the jitted step;
+        host-only metadata like ``index`` paths stays out of the trace."""
+
+        def keep(node):
+            if isinstance(node, dict):
+                out = {k: keep(v) for k, v in node.items()}
+                return {k: v for k, v in out.items() if v is not None}
+            if isinstance(node, (np.ndarray, jnp.ndarray)):
+                dt = np.asarray(node).dtype
+                if np.issubdtype(dt, np.number) or np.issubdtype(dt, np.bool_):
+                    return node
+            return None
+
+        return keep(batch)
+
     def _iter_loader(self, loader, limit: int | None):
         for i, batch in enumerate(loader):
             if limit is not None and i >= limit:
                 break
-            yield i, shard_batch(batch, self.mesh)
+            yield i, shard_batch(self._device_view(batch), self.mesh)
 
     # -- fit --------------------------------------------------------------------
     def fit(self, module: TrainModule, datamodule, ckpt_path: str | None = None) -> None:
+        self._active_datamodule = datamodule
         datamodule.prepare_data()
         datamodule.setup("fit")
         train_loader = datamodule.train_dataloader()
@@ -263,6 +281,7 @@ class Trainer:
 
     # -- validate / test ---------------------------------------------------------
     def validate(self, module: TrainModule, datamodule, ckpt_path: str | None = None) -> dict:
+        self._active_datamodule = datamodule
         datamodule.prepare_data()
         datamodule.setup("validate")
         if self.state is None:
@@ -273,6 +292,7 @@ class Trainer:
         return self._run_validation(module, datamodule, val_step, jax.random.PRNGKey(0))
 
     def test(self, module: TrainModule, datamodule, ckpt_path: str | None = None) -> dict:
+        self._active_datamodule = datamodule
         datamodule.prepare_data()
         datamodule.setup("test")
         if self.state is None:
@@ -298,6 +318,7 @@ class Trainer:
     def predict(
         self, module: TrainModule, datamodule, ckpt_path: str | None = None, return_predictions: bool = False
     ):
+        self._active_datamodule = datamodule
         datamodule.prepare_data()
         datamodule.setup("predict")
         if self.state is None:
@@ -309,9 +330,7 @@ class Trainer:
             cb.on_predict_start(self, module)
         outputs = []
         for i, batch in enumerate(datamodule.predict_dataloader()):
-            device_batch = shard_batch(
-                {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}, self.mesh
-            )
+            device_batch = shard_batch(self._device_view(batch), self.mesh)
             pred = predict_step(self.state, device_batch)
             pred = jax.device_get(pred)
             for cb in self.callbacks:
