@@ -1,0 +1,171 @@
+"""DynaCLR contrastive engine
+(reference ``applications/dynaclr/src/dynaclr/engine.py:33``).
+
+Triplet-margin or NT-Xent paths over anchor/positive(/negative)
+projections from a :class:`ContrastiveEncoder`; predict returns
+``{features, projections, index}`` for the EmbeddingWriter.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Literal, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from viscy_tpu.models.contrastive.encoder import ContrastiveEncoder
+from viscy_tpu.models.contrastive.loss import (
+    NTXentLoss,
+    ntxent_loss,
+    triplet_margin_loss,
+)
+from viscy_tpu.training.module import TrainModule
+
+Array = jax.Array
+_logger = logging.getLogger("viscy_tpu")
+
+
+class TripletMarginLoss:
+    """Euclidean triplet margin loss (torch ``nn.TripletMarginLoss`` analog)."""
+
+    def __init__(self, margin: float = 0.5) -> None:
+        self.margin = margin
+
+    def __call__(self, anchor: Array, positive: Array, negative: Array) -> Array:
+        return triplet_margin_loss(anchor, positive, negative, self.margin)
+
+
+class ContrastiveModule(TrainModule):
+    """Contrastive learning engine over triplet batches."""
+
+    rng_keys = ("dropout",)
+
+    def __init__(
+        self,
+        encoder: ContrastiveEncoder | dict | None = None,
+        loss_function=None,
+        lr: float = 1e-3,
+        schedule: Literal["WarmupCosine", "Constant"] = "Constant",
+        log_batches_per_epoch: int = 8,
+        log_samples_per_batch: int = 1,
+        log_embeddings_every_n_epochs: int | None = 10,
+        pca_color_keys=None,
+        log_negative_metrics_every_n_epochs: int = 2,
+        example_input_array_shape: Sequence[int] = (1, 2, 15, 256, 256),
+        ckpt_path: str | None = None,
+        freeze_backbone: bool = False,
+        auxiliary_heads: dict | None = None,
+    ) -> None:
+        if encoder is None:
+            encoder = ContrastiveEncoder()
+        elif isinstance(encoder, dict):
+            encoder = ContrastiveEncoder(**encoder)
+        self.model = encoder
+        self.loss_function = loss_function if loss_function is not None else TripletMarginLoss(0.5)
+        self.lr = lr
+        self.schedule = schedule
+        self.example_input_array_shape = tuple(example_input_array_shape)
+        self.ckpt_path = ckpt_path
+        self.freeze_backbone = freeze_backbone
+        self.auxiliary_heads = auxiliary_heads or {}
+
+    @property
+    def _is_ntxent(self) -> bool:
+        return isinstance(self.loss_function, NTXentLoss)
+
+    def on_epoch_start(self, epoch: int) -> None:
+        if hasattr(self.loss_function, "step"):
+            self.loss_function.step(epoch)
+
+    # -- init -------------------------------------------------------------------
+    def example_input(self) -> dict:
+        import numpy as np
+
+        x = np.zeros(self.example_input_array_shape, np.float32)
+        return {"anchor": x, "positive": x.copy(), "negative": x.copy()}
+
+    def init_with_rngs(self, rngs: dict, batch: dict) -> dict:
+        return self.model.init(rngs, jnp.asarray(batch["anchor"]), train=False)
+
+    # -- forward ------------------------------------------------------------------
+    def forward(self, variables: dict, x: Array, train: bool = False, rngs=None):
+        if train:
+            (emb, proj), updates = self.model.apply(
+                variables, x, train=True, mutable=["batch_stats"], rngs=rngs
+            )
+            return emb, proj, updates
+        emb, proj = self.model.apply(variables, x, train=False)
+        return emb, proj, {}
+
+    # -- steps ------------------------------------------------------------------------
+    def _contrastive_loss(self, a_proj: Array, p_proj: Array, n_proj: Array | None) -> Array:
+        if self._is_ntxent:
+            return ntxent_loss(
+                a_proj,
+                p_proj,
+                temperature=self.loss_function.temperature,
+                beta=getattr(self.loss_function, "beta", 0.0),
+            )
+        assert n_proj is not None, "triplet loss requires negatives"
+        return self.loss_function(a_proj, p_proj, n_proj)
+
+    def training_loss(self, variables, batch, rng):
+        rngs = {"dropout": rng}
+        _, a_proj, updates = self.forward(variables, batch["anchor"], train=True, rngs=rngs)
+        merged = {**variables, **updates}
+        _, p_proj, updates = self.forward(merged, batch["positive"], train=True, rngs=rngs)
+        merged = {**merged, **updates}
+        n_proj = None
+        if not self._is_ntxent:
+            _, n_proj, updates = self.forward(merged, batch["negative"], train=True, rngs=rngs)
+            merged = {**merged, **updates}
+        loss = self._contrastive_loss(a_proj, p_proj, n_proj)
+        new_extra = {k: v for k, v in merged.items() if k != "params"}
+        metrics = {
+            "metrics/positive_cosine": _mean_cosine(a_proj, p_proj),
+        }
+        if n_proj is not None:
+            metrics["metrics/negative_cosine"] = _mean_cosine(a_proj, n_proj)
+        return loss, (metrics, new_extra)
+
+    def validation_loss(self, variables, batch, rng):
+        _, a_proj, _ = self.forward(variables, batch["anchor"])
+        _, p_proj, _ = self.forward(variables, batch["positive"])
+        n_proj = None
+        if not self._is_ntxent:
+            _, n_proj, _ = self.forward(variables, batch["negative"])
+        loss = self._contrastive_loss(a_proj, p_proj, n_proj)
+        return loss, {"metrics/positive_cosine": _mean_cosine(a_proj, p_proj)}
+
+    def predict_step(self, variables, batch):
+        features, projections, _ = self.forward(variables, batch["anchor"])
+        return {"features": features, "projections": projections}
+
+    def configure_optimizers(self, total_steps: int):
+        import optax
+
+        from viscy_tpu.training.optimizers import configure_adamw_scheduler
+
+        tx, sched = configure_adamw_scheduler(
+            lr=self.lr, schedule=self.schedule, total_steps=total_steps
+        )
+        if self.freeze_backbone:
+            def label_fn(params):
+                return jax.tree_util.tree_map_with_path(
+                    lambda path, _: "frozen"
+                    if any(getattr(p, "key", "") in ("stem", "encoder") for p in path)
+                    else "trainable",
+                    params,
+                )
+
+            tx = optax.multi_transform(
+                {"trainable": tx, "frozen": optax.set_to_zero()}, label_fn
+            )
+        return tx, sched
+
+
+def _mean_cosine(a: Array, b: Array) -> Array:
+    an = a / (jnp.linalg.norm(a, axis=1, keepdims=True) + 1e-8)
+    bn = b / (jnp.linalg.norm(b, axis=1, keepdims=True) + 1e-8)
+    return (an * bn).sum(axis=1).mean()

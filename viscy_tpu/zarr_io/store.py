@@ -409,7 +409,9 @@ class Position:
         if key not in self._arrays:
             arr_dir = self._path / key
             store = _open_array(arr_dir, self._version, write=self._mode != "r")
-            self._arrays[key] = ImageArray(store, f"{self._path.name}/{key}", arr_dir)
+            # plate-relative path "row/col/fov/key" (iohub convention)
+            rel = "/".join(self._path.parts[-3:])
+            self._arrays[key] = ImageArray(store, f"{rel}/{key}", arr_dir)
         return self._arrays[key]
 
     @property
@@ -443,7 +445,8 @@ class Position:
         arr_dir = self._path / key
         store = _create_array(arr_dir, shape, dtype, chunks, self._version, shard=shard)
         self._register_dataset(key, transform)
-        img = ImageArray(store, f"{self._path.name}/{key}", arr_dir)
+        rel = "/".join(self._path.parts[-3:])
+        img = ImageArray(store, f"{rel}/{key}", arr_dir)
         self._arrays[key] = img
         return img
 
