@@ -1,0 +1,103 @@
+"""Evaluation metrics tests."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from viscy_tpu.evaluation.clustering import (
+    clustering_evaluation,
+    effective_rank,
+    knn_accuracy,
+)
+from viscy_tpu.evaluation.linear_classifier import (
+    cross_validate_classifier,
+    train_linear_classifier,
+)
+from viscy_tpu.evaluation.metrics import pearson_correlation, pod_metric, voi_score
+from viscy_tpu.evaluation.mmd import compute_mmd_unbiased, mmd_permutation_test
+from viscy_tpu.evaluation.smoothness import compute_embeddings_smoothness
+
+
+def _two_blobs(n=200, d=16, sep=5.0, seed=0):
+    rng = np.random.default_rng(seed)
+    a = rng.normal(0, 1, (n, d))
+    b = rng.normal(sep, 1, (n, d))
+    return a, b
+
+
+def test_pearson():
+    rng = np.random.default_rng(0)
+    x = rng.random(1000)
+    assert pearson_correlation(x, x) == pytest.approx(1.0)
+    assert abs(pearson_correlation(x, rng.random(1000))) < 0.2
+
+
+def test_voi_identical_labels_zero():
+    labels = np.random.default_rng(0).integers(0, 5, (32, 32))
+    h1, h2 = voi_score(labels, labels)
+    assert h1 == pytest.approx(0.0, abs=1e-9)
+    assert h2 == pytest.approx(0.0, abs=1e-9)
+
+
+def test_pod_metric_perfect_and_shifted():
+    labels = np.zeros((32, 32), np.int32)
+    labels[4:10, 4:10] = 1
+    labels[20:28, 20:28] = 2
+    res = pod_metric(labels, labels)
+    assert res["true_positives"] == 2
+    assert res["f1"] == pytest.approx(1.0)
+    empty = np.zeros_like(labels)
+    res2 = pod_metric(empty, labels)
+    assert res2["true_positives"] == 0
+
+
+def test_knn_and_clustering():
+    a, b = _two_blobs()
+    emb = np.concatenate([a, b])
+    ann = np.array([0] * len(a) + [1] * len(b))
+    assert knn_accuracy(emb, ann) > 0.95
+    assert clustering_evaluation(emb, ann, "nmi", eps=6.0) > 0.5
+
+
+def test_effective_rank():
+    rng = np.random.default_rng(0)
+    full = rng.normal(0, 1, (500, 32))
+    low = np.outer(rng.normal(0, 1, 500), rng.normal(0, 1, 32))
+    assert effective_rank(full) > 25
+    assert effective_rank(low) < 3
+
+
+def test_mmd_separates_distributions():
+    a, b = _two_blobs(n=100, sep=2.0)
+    a2, _ = _two_blobs(n=100, sep=2.0, seed=1)
+    mmd_diff = compute_mmd_unbiased(a, b)
+    mmd_same = compute_mmd_unbiased(a, a2)
+    assert mmd_diff > mmd_same
+    res = mmd_permutation_test(a, b, n_permutations=50)
+    assert res["p_value"] < 0.05
+
+
+def test_linear_probe():
+    a, b = _two_blobs()
+    X = np.concatenate([a, b])
+    y = np.array([0] * len(a) + [1] * len(b))
+    _, metrics = train_linear_classifier(X, y, X, y)
+    assert metrics["val_accuracy"] > 0.95
+    cv = cross_validate_classifier(X, y, n_splits=3)
+    assert cv["accuracy_mean"] > 0.9
+
+
+def test_smoothness():
+    rng = np.random.default_rng(0)
+    # smooth track: small steps; random points: large distances
+    n_tracks, T, d = 5, 20, 8
+    feats, rows = [], []
+    for tid in range(n_tracks):
+        base = rng.normal(0, 5, d)
+        for t in range(T):
+            base = base + rng.normal(0, 0.05, d)
+            feats.append(base.copy())
+            rows.append({"fov_name": "A/1/0", "track_id": tid, "t": t})
+    res = compute_embeddings_smoothness(np.asarray(feats), pd.DataFrame(rows))
+    assert res["n_steps"] == n_tracks * (T - 1)
+    assert res["dynamic_range"] > 0

@@ -216,6 +216,13 @@ class HCSDataModule(DataModule):
         order = rng.permutation(len(positions))
         positions = [positions[i] for i in order]
         num_train = int(len(positions) * self.split_ratio)
+        if len(positions) >= 2:
+            num_train = min(max(num_train, 1), len(positions) - 1)
+        elif num_train < 1:
+            raise ValueError(
+                "Need at least 2 FOVs for a train/val split, got "
+                f"{len(positions)} after filtering."
+            )
 
         train_transform, val_transform = self._fit_transforms()
         settings = self._dataset_settings()
