@@ -1,0 +1,122 @@
+"""App-level tests: qc focus metric, dynacell engines, channel utils."""
+
+import jax
+import numpy as np
+import pytest
+import yaml
+
+from viscy_tpu.apps.qc.focus import FocusSliceMetric, focus_from_transverse_band
+from viscy_tpu.apps.qc.qc_metrics import generate_qc_metadata
+from viscy_tpu.data.channel_utils import parse_channel_name
+from viscy_tpu.zarr_io import build_hcs_plate, open_ome_zarr
+
+
+def test_focus_detection_synthetic():
+    """The slice with high-frequency structure wins over blurred slices."""
+    rng = np.random.default_rng(0)
+    z, y, x = 7, 64, 64
+    stack = np.zeros((z, y, x), np.float32)
+    sharp = rng.random((y, x)).astype(np.float32)
+    from scipy.ndimage import gaussian_filter
+
+    for i in range(z):
+        sigma = abs(i - 3) * 2.0 + 0.01
+        stack[i] = gaussian_filter(sharp, sigma)
+    stack[3] = sharp
+    idx = focus_from_transverse_band(stack, NA_det=0.55, lambda_ill=0.532, pixel_size=0.325)
+    assert idx == 3
+
+
+def test_qc_metadata_roundtrip(tmp_path):
+    path = build_hcs_plate(
+        tmp_path / "qc.zarr",
+        ["Phase"],
+        zyx_shape=(4, 32, 32),
+        rows=("A",),
+        cols=("1",),
+        fovs=("0",),
+        seed=0,
+    )
+    metric = FocusSliceMetric(
+        NA_det=0.55, lambda_ill=0.532, pixel_size=0.325, channel_names=["Phase"]
+    )
+    generate_qc_metadata(path, [metric])
+    plate = open_ome_zarr(path)
+    _, pos = next(iter(plate.positions()))
+    meta = pos.zattrs["focus_slice"]["Phase"]
+    assert "z_focus_mean" in meta["fov_statistics"]
+    assert "0" in meta["per_timepoint"]
+
+
+def test_parse_channel_name():
+    m = parse_channel_name("raw GFP EX488 EM525-45")
+    assert m.fluorophore == "GFP"
+    assert m.excitation_nm == 488
+    assert m.emission_nm == 525
+    assert m.emission_bandwidth_nm == 45
+    assert m.modality == "fluorescence"
+    p = parse_channel_name("Phase3D")
+    assert p.is_label_free
+
+
+def test_dynacell_flow_matching_engine(tmp_path):
+    from viscy_tpu.apps.dynacell.engine import DynacellFlowMatching
+
+    module = DynacellFlowMatching(
+        model_config=dict(
+            in_channels=1,
+            out_channels=1,
+            cond_channels=1,
+            dims=(8, 16),
+            num_res_block=(1,),
+            time_embed_dim=32,
+            vit_hidden_size=48,
+            vit_num_heads=2,
+            vit_num_layers=1,
+        ),
+        num_sampling_steps=2,
+        example_input_yx_shape=(16, 16),
+    )
+    batch = module.example_input()
+    variables = module.init_variables(jax.random.PRNGKey(0), batch)
+    loss, _ = module.training_loss(variables, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss))
+    pred = module.predict_step(variables, batch)
+    assert pred.shape == batch["target"].shape
+
+
+def test_dynacell_gan_engine():
+    from viscy_tpu.apps.dynacell.engine import DynacellGAN
+
+    module = DynacellGAN(
+        generator_config=dict(
+            in_channels=1,
+            out_channels=1,
+            encoder_blocks=(1, 1, 1, 1),
+            dims=(8, 16, 32, 64),
+            stem_kernel_size=(5, 4, 4),
+            in_stack_depth=5,
+        ),
+        discriminator_config=dict(in_channels=2, base_channels=8, n_layers=2, num_scales=2),
+        example_input_yx_shape=(32, 32),
+    )
+    batch = {
+        "source": np.random.default_rng(0).random((1, 1, 5, 32, 32), np.float32),
+        "target": np.random.default_rng(1).random((1, 1, 5, 32, 32), np.float32),
+    }
+    variables = module.init_variables(jax.random.PRNGKey(0), batch)
+    (loss, (metrics, _)), grads = jax.value_and_grad(
+        lambda p: module.training_loss({"params": p}, batch, jax.random.PRNGKey(1)),
+        has_aux=True,
+    )(variables["params"])
+    assert np.isfinite(float(loss))
+    assert "loss/d" in metrics
+    # both parameter groups receive gradients
+    g_norm = jax.tree_util.tree_reduce(
+        lambda a, b: a + float(np.abs(b).sum()), grads["generator"], 0.0
+    )
+    d_norm = jax.tree_util.tree_reduce(
+        lambda a, b: a + float(np.abs(b).sum()), grads["discriminator"], 0.0
+    )
+    assert g_norm > 0
+    assert d_norm > 0

@@ -1,0 +1,15 @@
+"""CELLDiff: flow-matching generative virtual staining
+(reference ``viscy_models/celldiff``)."""
+
+from viscy_tpu.models.celldiff.vit_bottleneck import ViTBottleneck3D
+from viscy_tpu.models.celldiff.celldiff_net import CELLDiffNet, UNetViT3D
+from viscy_tpu.models.celldiff.transport import Transport, euler_sampler, heun_sampler
+
+__all__ = [
+    "ViTBottleneck3D",
+    "CELLDiffNet",
+    "UNetViT3D",
+    "Transport",
+    "euler_sampler",
+    "heun_sampler",
+]

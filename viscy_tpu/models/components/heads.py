@@ -51,6 +51,11 @@ class PixelToVoxelHead(nn.Module):
             padding=((0, 0), (1, 1), (1, 1)),
             name="conv0",
         )(x)
+        # MONAI Convolution defaults: InstanceNorm + PReLU after the conv
+        # (reference heads.py:617 uses monai Convolution with default ADN)
+        x = nn.GroupNorm(num_groups=None, group_size=1, use_bias=False, use_scale=False, name="conv0_norm")(x)
+        alpha = self.param("conv0_prelu", nn.initializers.constant(0.25), (1,))
+        x = jnp.where(x >= 0, x, alpha * x)
         x = nn.Conv(self.out_channels * 2**2, (1, 1, 1), name="conv1")(x)
         # per-slice pixel shuffle x2: (b, d, h, w, c*4) -> (b, d, 2h, 2w, c)
         x = rearrange(x, "b d h w (c i j) -> b d (h i) (w j) c", i=2, j=2)

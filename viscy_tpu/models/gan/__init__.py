@@ -1,0 +1,16 @@
+"""GAN components (reference ``viscy_models/gan``)."""
+
+from viscy_tpu.models.gan.patchgan3d import MultiScalePatchGAN3D, PatchGAN3D
+from viscy_tpu.models.gan.losses import (
+    feature_matching_loss,
+    gan_loss_d,
+    gan_loss_g,
+)
+
+__all__ = [
+    "PatchGAN3D",
+    "MultiScalePatchGAN3D",
+    "gan_loss_d",
+    "gan_loss_g",
+    "feature_matching_loss",
+]
