@@ -108,6 +108,8 @@ class VSUNet(TrainModule):
         for k, v in model_config.items():
             if isinstance(v, list):
                 model_config[k] = tuple(v)
+        if isinstance(model_config.get("dtype"), str):
+            model_config["dtype"] = jnp.dtype(model_config["dtype"])
         self.model_config = model_config
         self.model = net_class(**model_config)
         self.loss_function = loss_function if loss_function is not None else MixedLoss()
@@ -136,7 +138,8 @@ class VSUNet(TrainModule):
         return {"source": x, "target": y}
 
     def init_with_rngs(self, rngs: dict, batch: dict) -> dict:
-        return self.model.init(rngs, jnp.asarray(batch["source"]))
+        # jit the init: a single compiled program instead of per-op dispatch
+        return jax.jit(self.model.init)(rngs, jnp.asarray(batch["source"]))
 
     # -- forward --------------------------------------------------------------
     def forward(self, variables: dict, x: Array, deterministic: bool = True, rngs=None) -> Array:
@@ -277,7 +280,7 @@ class FcmaeUNet(VSUNet):
             _logger.warning("FCMAE pretraining with fit_mask_ratio=0 — no masking applied")
 
     def init_with_rngs(self, rngs: dict, batch: dict) -> dict:
-        return self.model.init(
+        return jax.jit(self.model.init, static_argnames=("mask_ratio",))(
             rngs, jnp.asarray(batch["source"]), mask_ratio=self.fit_mask_ratio
         )
 

@@ -86,7 +86,9 @@ class ContrastiveModule(TrainModule):
         return {"anchor": x, "positive": x.copy(), "negative": x.copy()}
 
     def init_with_rngs(self, rngs: dict, batch: dict) -> dict:
-        return self.model.init(rngs, jnp.asarray(batch["anchor"]), train=False)
+        return jax.jit(self.model.init, static_argnames=("train",))(
+            rngs, jnp.asarray(batch["anchor"]), train=False
+        )
 
     # -- forward ------------------------------------------------------------------
     def forward(self, variables: dict, x: Array, train: bool = False, rngs=None):

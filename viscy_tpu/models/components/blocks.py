@@ -100,7 +100,9 @@ class ConvNeXtBlock(nn.Module):
     """ConvNeXt block: 7x7 depthwise conv -> LN -> MLP (fc1/act/[GRN]/fc2).
 
     ``use_grn=True`` gives the v2 block (no layer scale); ``ls_init_value``
-    enables the v1 layer-scale path.
+    enables the v1 layer-scale path. ``dtype`` sets the activation compute
+    dtype (bf16 on TPU halves HBM traffic; params stay f32; norms/GRN
+    statistics accumulate in f32).
     """
 
     dim: int
@@ -109,6 +111,7 @@ class ConvNeXtBlock(nn.Module):
     use_grn: bool = True
     ls_init_value: float | None = None
     drop_path: float = 0.0
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x: Array, deterministic: bool = True) -> Array:
@@ -118,15 +121,16 @@ class ConvNeXtBlock(nn.Module):
             (self.kernel_size, self.kernel_size),
             feature_group_count=self.dim,
             padding=self.kernel_size // 2,
+            dtype=self.dtype,
             name="dwconv",
         )(x)
-        x = nn.LayerNorm(epsilon=1e-6, name="norm")(x)
+        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
         hidden = self.mlp_ratio * self.dim
-        x = nn.Dense(hidden, name="fc1")(x)
+        x = nn.Dense(hidden, dtype=self.dtype, name="fc1")(x)
         x = nn.gelu(x, approximate=False)
         if self.use_grn:
             x = GRN(hidden, name="grn")(x)
-        x = nn.Dense(self.dim, name="fc2")(x)
+        x = nn.Dense(self.dim, dtype=self.dtype, name="fc2")(x)
         if self.ls_init_value is not None:
             gamma = self.param(
                 "ls_gamma",
@@ -155,17 +159,19 @@ class ConvNeXtStage(nn.Module):
     use_grn: bool = True
     ls_init_value: float | None = None
     drop_path_rates: Sequence[float] | None = None
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x: Array, deterministic: bool = True) -> Array:
         if self.in_chs != self.out_chs or self.stride > 1:
             k = self.stride if self.stride > 1 else 1
-            x = nn.LayerNorm(epsilon=1e-6, name="downsample_norm")(x)
+            x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="downsample_norm")(x)
             x = nn.Conv(
                 self.out_chs,
                 (k, k),
                 strides=(self.stride, self.stride),
                 padding="VALID",
+                dtype=self.dtype,
                 name="downsample_conv",
             )(x)
         rates = self.drop_path_rates or [0.0] * self.depth
@@ -177,6 +183,7 @@ class ConvNeXtStage(nn.Module):
                 use_grn=self.use_grn,
                 ls_init_value=self.ls_init_value,
                 drop_path=rates[i],
+                dtype=self.dtype,
                 name=f"block{i}",
             )(x, deterministic)
         return x
@@ -196,11 +203,12 @@ class MultiscaleEncoder(nn.Module):
     ls_init_value: float | None = None
     drop_path_rate: float = 0.0
     stem_norm: bool = True
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x: Array, deterministic: bool = True) -> list[Array]:
         if self.stem_norm:
-            x = nn.LayerNorm(epsilon=1e-6, name="stem_norm")(x)
+            x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="stem_norm")(x)
         total = sum(self.depths)
         dp_rates = [self.drop_path_rate * i / max(total - 1, 1) for i in range(total)]
         features = []
@@ -214,6 +222,7 @@ class MultiscaleEncoder(nn.Module):
                 use_grn=self.use_grn,
                 ls_init_value=self.ls_init_value,
                 drop_path_rates=dp_rates[start : start + depth],
+                dtype=self.dtype,
                 name=f"stage{i}",
             )(x, deterministic)
             features.append(x)
@@ -235,18 +244,20 @@ class UNeXt2UpStage(nn.Module):
     scale_factor: int
     conv_blocks: int = 2
     use_grn: bool = True
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x: Array, skip: Array | None, deterministic: bool = True) -> Array:
         x = pixel_shuffle_2d(x, self.scale_factor)
         if skip is not None:
-            x = jnp.concatenate([x, skip], axis=-1)
+            x = jnp.concatenate([x, skip.astype(x.dtype)], axis=-1)
         x = ConvNeXtStage(
             in_chs=x.shape[-1],
             out_chs=self.out_channels,
             depth=self.conv_blocks,
             stride=1,
             use_grn=self.use_grn,
+            dtype=self.dtype,
             name="conv",
         )(x, deterministic)
         return x
@@ -263,6 +274,7 @@ class UNeXt2Decoder(nn.Module):
     strides: Sequence[int]
     conv_blocks: int = 2
     use_grn: bool = True
+    dtype: object = None
 
     @nn.compact
     def __call__(self, features: Sequence[Array], deterministic: bool = True) -> Array:
@@ -275,6 +287,7 @@ class UNeXt2Decoder(nn.Module):
                 scale_factor=self.strides[i],
                 conv_blocks=self.conv_blocks,
                 use_grn=self.use_grn,
+                dtype=self.dtype,
                 name=f"stage{i}",
             )(feat, skips[i], deterministic)
         return feat

@@ -34,6 +34,7 @@ class PixelToVoxelHead(nn.Module):
     out_stack_depth: int
     expansion_ratio: int = 4
     pool: bool = False
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -49,6 +50,7 @@ class PixelToVoxelHead(nn.Module):
             mid_channels,
             (3, 3, 3),
             padding=((0, 0), (1, 1), (1, 1)),
+            dtype=self.dtype,
             name="conv0",
         )(x)
         # MONAI Convolution defaults: InstanceNorm + PReLU after the conv
@@ -56,7 +58,8 @@ class PixelToVoxelHead(nn.Module):
         x = nn.GroupNorm(num_groups=None, group_size=1, use_bias=False, use_scale=False, name="conv0_norm")(x)
         alpha = self.param("conv0_prelu", nn.initializers.constant(0.25), (1,))
         x = jnp.where(x >= 0, x, alpha * x)
-        x = nn.Conv(self.out_channels * 2**2, (1, 1, 1), name="conv1")(x)
+        x = nn.Conv(self.out_channels * 2**2, (1, 1, 1), dtype=self.dtype, name="conv1")(x)
+        x = x.astype(jnp.float32)
         # per-slice pixel shuffle x2: (b, d, h, w, c*4) -> (b, d, 2h, 2w, c)
         x = rearrange(x, "b d h w (c i j) -> b d (h i) (w j) c", i=2, j=2)
         return jnp.transpose(x, (0, 4, 1, 2, 3))

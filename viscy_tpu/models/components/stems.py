@@ -25,6 +25,7 @@ class UNeXt2Stem(nn.Module):
     out_channels: int
     kernel_size: tuple[int, int, int] = (5, 4, 4)
     in_stack_depth: int = 5
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -44,6 +45,7 @@ class UNeXt2Stem(nn.Module):
             self.kernel_size,
             strides=self.kernel_size,
             padding="VALID",
+            dtype=self.dtype,
             name="conv",
         )(x)
         # fold depth into channels with torch ordering: k = c*D + d
@@ -101,6 +103,7 @@ class MaskedAdaptiveProjection(nn.Module):
     kernel_size_2d: tuple[int, int] = (4, 4)
     kernel_depth: int = 5
     in_stack_depth: int = 5
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x: Array, unmasked: Array | None = None) -> Array:
@@ -115,6 +118,7 @@ class MaskedAdaptiveProjection(nn.Module):
                 (self.kernel_depth, *k2),
                 strides=(self.kernel_depth, *k2),
                 padding="VALID",
+                dtype=self.dtype,
                 name="conv3d",
             )(y)
             y = rearrange(y, "b d h w c -> b h w (c d)")
@@ -125,9 +129,10 @@ class MaskedAdaptiveProjection(nn.Module):
                 k2,
                 strides=k2,
                 padding="VALID",
+                dtype=self.dtype,
                 name="conv2d",
             )(y)
-        y = nn.LayerNorm(epsilon=1e-6, name="norm")(y)
+        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(y)
         if unmasked is not None:
             m = upsample_mask_2d(unmasked, y.shape[1:3])
             y = jnp.where(m[..., None], y, 0.0)

@@ -75,6 +75,7 @@ class MaskedConvNeXtV2Block(nn.Module):
     kernel_size: int = 7
     mlp_ratio: int = 4
     drop_path: float = 0.0
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x: Array, mask2d: Array | None = None, deterministic: bool = True) -> Array:
@@ -87,16 +88,17 @@ class MaskedConvNeXtV2Block(nn.Module):
             (self.kernel_size, self.kernel_size),
             feature_group_count=self.dim,
             padding=self.kernel_size // 2,
+            dtype=self.dtype,
             name="dwconv",
         )(x)
         if m is not None:
             x = x * m
-        x = nn.LayerNorm(epsilon=1e-6, name="norm")(x)
+        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
         hidden = self.mlp_ratio * self.dim
-        x = nn.Dense(hidden, name="fc1")(x)
+        x = nn.Dense(hidden, dtype=self.dtype, name="fc1")(x)
         x = nn.gelu(x, approximate=False)
         x = MaskedGRN(hidden, name="grn")(x, mask2d)
-        x = nn.Dense(self.dim, name="fc2")(x)
+        x = nn.Dense(self.dim, dtype=self.dtype, name="fc2")(x)
         if m is not None:
             x = x * m
         x = DropPath(self.drop_path, name="drop_path")(x, deterministic)
@@ -113,17 +115,19 @@ class MaskedConvNeXtV2Stage(nn.Module):
     stride: int = 2
     num_blocks: int = 2
     drop_path_rates: Sequence[float] | None = None
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x: Array, unmasked: Array | None = None, deterministic: bool = True) -> Array:
         if self.in_channels != self.out_channels or self.stride > 1:
             k = self.stride if self.stride > 1 else 1
-            x = nn.LayerNorm(epsilon=1e-6, name="downsample_norm")(x)
+            x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="downsample_norm")(x)
             x = nn.Conv(
                 self.out_channels,
                 (k, k),
                 strides=(self.stride, self.stride),
                 padding="VALID",
+                dtype=self.dtype,
                 name="downsample_conv",
             )(x)
         mask2d = None
@@ -135,6 +139,7 @@ class MaskedConvNeXtV2Stage(nn.Module):
                 self.out_channels,
                 kernel_size=self.kernel_size,
                 drop_path=rates[i],
+                dtype=self.dtype,
                 name=f"block{i}",
             )(x, mask2d, deterministic)
         return x
@@ -149,6 +154,7 @@ class MaskedMultiscaleEncoder(nn.Module):
     drop_path_rate: float = 0.0
     stem_kernel_size: Sequence[int] = (5, 4, 4)
     in_stack_depth: int = 5
+    dtype: object = None
 
     @property
     def total_stride(self) -> int:
@@ -171,6 +177,7 @@ class MaskedMultiscaleEncoder(nn.Module):
             kernel_size_2d=tuple(self.stem_kernel_size[1:]),
             kernel_depth=self.stem_kernel_size[0],
             in_stack_depth=self.in_stack_depth,
+            dtype=self.dtype,
             name="stem",
         )(x, unmasked)
         chs = [self.dims[0], *self.dims]
@@ -183,6 +190,7 @@ class MaskedMultiscaleEncoder(nn.Module):
                 stride=1 if i == 0 else 2,
                 num_blocks=num_blocks,
                 drop_path_rates=[self.drop_path_rate] * num_blocks,
+                dtype=self.dtype,
                 name=f"stage{i}",
             )(y, unmasked, deterministic)
             features.append(y)
@@ -207,6 +215,7 @@ class FullyConvolutionalMAE(nn.Module):
     head_conv: bool = False
     head_conv_expansion_ratio: int = 4
     head_conv_pool: bool = True
+    dtype: object = None
 
     @property
     def num_blocks(self) -> int:
@@ -227,6 +236,7 @@ class FullyConvolutionalMAE(nn.Module):
             drop_path_rate=self.encoder_drop_path_rate,
             stem_kernel_size=self.stem_kernel_size,
             in_stack_depth=self.in_stack_depth,
+            dtype=self.dtype,
             name="encoder",
         )(x, mask_ratio, deterministic)
         features = features[::-1]
@@ -247,6 +257,7 @@ class FullyConvolutionalMAE(nn.Module):
             strides=[2] * (len(self.dims) - 1) + [self.stem_kernel_size[-1]],
             conv_blocks=self.decoder_conv_blocks,
             use_grn=True,
+            dtype=self.dtype,
             name="decoder",
         )(features, deterministic)
         if self.head_conv:
@@ -256,6 +267,7 @@ class FullyConvolutionalMAE(nn.Module):
                 out_stack_depth=self.in_stack_depth,
                 expansion_ratio=self.head_conv_expansion_ratio,
                 pool=self.head_conv_pool,
+                dtype=self.dtype,
                 name="head",
             )(feat)
         else:
@@ -266,7 +278,7 @@ class FullyConvolutionalMAE(nn.Module):
                 xy_scaling=self.stem_kernel_size[-1],
                 pool=True,
                 name="head",
-            )(feat)
+            )(feat.astype(jnp.float32))
         if self.pretraining:
             return out, mask
         return out

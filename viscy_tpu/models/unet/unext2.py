@@ -37,6 +37,7 @@ class UNeXt2(nn.Module):
     head_pool: bool = False
     head_expansion_ratio: int = 4
     drop_path_rate: float = 0.0
+    dtype: object = None
 
     @property
     def num_blocks(self) -> int:
@@ -62,7 +63,12 @@ class UNeXt2(nn.Module):
         use_grn = "v2" in self.backbone
 
         x = UNeXt2Stem(
-            self.in_channels, dims[0], self.stem_kernel_size, self.in_stack_depth, name="stem"
+            self.in_channels,
+            dims[0],
+            self.stem_kernel_size,
+            self.in_stack_depth,
+            dtype=self.dtype,
+            name="stem",
         )(x)
         features = MultiscaleEncoder(
             depths=depths,
@@ -70,6 +76,7 @@ class UNeXt2(nn.Module):
             use_grn=use_grn,
             ls_init_value=None if use_grn else 1e-6,
             drop_path_rate=self.drop_path_rate,
+            dtype=self.dtype,
             name="encoder",
         )(x, deterministic)
         features = features[::-1]
@@ -84,6 +91,7 @@ class UNeXt2(nn.Module):
             strides=strides,
             conv_blocks=self.decoder_conv_blocks,
             use_grn=True,
+            dtype=self.dtype,
             name="decoder",
         )(features, deterministic)
         return PixelToVoxelHead(
@@ -92,5 +100,6 @@ class UNeXt2(nn.Module):
             out_stack_depth=out_stack_depth,
             expansion_ratio=self.head_expansion_ratio,
             pool=self.head_pool,
+            dtype=self.dtype,
             name="head",
         )(feat)
