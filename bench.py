@@ -49,7 +49,8 @@ def main() -> None:
     mesh = make_mesh()
     module = graft._flagship(tiny=False)
 
-    batch_per_chip = 4
+    import os
+    batch_per_chip = int(os.environ.get("BENCH_BATCH", "4"))
     b = batch_per_chip * n_dev
     rng = np.random.default_rng(0)
     batch = {
@@ -84,16 +85,19 @@ def main() -> None:
     device_batch = shard_batch(batch, mesh)
     key = jax.random.PRNGKey(1)
 
-    # warmup + compile
+    # warmup + compile; fetch the loss VALUE to the host — on remote-execution
+    # backends block_until_ready can return before the work completes, so a
+    # data dependency to the host is the only reliable fence
     state, loss = step(state, device_batch, key)
-    jax.block_until_ready(loss)
+    float(jax.device_get(loss))
 
     n_steps = 10
     t0 = time.perf_counter()
     for i in range(n_steps):
         state, loss = step(state, device_batch, jax.random.fold_in(key, i))
-    jax.block_until_ready(loss)
+    final_loss = float(jax.device_get(loss))
     dt = time.perf_counter() - t0
+    assert np.isfinite(final_loss)
 
     patches_per_sec_per_chip = b * n_steps / dt / n_dev
     print(

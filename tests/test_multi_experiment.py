@@ -1,0 +1,135 @@
+"""Multi-experiment DynaCLR data path: cell index -> datamodule -> batches."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from viscy_tpu.apps.dynaclr.data import (
+    MultiExperimentDataModule,
+    MultiExperimentIndex,
+    sample_tau,
+)
+from viscy_tpu.data.cell_index import (
+    build_timelapse_cell_index,
+    read_cell_index,
+    validate_cell_index,
+    write_cell_index,
+)
+from viscy_tpu.zarr_io import build_hcs_plate, open_ome_zarr
+from viscy_tpu.zarr_io.synthetic import inject_uniform_norm_meta
+
+
+@pytest.fixture(scope="module")
+def cell_index_setup(tmp_path_factory):
+    root = tmp_path_factory.mktemp("multi_exp")
+    plate_path = build_hcs_plate(
+        root / "exp1.zarr",
+        ["Phase", "GFP"],
+        zyx_shape=(5, 128, 128),
+        rows=("A",),
+        cols=("1",),
+        fovs=("0", "1"),
+        num_timepoints=4,
+        seed=0,
+    )
+    inject_uniform_norm_meta(plate_path, ["Phase", "GFP"])
+    rng = np.random.default_rng(0)
+    plate = open_ome_zarr(plate_path)
+    for name, _ in plate.positions():
+        rows = []
+        for tid in range(4):
+            y, x = rng.integers(50, 78, 2)
+            for t in range(4):
+                rows.append(
+                    dict(track_id=tid, t=t, y=int(y), x=int(x), id=tid * 10 + t,
+                         parent_track_id=-1, parent_id=-1)
+                )
+        pd.DataFrame(rows).to_csv(plate_path / name / "tracks.csv", index=False)
+    df = build_timelapse_cell_index(
+        experiment="exp1",
+        store_path=plate_path,
+        tracks_path=plate_path,
+        channel_names=["Phase", "GFP"],
+        perturbation="mock",
+        interval_minutes=30,
+    )
+    parquet = root / "cell_index.parquet"
+    write_cell_index(df, parquet)
+    return parquet
+
+
+def test_sample_tau_distribution():
+    rng = np.random.default_rng(0)
+    draws = [sample_tau(1, 5, rng, decay_rate=3.0) for _ in range(2000)]
+    counts = np.bincount(draws, minlength=6)[1:]
+    assert counts[0] > counts[-1]  # biased toward tau_min
+    assert sample_tau(2, 2, rng) == 2
+
+
+def test_cell_index_roundtrip(cell_index_setup):
+    df = read_cell_index(cell_index_setup)
+    assert validate_cell_index(df) == []
+    # per-channel rows, lineage + hpi fields
+    assert set(df["channel_name"]) == {"Phase", "GFP"}
+    assert (df["hours_post_perturbation"] == df["t"] * 0.5).all()
+    assert df["lineage_id"].notna().all()
+
+
+def test_multi_experiment_index(cell_index_setup):
+    df = read_cell_index(cell_index_setup)
+    index = MultiExperimentIndex(df, yx_patch_size=(64, 64), tau_min=1, tau_max=2)
+    # anchors require a future timepoint within [1, 2]
+    assert (index.valid_anchors.groupby("global_track_id")["t"].max() <= 3).all()
+    assert len(index.valid_anchors) > 0
+    groups = index.experiment_groups()
+    assert "exp1" in groups
+
+
+def test_multi_experiment_datamodule(cell_index_setup):
+    dm = MultiExperimentDataModule(
+        cell_index_path=str(cell_index_setup),
+        channel_names=["Phase", "GFP"],
+        z_window_size=5,
+        yx_patch_size=(64, 64),
+        batch_size=4,
+        tau_min=1,
+        tau_max=2,
+        batch_group_by="experiment",
+        stratify_by=None,
+    )
+    dm.setup("fit")
+    loader = dm.train_dataloader()
+    batch = next(iter(loader))
+    assert batch["anchor"].shape == (4, 2, 5, 64, 64)
+    assert batch["positive"].shape == (4, 2, 5, 64, 64)
+    assert len(batch["anchor_meta"]) == 4
+    # device transform normalizes + crops (no augs configured)
+    import jax
+
+    from viscy_tpu.transforms import NormalizeSampled
+
+    dm.normalizations = [NormalizeSampled(keys=["Phase", "GFP"], level="fov_statistics")]
+    from viscy_tpu.transforms.base import Compose
+
+    dm._aug_compose = Compose(dm.normalizations)
+    out = dm.device_transform(
+        {k: v for k, v in batch.items() if not isinstance(v, list)},
+        jax.random.PRNGKey(0),
+        "train",
+    )
+    assert out["anchor"].shape == (4, 2, 5, 64, 64)
+    assert abs(float(out["anchor"].mean())) < 0.5  # roughly centered
+
+
+def test_multi_experiment_predict(cell_index_setup):
+    dm = MultiExperimentDataModule(
+        cell_index_path=str(cell_index_setup),
+        channel_names=["Phase"],
+        z_window_size=5,
+        yx_patch_size=(64, 64),
+        batch_size=8,
+    )
+    dm.setup("predict")
+    batch = next(iter(dm.predict_dataloader()))
+    assert "index" in batch
+    assert batch["anchor"].shape[1:] == (1, 5, 64, 64)
