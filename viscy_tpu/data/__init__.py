@@ -12,6 +12,11 @@ from viscy_tpu.data.combined import (
 )
 from viscy_tpu.data.distributed import ShardedDistributedSampler
 from viscy_tpu.data.sampler import FlexibleBatchSampler
+from viscy_tpu.data.gpu_aug import CachedOmeZarrDataModule, DeviceTransformDataModule
+from viscy_tpu.data.channel_dropout import ChannelDropout
+from viscy_tpu.data.cell_classification import ClassificationDataModule, ClassificationDataset
+from viscy_tpu.data.segmentation import SegmentationDataModule, SegmentationDataset
+from viscy_tpu.data.mmap_cache import MmappedDataModule
 
 __all__ = [
     "ChannelMap",
@@ -28,4 +33,12 @@ __all__ = [
     "BatchedConcatDataModule",
     "ShardedDistributedSampler",
     "FlexibleBatchSampler",
+    "CachedOmeZarrDataModule",
+    "DeviceTransformDataModule",
+    "ChannelDropout",
+    "ClassificationDataModule",
+    "ClassificationDataset",
+    "SegmentationDataModule",
+    "SegmentationDataset",
+    "MmappedDataModule",
 ]
