@@ -1,0 +1,144 @@
+"""Tests: cached/mmap datamodules, samplers, channel dropout, loaders."""
+
+import jax
+import numpy as np
+import pandas as pd
+import pytest
+
+from viscy_tpu.data import (
+    CachedOmeZarrDataModule,
+    ChannelDropout,
+    FlexibleBatchSampler,
+    MmappedDataModule,
+    ShardedDistributedSampler,
+)
+from viscy_tpu.data.loader import DataLoader
+from viscy_tpu.transforms import NormalizeSampled
+
+
+def test_sharded_distributed_sampler_disjoint():
+    s0 = ShardedDistributedSampler(100, num_replicas=4, rank=0, seed=1)
+    s1 = ShardedDistributedSampler(100, num_replicas=4, rank=1, seed=1)
+    i0, i1 = list(s0), list(s1)
+    assert len(i0) == len(i1) == 25
+    assert set(i0).isdisjoint(set(i1))
+    # epoch changes the permutation
+    s0.set_epoch(1)
+    assert list(s0) != i0
+
+
+def test_flexible_batch_sampler_grouping():
+    df = pd.DataFrame(
+        {
+            "experiment": ["a"] * 60 + ["b"] * 40,
+            "perturbation": (["x", "y"] * 50),
+        }
+    )
+    sampler = FlexibleBatchSampler(
+        df, batch_size=8, batch_group_by="experiment", stratify_by="perturbation", seed=0
+    )
+    batches = list(sampler)
+    assert all(len(b) == 8 for b in batches)
+    for b in batches:
+        exps = df.loc[b, "experiment"].unique()
+        assert len(exps) == 1  # one group per batch
+        perts = df.loc[b, "perturbation"].value_counts()
+        assert perts.min() >= 3  # roughly balanced
+
+
+def test_flexible_batch_sampler_leaky():
+    df = pd.DataFrame({"experiment": ["a"] * 50 + ["b"] * 50})
+    sampler = FlexibleBatchSampler(
+        df, batch_size=10, batch_group_by="experiment", leaky=0.2, stratify_by=None, seed=0
+    )
+    mixed = 0
+    for b in sampler:
+        if df.loc[b, "experiment"].nunique() > 1:
+            mixed += 1
+    assert mixed > 0
+
+
+def test_channel_dropout():
+    x = jax.numpy.ones((4, 3, 2, 8, 8))
+    cd = ChannelDropout(keys="anchor", dropout_prob=0.9)
+    out = cd({"anchor": x}, jax.random.PRNGKey(0))
+    per_channel = np.asarray(out["anchor"]).reshape(4, 3, -1).sum(axis=2)
+    # at least one channel survives per sample
+    assert (per_channel.sum(axis=1) > 0).all()
+    # with prob 0.9, some channels dropped
+    assert (per_channel == 0).any()
+
+
+def test_cached_ome_zarr_datamodule(preprocessed_hcs_dataset):
+    dm = CachedOmeZarrDataModule(
+        data_path=preprocessed_hcs_dataset,
+        channels=["Phase"],
+        batch_size=2,
+        num_workers=0,
+        train_cpu_transforms=[NormalizeSampled(keys=["Phase"], level="dataset_statistics")],
+        include_fov_names=["A/1/0", "A/1/1"],
+    )
+    dm.setup("fit")
+    batch = next(iter(dm.train_dataloader()))
+    assert batch["source"].shape == (2, 1, 12, 64, 64)
+    # second epoch hits the cache
+    batch2 = next(iter(dm.train_dataloader()))
+    assert batch2["source"].shape == (2, 1, 12, 64, 64)
+
+
+def test_mmap_datamodule(preprocessed_hcs_dataset, tmp_path):
+    dm = MmappedDataModule(
+        data_path=preprocessed_hcs_dataset,
+        source_channel="Phase",
+        target_channel=["GFP"],
+        z_window_size=5,
+        batch_size=2,
+        num_workers=0,
+        split_ratio=0.5,
+        include_fov_names=["A/1/0", "A/1/1"],
+        scratch_dir=tmp_path,
+        normalizations=[
+            NormalizeSampled(keys=["Phase", "GFP"], level="dataset_statistics")
+        ],
+    )
+    dm.prepare_data()
+    dm.setup("fit")
+    batch = next(iter(dm.train_dataloader()))
+    assert batch["source"].shape[1:] == (1, 5, 64, 64)
+    # cache marker exists and second staging reuses it
+    assert (dm._cache_dir / ".done").exists()
+    dm2 = MmappedDataModule(
+        data_path=preprocessed_hcs_dataset,
+        source_channel="Phase",
+        target_channel=["GFP"],
+        z_window_size=5,
+        batch_size=2,
+        num_workers=0,
+        include_fov_names=["A/1/0", "A/1/1"],
+        scratch_dir=tmp_path,
+    )
+    dm2.prepare_data()
+    assert dm2._cache_dir == dm._cache_dir
+
+
+def test_loader_multithread_order_and_exceptions():
+    class DS:
+        def __len__(self):
+            return 10
+
+        def __getitem__(self, i):
+            return {"x": np.full((2, 2), i, np.float32)}
+
+    loader = DataLoader(DS(), batch_size=2, num_workers=3, shuffle=False)
+    batches = list(loader)
+    assert len(batches) == 5
+    np.testing.assert_array_equal(batches[0]["x"][:, 0, 0], [0, 1])
+
+    class BadDS(DS):
+        def __getitem__(self, i):
+            if i == 5:
+                raise RuntimeError("boom")
+            return super().__getitem__(i)
+
+    with pytest.raises(RuntimeError, match="boom"):
+        list(DataLoader(BadDS(), batch_size=2, num_workers=3))
