@@ -1,0 +1,13 @@
+"""Experiment-metadata curation (reference ``applications/airtable``).
+
+A local, file-backed experiment registry with the same query surface as
+the reference's Airtable client, an optional REST client for actual
+Airtable bases (gated — this build environment has no egress), and the
+``prepare`` pipeline that drives concatenate -> QC -> preprocess stages
+into a training ``collection.yml``.
+"""
+
+from viscy_tpu.apps.airtable_utils.database import AirtableClient, ExperimentRegistry
+from viscy_tpu.apps.airtable_utils.prepare import PrepareConfig, run_prepare
+
+__all__ = ["ExperimentRegistry", "AirtableClient", "PrepareConfig", "run_prepare"]
