@@ -112,6 +112,21 @@ def run_subcommand(subcommand: str, config_path: str, ckpt_path: str | None = No
         from viscy_tpu.training.export import export_model
 
         export_model(model, cfg.get("export", {}))
+    elif subcommand == "precompute":
+        from viscy_tpu.preprocess.precompute import precompute_normalized
+
+        pc = cfg.get("precompute", cfg)
+        precompute_normalized(
+            pc["data_path"],
+            pc["output_path"],
+            pc["channel_names"],
+            level=pc.get("level", "fov_statistics"),
+        )
+    elif subcommand == "convert_to_anndata":
+        from viscy_tpu.preprocess.precompute import convert_to_anndata
+
+        cc = cfg.get("convert", cfg)
+        convert_to_anndata(cc["embeddings_path"], cc["output_path"])
     else:
         raise click.UsageError(f"Unknown subcommand {subcommand}")
 
@@ -138,6 +153,8 @@ test = _register("test", "Run the test stage.")
 predict = _register("predict", "Run inference and write outputs.")
 preprocess = _register("preprocess", "Compute normalization statistics.")
 export = _register("export", "Export a trained model.")
+precompute = _register("precompute", "Write normalized arrays to a new store.")
+convert_to_anndata = _register("convert_to_anndata", "Convert embeddings to AnnData.")
 
 
 if __name__ == "__main__":
