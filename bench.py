@@ -87,8 +87,11 @@ def main() -> None:
 
     # warmup + compile; fetch the loss VALUE to the host — on remote-execution
     # backends block_until_ready can return before the work completes, so a
-    # data dependency to the host is the only reliable fence
-    state, loss = step(state, device_batch, key)
+    # data dependency to the host is the only reliable fence. Two warmup
+    # steps: the first output's sharding layouts differ from the fresh
+    # inputs', so the second call compiles the steady-state executable.
+    for w in range(2):
+        state, loss = step(state, device_batch, jax.random.fold_in(key, 1000 + w))
     float(jax.device_get(loss))
 
     n_steps = 10
