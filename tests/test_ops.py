@@ -89,3 +89,39 @@ def test_ms_ssim_bf16_stable():
     y = jnp.asarray(rng.random((1, 1, 3, 176, 176)), dtype=jnp.bfloat16)
     v = float(ms_ssim_25d(x, y, clamp=True))
     assert np.isfinite(v)
+
+
+def test_ssim_matches_numpy_reference():
+    """Cross-check ssim_25d against an independent numpy implementation."""
+    rng = np.random.default_rng(3)
+    p = rng.random((1, 1, 3, 24, 24)).astype(np.float32)
+    t = rng.random((1, 1, 3, 24, 24)).astype(np.float32)
+
+    def np_uniform(x, k):
+        # brute-force valid-mode mean filter
+        kd, kh, kw = k
+        d, h, w = x.shape
+        out = np.zeros((d - kd + 1, h - kh + 1, w - kw + 1))
+        for i in range(out.shape[0]):
+            for j in range(out.shape[1]):
+                for l in range(out.shape[2]):
+                    out[i, j, l] = x[i : i + kd, j : j + kh, l : l + kw].mean()
+        return out
+
+    k = (3, 7, 7)
+    data_range = t.max()
+    c1 = (0.01 * data_range) ** 2
+    c2 = (0.03 * data_range) ** 2
+    mx = np_uniform(p[0, 0], k)
+    my = np_uniform(t[0, 0], k)
+    mxx = np_uniform(p[0, 0] ** 2, k)
+    myy = np_uniform(t[0, 0] ** 2, k)
+    mxy = np_uniform((p * t)[0, 0], k)
+    sx = mxx - mx * mx
+    sy = myy - my * my
+    sxy = mxy - mx * my
+    cs = (2 * sxy + c2) / (sx + sy + c2)
+    expected = (((2 * mx * my + c1) / (mx**2 + my**2 + c1)) * cs).mean()
+
+    got = float(ssim_25d(jnp.asarray(p), jnp.asarray(t), in_plane_window_size=(7, 7))[0])
+    assert got == pytest.approx(float(expected), rel=1e-4)
