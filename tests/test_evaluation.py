@@ -101,3 +101,42 @@ def test_smoothness():
     res = compute_embeddings_smoothness(np.asarray(feats), pd.DataFrame(rows))
     assert res["n_steps"] == n_tracks * (T - 1)
     assert res["dynamic_range"] > 0
+
+
+def test_embedding_map():
+    from viscy_tpu.evaluation.embedding_map import mean_average_precision
+
+    a, b = _two_blobs(n=50)
+    X = np.concatenate([a, b])
+    y = np.array([0] * 50 + [1] * 50)
+    res = mean_average_precision(X, y, metric="euclidean")
+    assert res["map"] > 0.95
+    shuffled = np.random.default_rng(0).permutation(y)
+    assert mean_average_precision(X, shuffled, metric="euclidean")["map"] < res["map"]
+
+
+def test_pseudotime_dtw():
+    from viscy_tpu.apps.dynaclr.pseudotime import compute_pseudotime, dtw_align
+
+    rng = np.random.default_rng(0)
+    # two tracks tracing the same path at different speeds
+    base = np.cumsum(rng.normal(0, 1, (20, 4)), axis=0)
+    slow = np.repeat(base, 2, axis=0)[:30]
+    path, cost = dtw_align(slow, base, metric="euclidean")
+    assert path[0][0] == 0 and path[0][1] == 0
+    assert path[-1][0] == len(slow) - 1
+
+    feats, rows = [], []
+    for tid, traj in ((0, base), (1, slow)):
+        for t, f in enumerate(traj):
+            feats.append(f)
+            rows.append({"fov_name": "A/1/0", "track_id": tid, "t": t})
+    out = compute_pseudotime(
+        np.asarray(feats), pd.DataFrame(rows), reference_track=("A/1/0", 0),
+        metric="euclidean",
+    )
+    assert out["pseudotime"].notna().all()
+    # pseudotime increases along each track
+    for _, grp in out.groupby("track_id"):
+        pt = grp.sort_values("t")["pseudotime"].to_numpy()
+        assert pt[-1] > pt[0]
