@@ -50,7 +50,7 @@ def main() -> None:
     module = graft._flagship(tiny=False)
 
     import os
-    batch_per_chip = int(os.environ.get("BENCH_BATCH", "4"))
+    batch_per_chip = int(os.environ.get("BENCH_BATCH", "16"))
     b = batch_per_chip * n_dev
     rng = np.random.default_rng(0)
     batch = {
