@@ -127,3 +127,62 @@ def test_blend_in_feathering():
     # no blending at z=0
     out0 = blend_in(old, new, slice(0, 4))
     np.testing.assert_array_equal(out0, new)
+
+
+def test_fit_with_fg_mask_spotlight(tmp_path):
+    """Preprocess with Otsu -> fg masks -> SpotlightLoss training E2E."""
+    from viscy_tpu.preprocess.stats import (
+        generate_fg_masks,
+        generate_normalization_metadata,
+    )
+    from viscy_tpu.training.losses.spotlight import SpotlightLoss
+    from viscy_tpu.zarr_io import build_hcs_plate
+
+    plate = build_hcs_plate(
+        tmp_path / "fg.zarr",
+        ["Phase", "GFP"],
+        zyx_shape=(5, 32, 32),
+        rows=("A",),
+        cols=("1",),
+        fovs=("0", "1"),
+        seed=0,
+    )
+    generate_normalization_metadata(plate, grid_spacing=2, compute_otsu=True)
+    generate_fg_masks(plate, ["GFP"])
+    dm = HCSDataModule(
+        data_path=plate,
+        source_channel="Phase",
+        target_channel=["GFP"],
+        z_window_size=5,
+        batch_size=2,
+        num_workers=0,
+        yx_patch_size=(32, 32),
+        split_ratio=0.5,
+        fg_mask_key="fg_mask",
+        normalizations=[
+            NormalizeSampled(keys=["Phase", "GFP"], level="fov_statistics")
+        ],
+        augmentations=[
+            HostRandWeightedCropd(
+                keys=["Phase", "GFP", "weight", "fg_mask_GFP"],
+                w_key="weight",
+                spatial_size=(5, 24, 24),
+                num_samples=1,
+            )
+        ],
+    )
+    dm.setup("fit")
+    batch = next(iter(dm.train_dataloader()))
+    assert "fg_mask" in batch
+    assert batch["fg_mask"].shape == batch["target"].shape
+    module = VSUNet(
+        architecture="2.5D",
+        model_config=dict(
+            in_channels=1, out_channels=1, in_stack_depth=5, out_stack_depth=5,
+            num_blocks=2, num_filters=(4, 8, 16),
+        ),
+        loss_function=SpotlightLoss(lambda_mse=0.5, fg_threshold=None),
+    )
+    trainer = Trainer(fast_dev_run=True, default_root_dir=tmp_path / "logs")
+    trainer.fit(module, dm)
+    assert np.isfinite(trainer.logged_metrics["loss/train"])

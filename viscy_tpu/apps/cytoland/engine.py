@@ -152,11 +152,22 @@ class VSUNet(TrainModule):
 
     # -- steps ------------------------------------------------------------------
     def training_loss(self, variables, batch, rng):
-        pred = self.forward(
-            variables, batch["source"], deterministic=False, rngs={"dropout": rng}
-        )
+        if "batch_stats" in variables:
+            pred, updates = self.model.apply(
+                variables,
+                batch["source"],
+                deterministic=False,
+                rngs={"dropout": rng},
+                mutable=["batch_stats"],
+            )
+            updates = dict(updates)
+        else:
+            pred = self.forward(
+                variables, batch["source"], deterministic=False, rngs={"dropout": rng}
+            )
+            updates = {}
         loss = self._compute_loss(pred, batch["target"], batch)
-        return loss, ({}, {})
+        return loss, ({}, updates)
 
     def validation_loss(self, variables, batch, rng):
         pred = self.forward(variables, batch["source"])

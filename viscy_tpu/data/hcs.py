@@ -226,6 +226,7 @@ class HCSDataModule(DataModule):
 
         train_transform, val_transform = self._fit_transforms()
         settings = self._dataset_settings()
+        settings["fg_mask_key"] = self.fg_mask_key
         train_settings = dict(settings)
         # expanded-Z sampling for scale augmentation
         z_lo, z_hi = self.train_z_scale_range

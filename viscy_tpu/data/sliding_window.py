@@ -39,6 +39,7 @@ class SlidingWindowDataset:
         nonzero_channel: str | None = None,
         max_nonzero_retries: int = 100,
         preloaded_fovs: list[np.ndarray] | None = None,
+        fg_mask_key: str | None = None,
         seed: int = 42,
     ) -> None:
         if not 0.0 <= min_nonzero_fraction <= 1.0:
@@ -61,6 +62,7 @@ class SlidingWindowDataset:
         self.nonzero_threshold = nonzero_threshold
         self.nonzero_channel = nonzero_channel
         self.max_nonzero_retries = max_nonzero_retries
+        self.fg_mask_key = fg_mask_key
         self.seed = seed
         self._all_ch_names = list(self.channels["source"])
         self._all_ch_idx = list(self.source_ch_idx)
@@ -165,6 +167,26 @@ class SlidingWindowDataset:
                         f"(index {index}). Returning last sample."
                     )
             break
+        mask_keys = []
+        if self.fg_mask_key is not None and self.target_ch_idx is not None:
+            # load foreground masks for target channels; injected as
+            # per-channel keys so spatial host transforms co-align them
+            # (reference ForegroundMaskSupport, foreground_masks.py:30)
+            img_pos, tz2, _, _ = self._find_window(idx)
+            fov = self.positions[self.window_arrays.index(img_pos)]
+            mask_arr = fov[self.fg_mask_key]
+            zs2 = mask_arr.shape[-3] - self.z_window_size + 1
+            t2 = (tz2 + zs2) // zs2 - 1
+            z2 = tz2 - t2 * zs2
+            masks = mask_arr.oindex[
+                slice(t2, t2 + 1),
+                [int(i) for i in self.target_ch_idx],
+                slice(z2, z2 + self.z_window_size),
+            ].astype(np.float32)[0]
+            for i, ch in enumerate(self.channels["target"]):
+                key = f"fg_mask_{ch}"
+                sample_images[key] = masks[i : i + 1]
+                mask_keys.append(key)
         if self.target_ch_idx is not None:
             # first target channel is the weight map for spatial co-alignment
             sample_images["weight"] = sample_images[self.channels["target"][0]]
@@ -184,6 +206,8 @@ class SlidingWindowDataset:
             }
             if self.target_ch_idx is not None:
                 sample["target"] = self._stack_channels(p, "target")
+            if mask_keys:
+                sample["fg_mask"] = np.concatenate([p[k] for k in mask_keys], axis=0)
             if self.load_normalization_metadata and norm_meta is not None:
                 sample["norm_meta"] = norm_meta
             out.append(sample)

@@ -275,13 +275,17 @@ class UNeXt2Decoder(nn.Module):
     conv_blocks: int = 2
     use_grn: bool = True
     dtype: object = None
+    remat: bool = False
 
     @nn.compact
     def __call__(self, features: Sequence[Array], deterministic: bool = True) -> Array:
         feat = features[0]
         skips = list(features[1:]) + [None]
+        stage_cls = (
+            nn.remat(UNeXt2UpStage, static_argnums=(3,)) if self.remat else UNeXt2UpStage
+        )
         for i in range(len(self.num_channels) - 1):
-            feat = UNeXt2UpStage(
+            feat = stage_cls(
                 in_channels=self.num_channels[i],
                 out_channels=self.num_channels[i + 1],
                 scale_factor=self.strides[i],

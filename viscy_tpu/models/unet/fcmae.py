@@ -155,6 +155,7 @@ class MaskedMultiscaleEncoder(nn.Module):
     stem_kernel_size: Sequence[int] = (5, 4, 4)
     in_stack_depth: int = 5
     dtype: object = None
+    remat: bool = False
 
     @property
     def total_stride(self) -> int:
@@ -182,8 +183,13 @@ class MaskedMultiscaleEncoder(nn.Module):
         )(x, unmasked)
         chs = [self.dims[0], *self.dims]
         features = []
+        stage_cls = (
+            nn.remat(MaskedConvNeXtV2Stage, static_argnums=(3,))
+            if self.remat
+            else MaskedConvNeXtV2Stage
+        )
         for i, num_blocks in enumerate(self.stage_blocks):
-            y = MaskedConvNeXtV2Stage(
+            y = stage_cls(
                 chs[i],
                 chs[i + 1],
                 kernel_size=7,
@@ -216,6 +222,7 @@ class FullyConvolutionalMAE(nn.Module):
     head_conv_expansion_ratio: int = 4
     head_conv_pool: bool = True
     dtype: object = None
+    remat: bool = False
 
     @property
     def num_blocks(self) -> int:
@@ -237,6 +244,7 @@ class FullyConvolutionalMAE(nn.Module):
             stem_kernel_size=self.stem_kernel_size,
             in_stack_depth=self.in_stack_depth,
             dtype=self.dtype,
+            remat=self.remat,
             name="encoder",
         )(x, mask_ratio, deterministic)
         features = features[::-1]
@@ -258,6 +266,7 @@ class FullyConvolutionalMAE(nn.Module):
             conv_blocks=self.decoder_conv_blocks,
             use_grn=True,
             dtype=self.dtype,
+            remat=self.remat,
             name="decoder",
         )(features, deterministic)
         if self.head_conv:
