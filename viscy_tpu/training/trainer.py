@@ -89,6 +89,8 @@ class Trainer:
         mesh=None,
         use_tensorboard: bool = True,
         precision: str = "bf16-mixed",
+        profile_dir: str | None = None,
+        profile_steps: tuple[int, int] = (10, 15),
     ) -> None:
         self.max_epochs = max_epochs
         self.max_steps = max_steps
@@ -104,6 +106,8 @@ class Trainer:
         self.seed = seed
         self.mesh = mesh or get_mesh()
         self.precision = precision
+        self.profile_dir = profile_dir
+        self.profile_steps = profile_steps
         self.logger = CSVLogger(self.default_root_dir, use_tensorboard)
         self.state: TrainState | None = None
         self.current_epoch = 0
@@ -220,14 +224,26 @@ class Trainer:
 
             t0 = time.time()
             n_seen = 0
+            step_t0 = time.time()
             for i, batch in self._iter_loader(datamodule.train_dataloader(), self.limit_train_batches):
+                # first-class profiler hook (SURVEY §5): trace a step window
+                if self.profile_dir and self.global_step == self.profile_steps[0]:
+                    jax.profiler.start_trace(self.profile_dir)
                 rng, step_rng = jax.random.split(rng)
                 self.state, metrics = train_step(self.state, batch, step_rng)
+                if self.profile_dir and self.global_step == self.profile_steps[1]:
+                    jax.block_until_ready(metrics)
+                    jax.profiler.stop_trace()
                 self.global_step += 1
                 n_seen += 1
                 if self.global_step % self.log_every_n_steps == 0 or self.fast_dev_run:
                     host = {k: float(v) for k, v in jax.device_get(metrics).items()}
                     host["lr"] = float(self._schedule(self.global_step))
+                    now = time.time()
+                    host["step_time_ms"] = (now - step_t0) / max(
+                        self.log_every_n_steps, 1
+                    ) * 1000
+                    step_t0 = now
                     self.logged_metrics.update(host)
                     self.logger.log_metrics(host, self.global_step)
                 for cb in self.callbacks:
