@@ -84,6 +84,7 @@ class HCSDataModule(DataModule):
         val_gpu_augmentations: list | None = None,
         include_fov_names: Iterable[str] | None = None,
         exclude_fov_names: Iterable[str] | None = None,
+        normalize_on_device: bool = True,
         seed: int = 42,
         prefetch_factor: int = 2,
         # accepted for reference config compatibility (no-ops here):
@@ -117,6 +118,7 @@ class HCSDataModule(DataModule):
         self.max_nonzero_retries = max_nonzero_retries
         self.include_fov_names = include_fov_names
         self.exclude_fov_names = exclude_fov_names
+        self.normalize_on_device = normalize_on_device
         self.seed = seed
         self.prefetch_factor = prefetch_factor
         self.fg_mask_key = fg_mask_key
@@ -187,7 +189,10 @@ class HCSDataModule(DataModule):
         )
 
     def _fit_transforms(self):
-        norm = list(self.normalizations)
+        # device-side normalization moves the (x - mean) / std math off the
+        # host and onto cropped device batches (norm_meta stats travel with
+        # the batch as (B,) vectors); host transforms are then crop-only
+        norm = [] if self.normalize_on_device else list(self.normalizations)
         train = _HostCompose(norm + self._host_augmentations)
         val = _HostCompose(
             norm
@@ -198,6 +203,43 @@ class HCSDataModule(DataModule):
             ]
         )
         return train, val
+
+    def _apply_device_normalizations(self, batch: dict) -> dict:
+        """Apply NormalizeSampled/MinMaxSampled to stacked source/target
+        tensors using collated per-sample norm_meta stats."""
+        import jax.numpy as jnp
+
+        from viscy_tpu.transforms.normalize import MinMaxSampled, NormalizeSampled
+
+        norm_meta = batch.get("norm_meta")
+        if norm_meta is None or not self.normalizations:
+            return batch
+        batch = dict(batch)
+        groups = {"source": self.source_channel, "target": self.target_channel}
+        for t in self.normalizations:
+            if not isinstance(t, (NormalizeSampled, MinMaxSampled)):
+                continue
+            for tensor_key, channels in groups.items():
+                if tensor_key not in batch:
+                    continue
+                x = batch[tensor_key]
+                cols = []
+                for ci, ch in enumerate(channels):
+                    col = x[:, ci : ci + 1]
+                    if ch in t.keys:
+                        level = norm_meta[ch][t.level]
+                        if isinstance(t, NormalizeSampled):
+                            sub = jnp.asarray(level[t.subtrahend]).reshape(-1, 1, 1, 1, 1)
+                            div = jnp.asarray(level[t.divisor]).reshape(-1, 1, 1, 1, 1)
+                            col = (col - sub) / (div + 1e-8)
+                        else:
+                            lo = jnp.asarray(level[t._low_key]).reshape(-1, 1, 1, 1, 1)
+                            hi = jnp.asarray(level[t._high_key]).reshape(-1, 1, 1, 1, 1)
+                            col = jnp.clip(col, lo, hi)
+                            col = 2.0 * (col - lo) / (hi - lo + 1e-8) - 1.0
+                    cols.append(col)
+                batch[tensor_key] = jnp.concatenate(cols, axis=1)
+        return batch
 
     def setup(self, stage: str) -> None:
         if stage in ("fit", "validate"):
@@ -241,14 +283,24 @@ class HCSDataModule(DataModule):
             max_nonzero_retries=self.max_nonzero_retries,
         )
         train_preload = val_preload = None
+        pushdown = None
         if self.caching:
             all_data = self._preload_positions(positions)
             train_preload = all_data[:num_train]
             val_preload = all_data[num_train:]
+            # crop pushdown: legal when normalization is on-device and the
+            # only host augmentation is the weighted crop
+            if (
+                self.normalize_on_device
+                and len(self._host_augmentations) == 1
+                and isinstance(self._host_augmentations[0], HostRandWeightedCropd)
+            ):
+                pushdown = self._host_augmentations[0]
         self.train_dataset = SlidingWindowDataset(
             positions[:num_train],
             transform=train_transform,
             preloaded_fovs=train_preload,
+            pushdown_crop=pushdown,
             **train_settings,
         )
         self.val_dataset = SlidingWindowDataset(
@@ -329,6 +381,8 @@ class HCSDataModule(DataModule):
 
     # -- device-side (jitted) batch transform -----------------------------------------
     def device_transform(self, batch: dict, key, stage: str = "train") -> dict:
+        if self.normalize_on_device and stage in ("train", "val"):
+            batch = self._apply_device_normalizations(batch)
         if stage == "train" and self._device_compose is not None:
             batch = self._device_compose(batch, key)
         elif stage == "val" and self._val_device_compose is not None:

@@ -40,6 +40,7 @@ class SlidingWindowDataset:
         max_nonzero_retries: int = 100,
         preloaded_fovs: list[np.ndarray] | None = None,
         fg_mask_key: str | None = None,
+        pushdown_crop=None,
         seed: int = 42,
     ) -> None:
         if not 0.0 <= min_nonzero_fraction <= 1.0:
@@ -63,6 +64,7 @@ class SlidingWindowDataset:
         self.nonzero_channel = nonzero_channel
         self.max_nonzero_retries = max_nonzero_retries
         self.fg_mask_key = fg_mask_key
+        self.pushdown_crop = pushdown_crop
         self.seed = seed
         self._all_ch_names = list(self.channels["source"])
         self._all_ch_idx = list(self.source_ch_idx)
@@ -142,6 +144,8 @@ class SlidingWindowDataset:
     def get_item_with_epoch(self, index: int, epoch: int):
         """Deterministic per-(seed, epoch, index) random stream."""
         rng = np.random.default_rng((self.seed, epoch, index))
+        if self.pushdown_crop is not None and self._preloaded is not None:
+            return self._get_item_pushdown(index, rng)
         check_key = (
             (self.nonzero_channel or self.channels.get("target", [None])[0])
             if self.min_nonzero_fraction > 0
@@ -217,6 +221,68 @@ class SlidingWindowDataset:
         return np.concatenate(
             [sample_images[ch] for ch in self.channels[key]], axis=0
         )
+
+
+    def _get_item_pushdown(self, index: int, rng: np.random.Generator):
+        """Fast path: sample weighted-crop origins from a zero-copy view of
+        the preloaded FOV, then copy only the crop regions (the default
+        path materializes the full (C, Z, Y, X) slab first — ~4x the bytes
+        at production shapes)."""
+        crop = self.pushdown_crop
+        img, tz, norm_meta, arr_idx = self._find_window(index)
+        zs = img.shape[-3] - self.z_window_size + 1
+        t = (tz + zs) // zs - 1
+        z = tz - t * zs
+        view = self._preloaded[arr_idx]  # (T, C, Z, Y, X), channels = source+target
+        slab = view[t, :, z : z + self.z_window_size]  # view, no copy
+        n_source = len(self.channels["source"])
+        weight = slab[n_source]  # first target channel
+        cz, cy, cx = crop.spatial_size
+        cz = min(cz, slab.shape[1])
+        origins = _sample_weighted_origins(
+            weight, (cy, cx), crop.num_samples, rng
+        )
+        if norm_meta is not None:
+            norm_meta = self._resolve_timepoint_norm_meta(norm_meta, t)
+        sample_index = HCSStackIndex(f"/{img.path}", t, z)
+        out = []
+        for ys, xs in origins:
+            zs0 = 0 if cz >= slab.shape[1] else int(rng.integers(0, slab.shape[1] - cz + 1))
+            patch = np.ascontiguousarray(
+                slab[:, zs0 : zs0 + cz, ys : ys + cy, xs : xs + cx], dtype=np.float32
+            )
+            sample = {
+                "index": sample_index,
+                "source": patch[:n_source],
+            }
+            if self.target_ch_idx is not None:
+                sample["target"] = patch[n_source:]
+            if self.load_normalization_metadata and norm_meta is not None:
+                sample["norm_meta"] = norm_meta
+            out.append(sample)
+        return out if len(out) > 1 else out[0]
+
+
+def _sample_weighted_origins(
+    weight: np.ndarray, crop_yx: tuple[int, int], num_samples: int, rng: np.random.Generator
+) -> list[tuple[int, int]]:
+    """Sample crop origins with probability proportional to window-summed
+    weight (Z-reduced), via an integral image (O(1) per window)."""
+    cy, cx = crop_yx
+    wm = np.clip(weight.sum(axis=0, dtype=np.float32), 0, None)
+    integral = np.pad(wm, ((1, 0), (1, 0))).cumsum(0).cumsum(1)
+    vy, vx = wm.shape[0] - cy + 1, wm.shape[1] - cx + 1
+    window = (
+        integral[cy:, cx:][:vy, :vx]
+        - integral[:-cy, cx:][:vy, :vx]
+        - integral[cy:, :-cx][:vy, :vx]
+        + integral[:-cy, :-cx][:vy, :vx]
+    )
+    flat = window.reshape(-1)
+    total = flat.sum()
+    p = np.full_like(flat, 1.0 / flat.size) if total <= 0 else flat / total
+    idx = rng.choice(flat.size, size=num_samples, p=p)
+    return [(int(i) // vx, int(i) % vx) for i in idx]
 
 
 class MaskTestDataset(SlidingWindowDataset):
