@@ -28,7 +28,13 @@ import numpy as np
 
 _logger = logging.getLogger("viscy_tpu")
 
-__all__ = ["convert_fcmae_state_dict", "convert_state_dict", "load_torch_checkpoint"]
+__all__ = [
+    "convert_fcmae_state_dict",
+    "convert_unext2_state_dict",
+    "convert_contrastive_state_dict",
+    "convert_state_dict",
+    "load_torch_checkpoint",
+]
 
 
 def _t_conv2d(w):
@@ -154,6 +160,9 @@ def _flax_leaf_name(flax_path: str, torch_param: str, transform) -> tuple[str, C
         if "grn" in last:
             return "beta", _flat
         return "bias", _flat
+    if torch_param == "gamma" and "grn" not in last:
+        # ConvNeXt-v1 layer scale lives directly on the block
+        return "ls_gamma", _flat
     return torch_param, _flat
 
 
@@ -188,6 +197,131 @@ def convert_state_dict(
         else:
             unmatched.append(key)
     return params, unmatched
+
+
+# UNeXt2: timm features_only ConvNeXt encoder ("encoder_stages.*"),
+# UNeXt2Stem ("stem.conv"), UNeXt2Decoder, PixelToVoxelHead (monai).
+_UNEXT2_RULES: list[tuple[str, str, Callable]] = [
+    (r"stem\.conv", "stem/conv", _t_conv3d),
+    (r"encoder_stages\.stem_1", "encoder/stem_norm", None),
+    (
+        r"encoder_stages\.stages_(\d+)\.downsample\.0",
+        "encoder/stage{0}/downsample_norm",
+        None,
+    ),
+    (
+        r"encoder_stages\.stages_(\d+)\.downsample\.1",
+        "encoder/stage{0}/downsample_conv",
+        _t_conv2d,
+    ),
+    (
+        r"encoder_stages\.stages_(\d+)\.blocks\.(\d+)\.conv_dw",
+        "encoder/stage{0}/block{1}/dwconv",
+        _t_conv2d,
+    ),
+    (
+        r"encoder_stages\.stages_(\d+)\.blocks\.(\d+)\.norm",
+        "encoder/stage{0}/block{1}/norm",
+        None,
+    ),
+    (
+        r"encoder_stages\.stages_(\d+)\.blocks\.(\d+)\.mlp\.fc1",
+        "encoder/stage{0}/block{1}/fc1",
+        _t_linear,
+    ),
+    (
+        r"encoder_stages\.stages_(\d+)\.blocks\.(\d+)\.mlp\.grn",
+        "encoder/stage{0}/block{1}/grn",
+        _flat,
+    ),
+    (
+        r"encoder_stages\.stages_(\d+)\.blocks\.(\d+)\.mlp\.fc2",
+        "encoder/stage{0}/block{1}/fc2",
+        _t_linear,
+    ),
+    (
+        r"decoder\.decoder_stages\.(\d+)\.conv\.downsample\.0",
+        "decoder/stage{0}/conv/downsample_norm",
+        None,
+    ),
+    (
+        r"decoder\.decoder_stages\.(\d+)\.conv\.downsample\.1",
+        "decoder/stage{0}/conv/downsample_conv",
+        _t_conv2d,
+    ),
+    (
+        r"decoder\.decoder_stages\.(\d+)\.conv\.blocks\.(\d+)\.conv_dw",
+        "decoder/stage{0}/conv/block{1}/dwconv",
+        _t_conv2d,
+    ),
+    (
+        r"decoder\.decoder_stages\.(\d+)\.conv\.blocks\.(\d+)\.norm",
+        "decoder/stage{0}/conv/block{1}/norm",
+        None,
+    ),
+    (
+        r"decoder\.decoder_stages\.(\d+)\.conv\.blocks\.(\d+)\.mlp\.fc1",
+        "decoder/stage{0}/conv/block{1}/fc1",
+        _t_conv1x1_to_dense,
+    ),
+    (
+        r"decoder\.decoder_stages\.(\d+)\.conv\.blocks\.(\d+)\.mlp\.grn",
+        "decoder/stage{0}/conv/block{1}/grn",
+        _flat,
+    ),
+    (
+        r"decoder\.decoder_stages\.(\d+)\.conv\.blocks\.(\d+)\.mlp\.fc2",
+        "decoder/stage{0}/conv/block{1}/fc2",
+        _t_conv1x1_to_dense,
+    ),
+    (r"head\.conv\.0\.conv", "head/conv0", _t_conv3d),
+    (r"head\.conv\.0\.adn\.A", "head/conv0_prelu", _flat),
+    (r"head\.conv\.1", "head/conv1", _t_conv3d),
+]
+
+# ContrastiveEncoder: StemDepthtoChannels + timm classification ConvNeXt
+# ("encoder.stages.*", head.norm/head.fc) + BN projection MLP.
+_CONTRASTIVE_RULES: list[tuple[str, str, Callable]] = [
+    (r"stem\.conv", "stem/conv", _t_conv3d),
+    (r"encoder\.stem\.1", "encoder/stem_norm", None),
+    (r"encoder\.stages\.(\d+)\.downsample\.0", "encoder/stage{0}/downsample_norm", None),
+    (r"encoder\.stages\.(\d+)\.downsample\.1", "encoder/stage{0}/downsample_conv", _t_conv2d),
+    (r"encoder\.stages\.(\d+)\.blocks\.(\d+)\.conv_dw", "encoder/stage{0}/block{1}/dwconv", _t_conv2d),
+    (r"encoder\.stages\.(\d+)\.blocks\.(\d+)\.norm", "encoder/stage{0}/block{1}/norm", None),
+    (r"encoder\.stages\.(\d+)\.blocks\.(\d+)\.mlp\.fc1", "encoder/stage{0}/block{1}/fc1", _t_linear),
+    (r"encoder\.stages\.(\d+)\.blocks\.(\d+)\.mlp\.grn", "encoder/stage{0}/block{1}/grn", _flat),
+    (r"encoder\.stages\.(\d+)\.blocks\.(\d+)\.mlp\.fc2", "encoder/stage{0}/block{1}/fc2", _t_linear),
+    (r"encoder\.stages\.(\d+)\.blocks\.(\d+)", "encoder/stage{0}/block{1}", _flat),
+    (r"encoder\.head\.norm", "head_norm", None),
+    (r"encoder\.head\.fc", "head_fc", _t_linear),
+    (r"projection\.0", "projection/fc0", _t_linear),
+    (r"projection\.1", "projection/bn0", None),
+    (r"projection\.3", "projection/fc1", _t_linear),
+    (r"projection\.4", "projection/bn1", None),
+]
+
+
+def convert_unext2_state_dict(state_dict: dict[str, Any], strip_prefix: str = "model.") -> dict:
+    """Convert a UNeXt2 torch checkpoint state dict to flax params."""
+    params, unmatched = convert_state_dict(state_dict, _UNEXT2_RULES, strip_prefix)
+    if unmatched:
+        _logger.warning(f"{len(unmatched)} unmatched torch keys, e.g. {unmatched[:5]}")
+    return params
+
+
+def convert_contrastive_state_dict(
+    state_dict: dict[str, Any], strip_prefix: str = "model."
+) -> dict:
+    """Convert a ContrastiveEncoder torch checkpoint to flax params.
+
+    BatchNorm running stats map to the ``batch_stats`` collection; this
+    returns only ``params`` (weight/bias); callers merge running stats
+    separately when training resumes are needed.
+    """
+    params, unmatched = convert_state_dict(state_dict, _CONTRASTIVE_RULES, strip_prefix)
+    if unmatched:
+        _logger.warning(f"{len(unmatched)} unmatched torch keys, e.g. {unmatched[:5]}")
+    return params
 
 
 def convert_fcmae_state_dict(state_dict: dict[str, Any], strip_prefix: str = "model.") -> dict:
