@@ -140,3 +140,48 @@ def test_pseudotime_dtw():
     for _, grp in out.groupby("track_id"):
         pt = grp.sort_values("t")["pseudotime"].to_numpy()
         assert pt[-1] > pt[0]
+
+
+def test_tracking_benchmark():
+    from viscy_tpu.apps.dynaclr.tracking import link_by_embedding, tracking_accuracy
+
+    rng = np.random.default_rng(0)
+    feats, rows = [], []
+    # 3 tracks with distinct embedding signatures drifting slowly
+    for tid in range(3):
+        base = rng.normal(tid * 10, 0.1, 8)
+        y, x = rng.integers(20, 80, 2)
+        for t in range(5):
+            feats.append(base + rng.normal(0, 0.05, 8))
+            rows.append({"fov_name": "A/1/0", "track_id": tid, "t": t,
+                         "y": int(y) + t, "x": int(x) + t})
+    index = pd.DataFrame(rows)
+    linked = link_by_embedding(np.asarray(feats), index, spatial_gate=30.0,
+                               metric="euclidean")
+    res = tracking_accuracy(linked)
+    assert res["n_links"] == 3 * 4
+    assert res["link_accuracy"] == 1.0
+
+
+def test_dynacell_reporting():
+    from viscy_tpu.apps.dynacell.reporting import (
+        comparison_table,
+        summarize_metrics,
+        to_markdown,
+    )
+
+    df = pd.DataFrame(
+        {
+            "fov": ["A"] * 4,
+            "t": [0, 0, 1, 1],
+            "channel": ["n", "n", "n", "n"],
+            "metric": ["pearson", "mae", "pearson", "mae"],
+            "value": [0.9, 0.1, 0.8, 0.2],
+        }
+    )
+    summary = summarize_metrics(df)
+    assert set(summary["metric"]) == {"pearson", "mae"}
+    table = comparison_table({"m1": df, "m2": df}, metric="pearson")
+    assert table.loc["m1", "n"] == pytest.approx(0.85)
+    md = to_markdown(summary)
+    assert md.startswith("|")
