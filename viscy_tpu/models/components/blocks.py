@@ -49,24 +49,13 @@ def pixel_shuffle_2d(x: Array, r: int) -> Array:
 
 def pad_pool_blur_2d(x: Array, r: int) -> Array:
     """MONAI SubpixelUpsample ``apply_pad_pool`` blur: replicate-pad then
-    average-pool (kernel r, stride 1).
-
-    Implemented with prefix sums (one cumsum + one subtraction per axis,
-    O(1) per pixel) instead of an r*r-tap ``reduce_window`` — the window
-    op and its gradient were ~10% of the FCMAE train step in profiles."""
+    average-pool (kernel r, stride 1)."""
     if r == 1:
         return x
     x = jnp.pad(x, ((0, 0), (0, r - 1), (0, r - 1), (0, 0)), mode="edge")
-    for axis in (1, 2):
-        cs = jnp.cumsum(x.astype(jnp.float32), axis=axis)
-        pad = [(0, 0)] * x.ndim
-        pad[axis] = (1, 0)
-        cs = jnp.pad(cs, pad)
-        n = x.shape[axis]
-        hi = jax.lax.slice_in_dim(cs, r, n + 1, axis=axis)
-        lo = jax.lax.slice_in_dim(cs, 0, n + 1 - r, axis=axis)
-        x = ((hi - lo) / r).astype(x.dtype)
-    return x
+    return jax.lax.reduce_window(
+        x, 0.0, jax.lax.add, (1, r, r, 1), (1, 1, 1, 1), "VALID"
+    ) / float(r * r)
 
 
 class DropPath(nn.Module):

@@ -23,13 +23,6 @@ Array = jax.Array
 _MS_SSIM_BETAS = (0.0448, 0.2856, 0.3001, 0.2363, 0.1333)
 
 
-def _avg_pool_hw2(x: Array) -> Array:
-    """2x2 stride-2 average pool over the trailing (H, W) via reshape-mean."""
-    b, c, d, h, w = x.shape
-    x = x.astype(jnp.float32)[:, :, :, : h // 2 * 2, : w // 2 * 2]
-    return x.reshape(b, c, d, h // 2, 2, w // 2, 2).mean(axis=(4, 6))
-
-
 def _uniform_filter(x: Array, kernel_size: tuple[int, int, int]) -> Array:
     """Mean filter (valid padding) over (D, H, W) of a (B, C, D, H, W) batch.
 
@@ -147,10 +140,13 @@ def ms_ssim_25d(
         if clamp:
             cs = jnp.clip(cs, base_min, None)
         mcs_list.append(cs)
-        # downsample H, W only (avg pool 1x2x2) as a reshape-mean: XLA
-        # lowers this to strided loads instead of a window op
-        p = _avg_pool_hw2(p)
-        t = _avg_pool_hw2(t)
+        # downsample H, W only (avg pool 1x2x2)
+        p = jax.lax.reduce_window(
+            p.astype(jnp.float32), 0.0, jax.lax.add, (1, 1, 1, 2, 2), (1, 1, 1, 2, 2), "VALID"
+        ) / 4.0
+        t = jax.lax.reduce_window(
+            t.astype(jnp.float32), 0.0, jax.lax.add, (1, 1, 1, 2, 2), (1, 1, 1, 2, 2), "VALID"
+        ) / 4.0
     if clamp:
         ssim = jnp.clip(ssim, base_min, None)
     mcs_list[-1] = ssim
