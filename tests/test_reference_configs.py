@@ -1,0 +1,58 @@
+"""Reference-config surface parity: the actual YAML configs shipped with
+the reference application instantiate against viscy_tpu classes
+(class_path remapping + init_args compatibility)."""
+
+from pathlib import Path
+
+import pytest
+import yaml
+
+from viscy_tpu.training.compose import load_composed_config
+from viscy_tpu.training.instantiate import instantiate
+
+REFERENCE = Path("/root/reference")
+
+
+@pytest.mark.skipif(not REFERENCE.exists(), reason="reference checkout not mounted")
+def test_production_vscyto3d_model_instantiates():
+    cfg_path = (
+        REFERENCE
+        / "applications/cytoland/examples/configs/vscyto3d/finetune_a549_infected_4gpu_batched.yml"
+    )
+    cfg = load_composed_config(cfg_path)
+    model_cfg = cfg["model"]
+    # drop the HPC checkpoint path (not present here)
+    model_cfg["init_args"].pop("ckpt_path", None)
+    module = instantiate(model_cfg)
+    from viscy_tpu.apps.cytoland.engine import VSUNet
+    from viscy_tpu.training.losses.mixed_loss import MixedLoss
+
+    assert isinstance(module, VSUNet)
+    assert module.architecture == "fcmae"
+    assert module.model.in_stack_depth == 15
+    assert module.model.dims == (96, 192, 384, 768)
+    assert isinstance(module.loss_function, MixedLoss)
+    assert module.lr == pytest.approx(2.0e-5)
+    # trainer section builds a Trainer with remapped callbacks
+    from viscy_tpu.training.cli import build_trainer
+
+    trainer_cfg = dict(cfg["trainer"])
+    trainer = build_trainer(trainer_cfg)
+    assert trainer.max_epochs == 30
+
+
+@pytest.mark.skipif(not REFERENCE.exists(), reason="reference checkout not mounted")
+def test_reference_recipe_composition():
+    """The `base:` recipes of the production config deep-merge correctly."""
+    cfg_path = (
+        REFERENCE
+        / "applications/cytoland/examples/configs/vscyto3d/finetune_a549_infected_4gpu_batched.yml"
+    )
+    cfg = load_composed_config(cfg_path)
+    # from recipes/trainer/fit.yml via base:
+    callback_classes = [c["class_path"] for c in cfg["trainer"]["callbacks"]]
+    assert any("ModelCheckpoint" in c for c in callback_classes)
+    # leaf overrides recipe values
+    assert cfg["trainer"]["max_epochs"] == 30
+    # private top-level anchors stripped
+    assert not any(k.startswith("_") for k in cfg)
