@@ -85,6 +85,8 @@ class HCSPredictionWriter(Callback):
         if self.write_input:
             channels = self._source_channels + channels
         if self.output_store.exists() and not self.overwrite:
+            # existing store: error on channel collision, append missing
+            # channels (reference prediction_writer.py:200 needs_append)
             self._plate = open_ome_zarr(self.output_store, mode="r+")
             existing = self._plate.channel_names
             for ch in channels:
@@ -93,6 +95,14 @@ class HCSPredictionWriter(Callback):
                         f"Channel {ch} already exists in {self.output_store}; "
                         "pass overwrite=True to replace."
                     )
+            for _, pos in self._plate.positions():
+                for ch in channels:
+                    if ch not in pos.channel_names:
+                        pos.append_channel(ch, resize_arrays=True)
+            self._plate.set_channel_names(existing + [c for c in channels if c not in existing])
+            self._channel_offset = len(existing)
+            self._channels = channels
+            return
         else:
             self._plate = open_ome_zarr(
                 self.output_store,
@@ -100,6 +110,7 @@ class HCSPredictionWriter(Callback):
                 mode="w" if self.overwrite else "w-",
                 channel_names=channels,
             )
+        self._channel_offset = 0
         self._channels = channels
 
     # -- writing ------------------------------------------------------------------
@@ -146,7 +157,8 @@ class HCSPredictionWriter(Callback):
         z_index = z_start + z_padding
         z_slice = slice(z_index, z_index + cz)
         if "0" not in pos:
-            shape = (t + 1, n_ch, z_slice.stop, *pred.shape[-2:])
+            total_ch = getattr(self, "_channel_offset", 0) + n_ch
+            shape = (t + 1, total_ch, z_slice.stop, *pred.shape[-2:])
             pos.create_zeros("0", shape, np.float32)
         img = pos["0"]
         # grow T/Z on demand (reference ``_resize_image``)
@@ -159,11 +171,14 @@ class HCSPredictionWriter(Callback):
                     *img.shape[-2:],
                 )
             )
-        offset = len(self._source_channels) if self.write_input else 0
+        offset = getattr(self, "_channel_offset", 0) + (
+            len(self._source_channels) if self.write_input else 0
+        )
         if source is not None:
             center = source.shape[-3] // 2
+            src0 = getattr(self, "_channel_offset", 0)
             for c in range(source.shape[0]):
-                img[t, c, z_index] = source[c, center]
+                img[t, src0 + c, z_index] = source[c, center]
         pred_idx = list(range(offset, offset + pred.shape[0]))
         if z_padding == 0 and cz > 1:
             old = img.oindex[t, pred_idx, z_slice]
