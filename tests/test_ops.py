@@ -125,3 +125,39 @@ def test_ssim_matches_numpy_reference():
 
     got = float(ssim_25d(jnp.asarray(p), jnp.asarray(t), in_plane_window_size=(7, 7))[0])
     assert got == pytest.approx(float(expected), rel=1e-4)
+
+
+def test_affine_warp_matches_scipy():
+    """Cross-check the XLA warp against scipy.ndimage.affine_transform."""
+    from scipy.ndimage import affine_transform
+
+    rng = np.random.default_rng(5)
+    vol = rng.random((1, 1, 7, 33, 33)).astype(np.float32)
+    angle = 0.35
+    c, s = np.cos(angle), np.sin(angle)
+    # rotation about the z axis (mixing y, x), center-anchored
+    rot = np.array([[1, 0, 0], [0, c, -s], [0, s, c]], np.float64)
+    mats = jnp.asarray(np.concatenate([rot, np.zeros((3, 1))], axis=1)[None], jnp.float32)
+    ours = np.asarray(affine_warp_3d(jnp.asarray(vol), mats, padding_mode="zeros"))
+
+    center = (np.array(vol.shape[2:]) - 1) / 2
+    offset = center - rot @ center
+    theirs = affine_transform(
+        vol[0, 0], rot, offset=offset, order=1, mode="constant", cval=0.0
+    )
+    # interior agreement (borders differ by clamping vs constant fill)
+    np.testing.assert_allclose(
+        ours[0, 0, 2:-2, 6:-6, 6:-6], theirs[2:-2, 6:-6, 6:-6], atol=2e-3
+    )
+
+
+def test_elastic_zero_magnitude_identity():
+    import viscy_tpu.transforms as T
+
+    rng = np.random.default_rng(0)
+    data = {"x": jnp.asarray(rng.random((1, 1, 4, 16, 16), np.float32))}
+    tr = T.BatchedRand3DElasticd(
+        keys=["x"], sigma_range=(1.0, 1.0), magnitude_range=(0.0, 0.0), prob=1.0
+    )
+    out = tr(data, jax.random.PRNGKey(0))
+    np.testing.assert_allclose(np.asarray(out["x"]), np.asarray(data["x"]), atol=1e-5)
