@@ -156,3 +156,62 @@ class HostRandWeightedCropd(HostTransform):
                 )
             out.append(crop)
         return out
+
+
+class HostScaleIntensityRangePercentilesd(HostTransform):
+    """Per-sample percentile rescale (numpy; MONAI
+    ``ScaleIntensityRangePercentilesd`` semantics)."""
+
+    is_spatial = False
+
+    def __init__(
+        self,
+        keys,
+        lower: float,
+        upper: float,
+        b_min: float,
+        b_max: float,
+        clip: bool = False,
+        allow_missing_keys: bool = False,
+        channel_wise: bool = False,
+    ) -> None:
+        super().__init__(keys, allow_missing_keys)
+        self.lower = lower
+        self.upper = upper
+        self.b_min = b_min
+        self.b_max = b_max
+        self.clip = clip
+        self.channel_wise = channel_wise
+
+    def __call__(self, data: dict, rng=None) -> dict:
+        data = dict(data)
+        for k in self.key_iterator(data):
+            x = np.asarray(data[k], np.float32)
+            if self.channel_wise and x.ndim >= 4:
+                lo = np.percentile(x, self.lower, axis=tuple(range(1, x.ndim)), keepdims=True)
+                hi = np.percentile(x, self.upper, axis=tuple(range(1, x.ndim)), keepdims=True)
+            else:
+                lo = np.percentile(x, self.lower)
+                hi = np.percentile(x, self.upper)
+            y = (x - lo) / np.maximum(hi - lo, 1e-8)
+            y = y * (self.b_max - self.b_min) + self.b_min
+            if self.clip:
+                y = np.clip(y, self.b_min, self.b_max)
+            data[k] = y.astype(np.float32)
+        return data
+
+
+class HostNormalizeIntensityd(HostTransform):
+    """Per-sample z-score normalization (MONAI ``NormalizeIntensityd``)."""
+
+    is_spatial = False
+
+    def __init__(self, keys, allow_missing_keys: bool = False) -> None:
+        super().__init__(keys, allow_missing_keys)
+
+    def __call__(self, data: dict, rng=None) -> dict:
+        data = dict(data)
+        for k in self.key_iterator(data):
+            x = np.asarray(data[k], np.float32)
+            data[k] = (x - x.mean()) / (x.std() + 1e-8)
+        return data

@@ -40,6 +40,17 @@ from viscy_tpu.transforms.z_ops import (
 )
 from viscy_tpu.transforms.zoom import BatchedZoom, BatchedZoomd
 
+# Per-sample (host) transform names matching the reference's MONAI-wrapper
+# surface (``_monai_wrappers.py``): these run in loader threads before H2D.
+from viscy_tpu.data.host_transforms import (
+    HostCenterSpatialCropd as CenterSpatialCropd,
+    HostNormalizeIntensityd as NormalizeIntensityd,
+    HostRandFlipd as RandFlipd,
+    HostRandSpatialCropd as RandSpatialCropd,
+    HostRandWeightedCropd as RandWeightedCropd,
+    HostScaleIntensityRangePercentilesd as ScaleIntensityRangePercentilesd,
+)
+
 __all__ = [
     "Compose",
     "MapTransform",
@@ -74,4 +85,10 @@ __all__ = [
     "BatchedZoomd",
     "batched_crop_at",
     "center_crop",
+    "CenterSpatialCropd",
+    "NormalizeIntensityd",
+    "RandFlipd",
+    "RandSpatialCropd",
+    "RandWeightedCropd",
+    "ScaleIntensityRangePercentilesd",
 ]
