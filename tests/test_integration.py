@@ -186,3 +186,33 @@ def test_fit_with_fg_mask_spotlight(tmp_path):
     trainer = Trainer(fast_dev_run=True, default_root_dir=tmp_path / "logs")
     trainer.fit(module, dm)
     assert np.isfinite(trainer.logged_metrics["loss/train"])
+
+
+def test_predict_write_input_channels(preprocessed_hcs_dataset, tmp_path):
+    """write_input=True stores source center-slices next to predictions."""
+    dm = _datamodule(
+        preprocessed_hcs_dataset,
+        include_fov_names=["A/1/0"],
+        z_window_size=12,
+        augmentations=[],
+        batch_size=2,
+    )
+    module = VSUNet(
+        architecture="2.5D",
+        model_config=dict(
+            in_channels=1, out_channels=1, in_stack_depth=12, out_stack_depth=1,
+            num_blocks=2, num_filters=(4, 8, 16),
+        ),
+        loss_function=MixedLoss(l1_alpha=1.0, ms_dssim_alpha=0.0),
+    )
+    out_store = tmp_path / "pred_wi.zarr"
+    writer = HCSPredictionWriter(str(out_store), write_input=True)
+    trainer = Trainer(default_root_dir=tmp_path / "logs", callbacks=[writer])
+    trainer.predict(module, dm)
+    plate = open_ome_zarr(out_store)
+    pos = plate["A/1/0"]
+    assert pos.channel_names == ["Phase", "GFP"]
+    img = pos["0"]
+    assert img.shape[1] == 2
+    # source center slice written in channel 0
+    assert np.abs(img[0, 0, 5]).sum() > 0
