@@ -42,14 +42,25 @@ from viscy_tpu.transforms.zoom import BatchedZoom, BatchedZoomd
 
 # Per-sample (host) transform names matching the reference's MONAI-wrapper
 # surface (``_monai_wrappers.py``): these run in loader threads before H2D.
-from viscy_tpu.data.host_transforms import (
-    HostCenterSpatialCropd as CenterSpatialCropd,
-    HostNormalizeIntensityd as NormalizeIntensityd,
-    HostRandFlipd as RandFlipd,
-    HostRandSpatialCropd as RandSpatialCropd,
-    HostRandWeightedCropd as RandWeightedCropd,
-    HostScaleIntensityRangePercentilesd as ScaleIntensityRangePercentilesd,
-)
+# Resolved lazily via module __getattr__ because viscy_tpu.data.host_transforms
+# itself imports viscy_tpu.transforms.base (circular otherwise).
+_HOST_ALIASES = {
+    "CenterSpatialCropd": "HostCenterSpatialCropd",
+    "NormalizeIntensityd": "HostNormalizeIntensityd",
+    "RandFlipd": "HostRandFlipd",
+    "RandSpatialCropd": "HostRandSpatialCropd",
+    "RandWeightedCropd": "HostRandWeightedCropd",
+    "ScaleIntensityRangePercentilesd": "HostScaleIntensityRangePercentilesd",
+}
+
+
+def __getattr__(name: str):
+    target = _HOST_ALIASES.get(name)
+    if target is None:
+        raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+    from viscy_tpu.data import host_transforms
+
+    return getattr(host_transforms, target)
 
 __all__ = [
     "Compose",
