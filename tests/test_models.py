@@ -195,3 +195,137 @@ def test_triplet_margin_loss():
     n = -jnp.ones((4, 8))
     assert float(triplet_margin_loss(a, p, n)) == 0.0
     assert float(triplet_margin_loss(a, n, p)) > 0.0
+
+
+def test_classification_head_loss_and_metrics():
+    from viscy_tpu.models import ClassificationHead
+
+    head = ClassificationHead(
+        head_name="gene_ko",
+        batch_key="gene_label",
+        in_dims=8,
+        hidden_dims=16,
+        num_classes=4,
+        top_k=2,
+        weight_schedule="cosine",
+        weight_start=0.0,
+        loss_weight=1.0,
+        weight_warmup_epochs=10,
+    )
+    x = jax.random.normal(jax.random.PRNGKey(0), (6, 8))
+    y = jnp.array([0, 1, 2, 3, 0, 1])
+    variables = head.init(jax.random.PRNGKey(1), x, y)
+    loss, metrics = head.apply(variables, x, y)
+    assert np.isfinite(float(loss)) and float(loss) > 0
+    assert 0.0 <= float(metrics["metrics/acc_top1/gene_ko"]) <= 1.0
+    assert float(metrics["metrics/acc_top2/gene_ko"]) >= float(
+        metrics["metrics/acc_top1/gene_ko"]
+    )
+    # cosine weight schedule: 0 at epoch 0, full weight past warmup
+    assert head.weight_at(0) == pytest.approx(0.0)
+    assert head.weight_at(10) == pytest.approx(1.0)
+    assert 0.0 < head.weight_at(5) < 1.0
+
+
+def test_cross_modal_head_masks_nan_targets():
+    from viscy_tpu.models import CrossModalContrastiveHead
+
+    head = CrossModalContrastiveHead(
+        head_name="pls", batch_key="X_pls", in_dims=8, target_dims=5, proj_dims=16
+    )
+    x = jax.random.normal(jax.random.PRNGKey(0), (6, 8))
+    y = jax.random.normal(jax.random.PRNGKey(1), (6, 5))
+    y = y.at[2].set(jnp.nan)  # one unpaired cell
+    variables = head.init(jax.random.PRNGKey(2), x, y)
+    loss, metrics = head.apply(variables, x, y)
+    assert np.isfinite(float(loss))
+    assert float(metrics["metrics/paired_frac/pls"]) == pytest.approx(5 / 6)
+    # all-NaN batch -> zero loss, still finite
+    y_all_nan = jnp.full_like(y, jnp.nan)
+    loss0, _ = head.apply(variables, x, y_all_nan)
+    assert float(loss0) == pytest.approx(0.0)
+
+
+def test_contrastive_module_with_aux_heads():
+    from viscy_tpu.apps.dynaclr.engine import ContrastiveModule
+    from viscy_tpu.models import ClassificationHead
+    from viscy_tpu.models.contrastive.encoder import ContrastiveEncoder
+
+    enc = ContrastiveEncoder(
+        backbone="convnextv2_test",
+        in_channels=1,
+        in_stack_depth=5,
+        embedding_dim=128,
+        projection_dim=16,
+    )
+    module = ContrastiveModule(
+        encoder=enc,
+        auxiliary_heads={
+            "state": ClassificationHead(
+                head_name="state",
+                batch_key="label",
+                in_dims=128,
+                hidden_dims=32,
+                num_classes=3,
+            )
+        },
+    )
+    rng = jax.random.PRNGKey(0)
+    batch = {
+        "anchor": np.random.rand(4, 1, 5, 32, 32).astype(np.float32),
+        "positive": np.random.rand(4, 1, 5, 32, 32).astype(np.float32),
+        "negative": np.random.rand(4, 1, 5, 32, 32).astype(np.float32),
+        "label": np.array([0, 1, 2, 0]),
+    }
+    variables = module.init_variables(rng, batch)
+    assert "aux_heads" in variables["params"]
+    sched = module.schedule_state(0)
+    assert "aux_weight/state" in sched
+    batch_dev = {k: jnp.asarray(v) for k, v in batch.items()}
+    batch_dev["_schedule"] = {k: jnp.float32(v) for k, v in sched.items()}
+    loss, (metrics, _) = module.training_loss(variables, batch_dev, rng)
+    assert np.isfinite(float(loss))
+    assert "loss/aux/state" in metrics
+    assert "metrics/acc_top1/state" in metrics
+    vloss, vmetrics = module.validation_loss(variables, batch_dev, rng)
+    assert np.isfinite(float(vloss)) and "loss/aux/state" in vmetrics
+
+
+def test_beta_vae_conv_shapes_and_engine():
+    from viscy_tpu.apps.dynaclr.vae_engine import BetaVaeModule
+    from viscy_tpu.models.vae import BetaVaeMonai
+
+    m = BetaVaeMonai(
+        spatial_dims=3,
+        in_shape=(2, 8, 32, 32),
+        out_channels=2,
+        latent_size=16,
+        channels=(8, 16),
+        strides=(2, 2),
+        num_res_units=1,
+    )
+    module = BetaVaeModule(vae=m, example_input_array_shape=(2, 2, 8, 32, 32))
+    batch = {"anchor": np.random.rand(2, 2, 8, 32, 32).astype(np.float32)}
+    variables = module.init_with_rngs({"params": jax.random.PRNGKey(0)}, batch)
+    loss, (metrics, _) = module.training_loss(
+        variables, {k: jnp.asarray(v) for k, v in batch.items()}, jax.random.PRNGKey(1)
+    )
+    assert np.isfinite(float(loss))
+    assert "loss/kl" in metrics
+    out = module.predict_step(variables, {k: jnp.asarray(v) for k, v in batch.items()})
+    assert out["features"].shape == (2, 16)
+
+
+def test_transform_channel_wise_roundtrip():
+    from viscy_tpu.data.utils import transform_channel_wise
+
+    patch = np.random.rand(2, 3, 4, 8, 8).astype(np.float32)
+
+    def double_first(sample):
+        sample = dict(sample)
+        sample["a"] = sample["a"] * 2
+        return sample
+
+    out = transform_channel_wise(double_first, ["a", "b", "c"], patch)
+    np.testing.assert_allclose(out[:, 0], patch[:, 0] * 2, rtol=1e-6)
+    np.testing.assert_allclose(out[:, 1:], patch[:, 1:], rtol=1e-6)

@@ -14,6 +14,7 @@ from typing import Literal, Sequence
 import jax
 import jax.numpy as jnp
 
+from viscy_tpu.models.components.heads import BaseHead
 from viscy_tpu.models.contrastive.encoder import ContrastiveEncoder
 from viscy_tpu.models.contrastive.loss import (
     NTXentLoss,
@@ -68,7 +69,7 @@ class ContrastiveModule(TrainModule):
         self.example_input_array_shape = tuple(example_input_array_shape)
         self.ckpt_path = ckpt_path
         self.freeze_backbone = freeze_backbone
-        self.auxiliary_heads = auxiliary_heads or {}
+        self.auxiliary_heads = _build_heads(auxiliary_heads)
 
     @property
     def _is_ntxent(self) -> bool:
@@ -78,6 +79,26 @@ class ContrastiveModule(TrainModule):
         if hasattr(self.loss_function, "step"):
             self.loss_function.step(epoch)
 
+    def schedule_state(self, epoch: int) -> dict[str, float]:
+        """Per-epoch scalars for the traced step: NT-Xent temperature and
+        auxiliary-head loss weights (reference ``engine.py:93-95`` steps
+        these schedules in ``on_train_epoch_start``)."""
+        sched: dict[str, float] = {}
+        if self._is_ntxent:
+            lf = self.loss_function
+            if getattr(lf, "temperature_schedule", "constant") == "cosine":
+                from viscy_tpu.models.schedule import cosine_anneal
+
+                sched["ntxent_temperature"] = cosine_anneal(
+                    lf.temperature_start,
+                    lf.temperature_end,
+                    epoch,
+                    lf.temperature_warmup_epochs,
+                )
+        for name, head in self.auxiliary_heads.items():
+            sched[f"aux_weight/{name}"] = head.weight_at(epoch)
+        return sched
+
     # -- init -------------------------------------------------------------------
     def example_input(self) -> dict:
         import numpy as np
@@ -86,9 +107,23 @@ class ContrastiveModule(TrainModule):
         return {"anchor": x, "positive": x.copy(), "negative": x.copy()}
 
     def init_with_rngs(self, rngs: dict, batch: dict) -> dict:
-        return jax.jit(self.model.init, static_argnames=("train",))(
+        variables = jax.jit(self.model.init, static_argnames=("train",))(
             rngs, jnp.asarray(batch["anchor"]), train=False
         )
+        if self.auxiliary_heads:
+            variables = dict(variables)
+            params = dict(variables["params"])
+            head_params = {}
+            for name, head in self.auxiliary_heads.items():
+                feats = jnp.zeros((2, head.in_dims), jnp.float32)
+                if hasattr(head, "target_dims"):
+                    y = jnp.zeros((2, head.target_dims), jnp.float32)
+                else:
+                    y = jnp.zeros((2,), jnp.int32)
+                head_params[name] = head.init(rngs["params"], feats, y)["params"]
+            params["aux_heads"] = head_params
+            variables["params"] = params
+        return variables
 
     # -- forward ------------------------------------------------------------------
     def forward(self, variables: dict, x: Array, train: bool = False, rngs=None):
@@ -101,20 +136,47 @@ class ContrastiveModule(TrainModule):
         return emb, proj, {}
 
     # -- steps ------------------------------------------------------------------------
-    def _contrastive_loss(self, a_proj: Array, p_proj: Array, n_proj: Array | None) -> Array:
+    def _contrastive_loss(
+        self, a_proj: Array, p_proj: Array, n_proj: Array | None, sched: dict
+    ) -> Array:
         if self._is_ntxent:
+            temperature = sched.get("ntxent_temperature", self.loss_function.temperature)
             return ntxent_loss(
                 a_proj,
                 p_proj,
-                temperature=self.loss_function.temperature,
+                temperature=temperature,
                 beta=getattr(self.loss_function, "beta", 0.0),
             )
         assert n_proj is not None, "triplet loss requires negatives"
         return self.loss_function(a_proj, p_proj, n_proj)
 
+    def _run_aux_heads(
+        self, variables: dict, a_emb: Array, batch: dict, sched: dict, train: bool
+    ):
+        """Weighted sum of auxiliary head losses on the anchor embedding
+        (reference ``engine.py:250``, ``_run_auxiliary_heads``). Heads whose
+        batch key is absent are skipped at trace time (batch structure is
+        static per run)."""
+        aux_loss = 0.0
+        metrics: dict = {}
+        head_params = variables["params"].get("aux_heads", {})
+        for name, head in self.auxiliary_heads.items():
+            y = batch.get(head.batch_key)
+            if y is None or name not in head_params:
+                continue
+            loss, head_metrics = head.apply(
+                {"params": head_params[name]}, a_emb, y, train=train
+            )
+            weight = sched.get(f"aux_weight/{name}", head.weight_at(0))
+            aux_loss = aux_loss + weight * loss
+            metrics[f"loss/aux/{name}"] = loss
+            metrics.update(head_metrics)
+        return aux_loss, metrics
+
     def training_loss(self, variables, batch, rng):
+        sched = batch.get("_schedule") or {}
         rngs = {"dropout": rng}
-        _, a_proj, updates = self.forward(variables, batch["anchor"], train=True, rngs=rngs)
+        a_emb, a_proj, updates = self.forward(variables, batch["anchor"], train=True, rngs=rngs)
         merged = {**variables, **updates}
         _, p_proj, updates = self.forward(merged, batch["positive"], train=True, rngs=rngs)
         merged = {**merged, **updates}
@@ -122,23 +184,37 @@ class ContrastiveModule(TrainModule):
         if not self._is_ntxent:
             _, n_proj, updates = self.forward(merged, batch["negative"], train=True, rngs=rngs)
             merged = {**merged, **updates}
-        loss = self._contrastive_loss(a_proj, p_proj, n_proj)
+        loss = self._contrastive_loss(a_proj, p_proj, n_proj, sched)
         new_extra = {k: v for k, v in merged.items() if k != "params"}
         metrics = {
             "metrics/positive_cosine": _mean_cosine(a_proj, p_proj),
         }
         if n_proj is not None:
             metrics["metrics/negative_cosine"] = _mean_cosine(a_proj, n_proj)
+        if self.auxiliary_heads:
+            aux_loss, aux_metrics = self._run_aux_heads(
+                variables, a_emb, batch, sched, train=True
+            )
+            loss = loss + aux_loss
+            metrics.update(aux_metrics)
         return loss, (metrics, new_extra)
 
     def validation_loss(self, variables, batch, rng):
-        _, a_proj, _ = self.forward(variables, batch["anchor"])
+        sched = batch.get("_schedule") or {}
+        a_emb, a_proj, _ = self.forward(variables, batch["anchor"])
         _, p_proj, _ = self.forward(variables, batch["positive"])
         n_proj = None
         if not self._is_ntxent:
             _, n_proj, _ = self.forward(variables, batch["negative"])
-        loss = self._contrastive_loss(a_proj, p_proj, n_proj)
-        return loss, {"metrics/positive_cosine": _mean_cosine(a_proj, p_proj)}
+        loss = self._contrastive_loss(a_proj, p_proj, n_proj, sched)
+        metrics = {"metrics/positive_cosine": _mean_cosine(a_proj, p_proj)}
+        if self.auxiliary_heads:
+            aux_loss, aux_metrics = self._run_aux_heads(
+                variables, a_emb, batch, sched, train=False
+            )
+            loss = loss + aux_loss
+            metrics.update(aux_metrics)
+        return loss, metrics
 
     def predict_step(self, variables, batch):
         features, projections, _ = self.forward(variables, batch["anchor"])
@@ -165,6 +241,23 @@ class ContrastiveModule(TrainModule):
                 {"trainable": tx, "frozen": optax.set_to_zero()}, label_fn
             )
         return tx, sched
+
+
+def _build_heads(spec: dict | None) -> dict[str, BaseHead]:
+    """Normalize ``auxiliary_heads`` config: values may be constructed
+    :class:`BaseHead` modules or jsonargparse-style dicts
+    ``{"class_path": ..., "init_args": {...}}``."""
+    if not spec:
+        return {}
+    heads: dict[str, BaseHead] = {}
+    for name, head in spec.items():
+        if isinstance(head, dict):
+            from viscy_tpu.training.instantiate import resolve_class
+
+            cls = resolve_class(head["class_path"])
+            head = cls(**head.get("init_args", {}))
+        heads[name] = head
+    return heads
 
 
 def _mean_cosine(a: Array, b: Array) -> Array:

@@ -76,3 +76,22 @@ def gather_channels(channel_names: list[str], sample: dict):
     arrays = [sample[name] for name in channel_names]
     xp = np if isinstance(arrays[0], np.ndarray) else jnp
     return xp.concatenate(arrays, axis=1)
+
+
+def transform_channel_wise(
+    transform,
+    channel_names: list[str],
+    patch,
+    norm_meta=None,
+    extra: dict | None = None,
+):
+    """Apply a dict transform to a stacked patch channel-by-channel
+    (reference ``_utils.py:217`` ``_transform_channel_wise``): scatter
+    (B, C, Z, Y, X) into per-channel-name keys, run the transform, gather
+    the channels back in order. ``extra`` entries ride along untransformed
+    (e.g. weight keys) and are stripped from the gather."""
+    sample = scatter_channels(channel_names, patch, norm_meta)
+    if extra:
+        sample.update(extra)
+    out = transform(sample)
+    return gather_channels(channel_names, out)

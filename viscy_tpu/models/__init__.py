@@ -14,7 +14,10 @@ from viscy_tpu.models.unet.unet3d import Unet3d
 from viscy_tpu.models.contrastive.encoder import ContrastiveEncoder
 from viscy_tpu.models.contrastive.loss import NTXentHCL, NTXentLoss, ntxent_loss
 from viscy_tpu.models.components.heads import (
+    BaseHead,
+    ClassificationHead,
     CosineClassifier,
+    CrossModalContrastiveHead,
     MLP,
     PixelToVoxelHead,
     PixelToVoxelShuffleHead,
@@ -22,6 +25,9 @@ from viscy_tpu.models.components.heads import (
 )
 
 __all__ = [
+    "BaseHead",
+    "ClassificationHead",
+    "CrossModalContrastiveHead",
     "UNeXt2",
     "FullyConvolutionalMAE",
     "Unet2d",

@@ -17,6 +17,7 @@ from einops import rearrange
 from flax import linen as nn
 
 from viscy_tpu.models.components.blocks import pad_pool_blur_2d, pixel_shuffle_2d
+from viscy_tpu.models.schedule import cosine_anneal
 
 Array = jax.Array
 
@@ -183,6 +184,131 @@ class MLP(nn.Module):
         if self.cosine_classifier:
             return CosineClassifier(x.shape[-1], self.num_classes, name="head")(x)
         return nn.Dense(self.num_classes, name="head")(x)
+
+
+class BaseHead(nn.Module):
+    """Pluggable auxiliary task head (reference ``heads.py:34``).
+
+    Self-contained: knows its batch key, computes its own loss+metrics in
+    one traced call ``(features, targets) -> (loss, metrics)``. The
+    epoch-dependent loss weight is **not** baked into the trace — the
+    engine computes ``weight_at(epoch)`` host-side each epoch and feeds it
+    through the batch's ``_schedule`` scalars so jit never retraces.
+    """
+
+    head_name: str = "aux"
+    batch_key: str = "label"
+    loss_weight: float = 1.0
+    weight_schedule: Literal["cosine", "constant"] = "constant"
+    weight_start: float = 0.0
+    weight_warmup_epochs: int = 50
+
+    def weight_at(self, epoch: int) -> float:
+        if self.weight_schedule == "cosine":
+            return cosine_anneal(
+                self.weight_start, self.loss_weight, epoch, self.weight_warmup_epochs
+            )
+        return self.loss_weight
+
+
+class ClassificationHead(BaseHead):
+    """MLP classifier head with top-k accuracy metrics (reference
+    ``heads.py:159``). Default norm is LayerNorm (stateless under jit) —
+    set ``norm="bn"`` for the reference's BatchNorm behavior."""
+
+    in_dims: int = 768
+    hidden_dims: int | Sequence[int] = 256
+    num_classes: int = 2
+    cosine_classifier: bool = True
+    top_k: int = 5
+    norm: Literal["bn", "ln"] = "ln"
+
+    @nn.compact
+    def __call__(self, x: Array, y: Array, train: bool = False):
+        """(B, in_dims) features + (B,) int labels -> (loss, metrics)."""
+        logits = MLP(
+            in_dims=self.in_dims,
+            hidden_dims=self.hidden_dims,
+            num_classes=self.num_classes,
+            cosine_classifier=self.cosine_classifier,
+            norm=self.norm,
+            name="mlp",
+        )(x, train=train)
+        y = y.astype(jnp.int32)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        loss = -jnp.take_along_axis(logp, y[:, None], axis=-1).mean()
+        top1 = (jnp.argmax(logits, axis=-1) == y).mean()
+        k = min(self.top_k, self.num_classes)
+        topk_idx = jax.lax.top_k(logits, k)[1]
+        topk = (topk_idx == y[:, None]).any(axis=-1).mean()
+        metrics = {
+            f"metrics/acc_top1/{self.head_name}": top1,
+            f"metrics/acc_top{self.top_k}/{self.head_name}": topk,
+        }
+        return loss, metrics
+
+
+class CrossModalContrastiveHead(BaseHead):
+    """Cross-modal InfoNCE head (reference ``heads.py:274``): projects image
+    features and a paired per-cell vector (e.g. transcriptomic embedding)
+    into a shared space; symmetric InfoNCE across the batch. NaN targets
+    (unpaired cells) are masked with static shapes: invalid rows get zero
+    loss weight and invalid columns are excluded from every softmax."""
+
+    in_dims: int = 768
+    target_dims: int = 50
+    proj_dims: int = 128
+    image_hidden: int | Sequence[int] = 256
+    target_hidden: int | Sequence[int] = 128
+    temperature: float = 0.1
+
+    @nn.compact
+    def __call__(self, x: Array, y: Array, train: bool = False):
+        """(B, in_dims) features + (B, target_dims) targets -> (loss, metrics)."""
+        z_img = MLP(
+            in_dims=self.in_dims,
+            hidden_dims=self.image_hidden,
+            out_dims=self.proj_dims,
+            norm="ln",
+            name="image_proj",
+        )(x, train=train)
+        z_img = z_img / (jnp.linalg.norm(z_img, axis=-1, keepdims=True) + 1e-12)
+        valid = ~jnp.isnan(y).any(axis=-1)
+        y_safe = jnp.nan_to_num(y, nan=0.0)
+        z_tgt = MLP(
+            in_dims=self.target_dims,
+            hidden_dims=self.target_hidden,
+            out_dims=self.proj_dims,
+            norm="ln",
+            name="target_proj",
+        )(y_safe, train=train)
+        z_tgt = z_tgt / (jnp.linalg.norm(z_tgt, axis=-1, keepdims=True) + 1e-12)
+        logits = (z_img @ z_tgt.T) / self.temperature
+        neg_inf = jnp.finfo(logits.dtype).min
+        # mask invalid columns (img->tgt) and invalid rows (tgt->img)
+        l_i2t = jnp.where(valid[None, :], logits, neg_inf)
+        l_t2i = jnp.where(valid[None, :], logits.T, neg_inf)
+        diag = jnp.arange(logits.shape[0])
+        ce_i2t = -(jax.nn.log_softmax(l_i2t, axis=-1)[diag, diag])
+        ce_t2i = -(jax.nn.log_softmax(l_t2i, axis=-1)[diag, diag])
+        w = valid.astype(logits.dtype)
+        n_valid = w.sum()
+        # invalid rows have -inf on their own diagonal -> inf CE; select, don't multiply
+        per_row = jnp.where(valid, 0.5 * (ce_i2t + ce_t2i), 0.0)
+        loss = jnp.where(n_valid >= 2, per_row.sum() / jnp.maximum(n_valid, 1.0), 0.0)
+        cos_diag = jnp.where(
+            n_valid >= 1,
+            ((z_img * z_tgt).sum(-1) * w).sum() / jnp.maximum(n_valid, 1.0),
+            0.0,
+        )
+        hit = (jnp.argmax(l_i2t, axis=-1) == diag).astype(logits.dtype)
+        retrieval = jnp.where(n_valid >= 1, (hit * w).sum() / jnp.maximum(n_valid, 1.0), 0.0)
+        metrics = {
+            f"metrics/paired_frac/{self.head_name}": w.mean(),
+            f"metrics/cos/{self.head_name}": cos_diag,
+            f"metrics/r@1/{self.head_name}": retrieval,
+        }
+        return loss, metrics
 
 
 class ProjectionMLP(nn.Module):

@@ -71,6 +71,13 @@ class TrainModule:
     def on_epoch_start(self, epoch: int) -> None:
         """Host-side per-epoch hook (e.g. loss temperature schedules)."""
 
+    def schedule_state(self, epoch: int) -> dict[str, float]:
+        """Epoch-dependent scalars fed into the traced step as
+        ``batch["_schedule"]`` (e.g. NT-Xent temperature, aux-head loss
+        weights). Values change per epoch without retracing because they
+        enter jit as array arguments, not Python constants."""
+        return {}
+
     def load_pretrained(self, variables: dict) -> dict:
         """Optionally transform freshly-initialized variables (ckpt load)."""
         return variables

@@ -181,11 +181,16 @@ class Trainer:
 
         return keep(batch)
 
-    def _iter_loader(self, loader, limit: int | None):
+    def _iter_loader(self, loader, limit: int | None, sched: dict | None = None):
         for i, batch in enumerate(loader):
             if limit is not None and i >= limit:
                 break
-            yield i, shard_batch(self._device_view(batch), self.mesh)
+            view = self._device_view(batch)
+            if sched:
+                # epoch-dependent scalars (temperatures, aux-head weights)
+                # ride in as replicated array args: no retrace across epochs
+                view["_schedule"] = {k: np.float32(v) for k, v in sched.items()}
+            yield i, shard_batch(view, self.mesh)
 
     # -- fit --------------------------------------------------------------------
     def fit(self, module: TrainModule, datamodule, ckpt_path: str | None = None) -> None:
@@ -217,6 +222,7 @@ class Trainer:
         for epoch in range(self.current_epoch, max_epochs):
             self.current_epoch = epoch
             module.on_epoch_start(epoch)
+            sched = module.schedule_state(epoch) if hasattr(module, "schedule_state") else {}
             if hasattr(datamodule, "set_epoch"):
                 datamodule.set_epoch(epoch)
             for cb in self.callbacks:
@@ -225,7 +231,9 @@ class Trainer:
             t0 = time.time()
             n_seen = 0
             step_t0 = time.time()
-            for i, batch in self._iter_loader(datamodule.train_dataloader(), self.limit_train_batches):
+            for i, batch in self._iter_loader(
+                datamodule.train_dataloader(), self.limit_train_batches, sched
+            ):
                 # first-class profiler hook (SURVEY §5): trace a step window
                 if self.profile_dir and self.global_step == self.profile_steps[0]:
                     jax.profiler.start_trace(self.profile_dir)
@@ -257,7 +265,7 @@ class Trainer:
                 )
 
             # validation
-            val_metrics = self._run_validation(module, datamodule, val_step, rng)
+            val_metrics = self._run_validation(module, datamodule, val_step, rng, sched)
             for cb in self.callbacks:
                 cb.on_train_epoch_end(self, module, epoch)
 
@@ -269,7 +277,7 @@ class Trainer:
         for cb in self.callbacks:
             cb.on_fit_end(self, module)
 
-    def _run_validation(self, module, datamodule, val_step, rng) -> dict:
+    def _run_validation(self, module, datamodule, val_step, rng, sched: dict | None = None) -> dict:
         loader_fn = getattr(datamodule, "val_dataloader", None)
         if loader_fn is None:
             return {}
@@ -279,7 +287,7 @@ class Trainer:
         for cb in self.callbacks:
             cb.on_validation_epoch_start(self, module)
         agg: dict[str, list[float]] = {}
-        for i, batch in self._iter_loader(loader, self.limit_val_batches):
+        for i, batch in self._iter_loader(loader, self.limit_val_batches, sched):
             rng, step_rng = jax.random.split(rng)
             metrics = val_step(self.state, batch, step_rng)
             host = {k: float(v) for k, v in jax.device_get(metrics).items()}
