@@ -185,3 +185,94 @@ def test_dynacell_reporting():
     assert table.loc["m1", "n"] == pytest.approx(0.85)
     md = to_markdown(summary)
     assert md.startswith("|")
+
+
+def test_mean_average_precision_numpy():
+    from viscy_tpu.evaluation.metrics import mean_average_precision
+
+    lbl = np.zeros((32, 32), np.int16)
+    lbl[2:10, 2:10] = 1
+    lbl[15:25, 15:25] = 2
+    perfect = mean_average_precision(lbl, lbl)
+    assert perfect["map"] == 1.0 and perfect["map_75"] == 1.0
+    # one exact match out of two targets: precision 1 at recall 0.5 -> 51/101
+    pred = np.zeros_like(lbl)
+    pred[2:10, 2:10] = 1
+    half = mean_average_precision(pred, lbl)
+    assert abs(half["map_50"] - 51 / 101) < 1e-9
+    assert half["mar_100"] == 0.5
+    # low-IoU prediction scores zero at 0.5
+    shifted = np.zeros_like(lbl)
+    shifted[6:14, 6:14] = 1
+    assert mean_average_precision(shifted, lbl)["map_50"] == 0.0
+
+
+def test_track_displacement_and_cosine_cell():
+    import pandas as pd
+
+    from viscy_tpu.evaluation.distance import (
+        calculate_cosine_similarity_cell,
+        compute_track_displacement,
+    )
+
+    rng = np.random.default_rng(0)
+    feats = rng.normal(size=(8, 4)).astype(np.float32)
+    index = pd.DataFrame(
+        {
+            "fov_name": ["A"] * 4 + ["B"] * 4,
+            "track_id": [1] * 4 + [2] * 4,
+            "t": [0, 1, 2, 3, 0, 1, 2, 3],
+        }
+    )
+    ds = {"features": feats, "index": index}
+    t, sims = calculate_cosine_similarity_cell(ds, "A", 1)
+    assert list(t) == [0, 1, 2, 3]
+    assert sims[0] == pytest.approx(1.0, abs=1e-5)
+    disp = compute_track_displacement(ds)
+    assert set(disp) == {1, 2, 3}
+    assert len(disp[1]) == 6  # 3 per track x 2 tracks
+
+
+def test_load_annotation_with_duplicates(tmp_path):
+    import pandas as pd
+
+    from viscy_tpu.evaluation.annotation import load_annotation
+
+    index = pd.DataFrame(
+        {
+            "fov_name": ["A/1/0"] * 3,
+            "track_id": [1, 1, 2],
+            "t": [0, 1, 0],
+            "y": [10.0, 11.0, 50.0],
+            "x": [10.0, 11.0, 50.0],
+        }
+    )
+    ann = pd.DataFrame(
+        {
+            "fov_name": ["A/1/0"] * 4,
+            "track_id": [1, 1, 1, 2],
+            "t": [0, 1, 1, 0],
+            # duplicate (A,1,1): one near (11,11), one far (40,40)
+            "y": [10.0, 11.5, 40.0, 50.0],
+            "x": [10.0, 11.5, 40.0, 50.0],
+            "state": ["interphase", "mitosis", "bogus", "interphase"],
+        }
+    )
+    ann.to_csv(tmp_path / "ann.csv", index=False)
+    ds = {"features": np.zeros((3, 2), np.float32), "index": index}
+    got = load_annotation(ds, tmp_path / "ann.csv", "state")
+    assert list(got) == ["interphase", "mitosis", "interphase"]
+    assert "state" in index.columns
+
+
+def test_merge_csv_into_obs(tmp_path):
+    import pandas as pd
+
+    from viscy_tpu.evaluation.zarr_utils import merge_csv_into_obs
+
+    index = pd.DataFrame({"id": [1, 2, 3], "fov_name": ["a", "b", "c"]})
+    csv = pd.DataFrame({"id": [2, 3, 4], "label": ["x", "y", "z"], "junk": [0, 1, 2]})
+    csv.to_csv(tmp_path / "m.csv", index=False)
+    merged, stats = merge_csv_into_obs(index, tmp_path / "m.csv", columns=["label"], prefix="ann_")
+    assert stats == {"ann_label": 2}
+    assert merged["ann_label"].tolist()[1:] == ["x", "y"]

@@ -27,6 +27,8 @@ __all__ = [
     "read_cell_index",
     "build_timelapse_cell_index",
     "preprocess_cell_index",
+    "build_ops_cell_index",
+    "convert_ops_parquet",
 ]
 
 CELL_INDEX_CORE_COLUMNS = ["cell_id", "experiment", "store_path", "fov", "y", "x", "t"]
@@ -242,3 +244,175 @@ def preprocess_cell_index(
         for col, val in cache[key].items():
             df.loc[group.index, col] = val
     return df
+
+
+# -- OPS (optical pooled screen) builders -------------------------------------
+
+
+def _resolve_perturbation(perturbation_wells: dict[str, list[str]], well_name: str) -> str:
+    """Map a well to its perturbation label (reference ``cell_index.py:873``)."""
+    for label, wells_list in perturbation_wells.items():
+        if well_name in wells_list:
+            return label
+    return "unknown"
+
+
+def _parse_bbox_to_centroid(bbox_str: str) -> tuple[float, float]:
+    """``"(ymin, xmin, ymax, xmax)"`` -> centroid ``(y, x)``."""
+    ymin, xmin, ymax, xmax = (float(s.strip()) for s in str(bbox_str).strip("()").split(",")[:4])
+    return ((ymin + ymax) / 2.0, (xmin + xmax) / 2.0)
+
+
+def _parse_bbox_min_size(bbox_str: str) -> float:
+    ymin, xmin, ymax, xmax = (float(s.strip()) for s in str(bbox_str).strip("()").split(",")[:4])
+    return min(ymax - ymin, xmax - xmin)
+
+
+def build_ops_cell_index(
+    store_path: str | Path,
+    labels_path: str | Path,
+    experiment_name: str,
+    output_path: str | Path,
+    wells: list[str] | None = None,
+    channel_column: str = "channel",
+    gene_column: str = "gene_name",
+    reporter_column: str | None = "reporter",
+    sgRNA_column: str | None = "sgRNA",
+    bbox_column: str = "bbox",
+    segmentation_id_column: str = "segmentation_id",
+    min_bbox_size: int = 5,
+    perturbation_map: dict[str, list[str]] | None = None,
+) -> pd.DataFrame:
+    """Build a cell index parquet from OPS screen data
+    (reference ``cell_index.py:612``): per-well label tables
+    (``{well_flat}_linked_pheno_iss.{parquet,csv}``) joined with the plate's
+    FOV layout and pixel sizes; bbox strings become centroids, cells with a
+    bbox side below ``min_bbox_size`` are dropped."""
+    store_path = Path(store_path)
+    labels_path = Path(labels_path)
+    plate = open_ome_zarr(store_path, mode="r")
+
+    positions = [(name, pos) for name, pos in plate.positions()]
+    discovered_wells = sorted({"/".join(name.split("/")[:2]) for name, _ in positions})
+    target_wells = wells if wells is not None else discovered_wells
+    scale = positions[0][1].scale if positions else [1.0] * 5
+    pixel_size_z_um = scale[2] if len(scale) > 2 else None
+    pixel_size_xy_um = scale[3] if len(scale) > 3 else None
+
+    all_rows: list[pd.DataFrame] = []
+    for well in target_wells:
+        well_flat = well.replace("/", "")
+        label_file = next(
+            (
+                labels_path / f"{well_flat}_linked_pheno_iss.{ext}"
+                for ext in ("parquet", "csv")
+                if (labels_path / f"{well_flat}_linked_pheno_iss.{ext}").exists()
+            ),
+            None,
+        )
+        if label_file is None:
+            _logger.warning("No label file for well %s, skipping", well)
+            continue
+        labels_df = (
+            pd.read_parquet(label_file)
+            if label_file.suffix == ".parquet"
+            else pd.read_csv(label_file)
+        )
+        labels_df = labels_df.dropna(subset=[segmentation_id_column])
+        if bbox_column in labels_df.columns:
+            centroids = labels_df[bbox_column].apply(_parse_bbox_to_centroid)
+            labels_df["y"] = centroids.apply(lambda c: c[0])
+            labels_df["x"] = centroids.apply(lambda c: c[1])
+            sizes = labels_df[bbox_column].apply(_parse_bbox_min_size)
+            labels_df = labels_df[sizes >= min_bbox_size].copy()
+        if gene_column in labels_df.columns:
+            labels_df[gene_column] = labels_df[gene_column].fillna("NTC")
+
+        well_fovs = [name for name, _ in positions if name.startswith(well + "/")]
+        fov_path = well_fovs[0] if well_fovs else well + "/0"
+        seg_id = labels_df[segmentation_id_column].astype(int)
+        out = pd.DataFrame(index=labels_df.index)
+        out["cell_id"] = experiment_name + "_" + fov_path + "_" + seg_id.astype(str)
+        out["experiment"] = experiment_name
+        out["store_path"] = str(store_path)
+        out["tracks_path"] = ""
+        out["fov"] = fov_path
+        out["well"] = well
+        out["y"] = labels_df.get("y", np.nan)
+        out["x"] = labels_df.get("x", np.nan)
+        out["z"] = 0
+        channel = labels_df.get(channel_column, "")
+        out["channel_name"] = channel
+        out["marker"] = channel
+        out["pixel_size_xy_um"] = pixel_size_xy_um
+        out["pixel_size_z_um"] = pixel_size_z_um
+        out["perturbation"] = (
+            _resolve_perturbation(perturbation_map, well) if perturbation_map else "unknown"
+        )
+        out["gene_name"] = labels_df.get(gene_column)
+        out["reporter"] = labels_df.get(reporter_column) if reporter_column else None
+        out["sgRNA"] = labels_df.get(sgRNA_column) if sgRNA_column else None
+        # OPS is single-timepoint: each cell is its own track/lineage
+        out["t"] = 0
+        out["track_id"] = seg_id
+        out["global_track_id"] = out["cell_id"]
+        out["lineage_id"] = out["cell_id"]
+        out["parent_track_id"] = -1
+        out["hours_post_perturbation"] = 0.0
+        out["interval_minutes"] = 0.0
+        all_rows.append(out)
+
+    df = pd.concat(all_rows, ignore_index=True) if all_rows else pd.DataFrame()
+    write_cell_index(df, output_path)
+    return df
+
+
+def convert_ops_parquet(
+    ops_parquet_path: str | Path,
+    output_path: str | Path,
+    store_root: str = "",
+    store_suffix: str = "phenotyping.zarr",
+) -> pd.DataFrame:
+    """Convert a merged OPS parquet (one row per cell observation, possibly
+    spanning experiments via ``store_key``) to the canonical flat cell-index
+    schema (reference ``cell_index.py:790``)."""
+    df = pd.read_parquet(Path(ops_parquet_path))
+    out = pd.DataFrame()
+    out["experiment"] = df["store_key"]
+    out["store_path"] = df["store_key"].map(lambda k: f"{store_root}/{k}/{store_suffix}")
+    out["fov"] = df["well"].map(lambda w: w.rsplit("/", 1)[1] if "/" in w else w)
+    out["well"] = df["well"].map(lambda w: w.rsplit("/", 1)[0])
+    centroids = df["bbox"].apply(_parse_bbox_to_centroid)
+    out["y"] = centroids.map(lambda c: c[0]).astype("float32")
+    out["x"] = centroids.map(lambda c: c[1]).astype("float32")
+    out["z"] = 0
+    out["channel_name"] = df.get("channel", "")
+    out["marker"] = df.get("reporter", out["channel_name"])
+    out["organelle"] = None
+    out["gene_name"] = df["gene_name"].fillna("NTC") if "gene_name" in df.columns else None
+    out["reporter"] = df.get("reporter")
+    out["sgRNA"] = df.get("sgRNA")
+    out["perturbation"] = out["gene_name"] if "gene_name" in df.columns else "unknown"
+    out["t"] = 0
+    id_series = (
+        df["total_index"].astype(str)
+        if "total_index" in df.columns
+        else pd.Series(range(len(df))).astype(str)
+    )
+    out["track_id"] = (
+        df["total_index"].astype("Int32")
+        if "total_index" in df.columns
+        else pd.array(range(len(df)), dtype="Int32")
+    )
+    out["cell_id"] = df["store_key"].astype(str) + "_" + id_series
+    out["global_track_id"] = out["cell_id"]
+    out["lineage_id"] = out["cell_id"]
+    out["parent_track_id"] = -1
+    out["hours_post_perturbation"] = 0.0
+    out["tracks_path"] = ""
+    out["interval_minutes"] = 0.0
+    out["microscope"] = ""
+    out["pixel_size_xy_um"] = None
+    out["pixel_size_z_um"] = None
+    write_cell_index(out, output_path)
+    return out

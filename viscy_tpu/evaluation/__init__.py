@@ -2,6 +2,8 @@
 image metrics, clustering, MMD, smoothness, linear probing."""
 
 from viscy_tpu.evaluation.metrics import (
+    labels_to_masks,
+    mean_average_precision,
     mean_average_precision_stub,
     pearson_correlation,
     voi_score,
@@ -19,6 +21,15 @@ from viscy_tpu.evaluation.mmd import (
     mmd_permutation_test,
 )
 from viscy_tpu.evaluation.smoothness import compute_embeddings_smoothness
+from viscy_tpu.evaluation.distance import (
+    calculate_cosine_similarity_cell,
+    compute_track_displacement,
+)
+from viscy_tpu.evaluation.annotation import convert, load_annotation
+from viscy_tpu.evaluation.zarr_utils import (
+    append_to_embedding_dataset,
+    merge_csv_into_obs,
+)
 from viscy_tpu.evaluation.linear_classifier import (
     LinearClassifierPipeline,
     train_linear_classifier,
@@ -27,6 +38,8 @@ from viscy_tpu.evaluation.linear_classifier import (
 __all__ = [
     "pearson_correlation",
     "voi_score",
+    "labels_to_masks",
+    "mean_average_precision",
     "mean_average_precision_stub",
     "knn_accuracy",
     "pairwise_distance_matrix",
@@ -37,6 +50,12 @@ __all__ = [
     "compute_mmd_unbiased",
     "mmd_permutation_test",
     "compute_embeddings_smoothness",
+    "calculate_cosine_similarity_cell",
+    "compute_track_displacement",
+    "convert",
+    "load_annotation",
+    "append_to_embedding_dataset",
+    "merge_csv_into_obs",
     "LinearClassifierPipeline",
     "train_linear_classifier",
 ]

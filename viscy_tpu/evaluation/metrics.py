@@ -17,6 +17,8 @@ __all__ = [
     "pearson_correlation",
     "voi_score",
     "pod_metric",
+    "labels_to_masks",
+    "mean_average_precision",
     "mean_average_precision_stub",
 ]
 
@@ -90,8 +92,87 @@ def pod_metric(
     }
 
 
+def labels_to_masks(labels: np.ndarray) -> np.ndarray:
+    """Integer label image -> (N, H, W) boolean instance masks, skipping
+    background 0 (reference ``metrics.py:117``)."""
+    labels = np.asarray(labels)
+    if labels.ndim != 2:
+        raise ValueError(f"Labels must be 2D, got shape {labels.shape}.")
+    segments = np.unique(labels)
+    segments = segments[segments != 0]
+    return labels[None] == segments[:, None, None]
+
+
+def _mask_iou_matrix(pred: np.ndarray, target: np.ndarray) -> np.ndarray:
+    """Pairwise IoU between (P, H, W) and (T, H, W) boolean mask stacks."""
+    p = pred.reshape(pred.shape[0], -1).astype(np.float64)
+    t = target.reshape(target.shape[0], -1).astype(np.float64)
+    inter = p @ t.T
+    union = p.sum(1)[:, None] + t.sum(1)[None, :] - inter
+    return np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+
+
+def _ap_at_threshold(iou: np.ndarray, thr: float) -> tuple[float, float]:
+    """COCO-style AP/AR at one IoU threshold with uniform scores: greedy
+    match each prediction (in order) to its best unmatched GT, then
+    101-point-interpolated AP over the cumulative PR curve."""
+    n_pred, n_tgt = iou.shape
+    if n_tgt == 0:
+        return (0.0, 0.0) if n_pred else (float("nan"), float("nan"))
+    if n_pred == 0:
+        return 0.0, 0.0
+    matched = np.zeros(n_tgt, bool)
+    tp = np.zeros(n_pred, bool)
+    for i in range(n_pred):
+        cand = np.where(~matched & (iou[i] >= thr))[0]
+        if cand.size:
+            j = cand[np.argmax(iou[i, cand])]
+            matched[j] = True
+            tp[i] = True
+    tp_cum = np.cumsum(tp)
+    fp_cum = np.cumsum(~tp)
+    recall = tp_cum / n_tgt
+    precision = tp_cum / np.maximum(tp_cum + fp_cum, 1)
+    # monotone non-increasing precision envelope
+    precision = np.maximum.accumulate(precision[::-1])[::-1]
+    rec_grid = np.linspace(0.0, 1.0, 101)
+    idx = np.searchsorted(recall, rec_grid, side="left")
+    p_interp = np.where(idx < n_pred, precision[np.minimum(idx, n_pred - 1)], 0.0)
+    return float(p_interp.mean()), float(recall[-1])
+
+
+def mean_average_precision(
+    pred_labels: np.ndarray,
+    target_labels: np.ndarray,
+    iou_thresholds: np.ndarray | None = None,
+) -> dict:
+    """COCO-style instance-segmentation mAP over a single label-image pair
+    (reference ``metrics.py:155``, torchmetrics ``MeanAveragePrecision``
+    with ``iou_type="segm"`` and uniform dummy scores — reimplemented in
+    numpy because pycocotools is not in this image)."""
+    if iou_thresholds is None:
+        iou_thresholds = np.arange(0.5, 1.0, 0.05)
+    pred_masks = labels_to_masks(np.asarray(pred_labels))
+    tgt_masks = labels_to_masks(np.asarray(target_labels))
+    iou = _mask_iou_matrix(pred_masks, tgt_masks)
+    aps, ars = [], []
+    for thr in iou_thresholds:
+        ap, ar = _ap_at_threshold(iou, float(thr))
+        aps.append(ap)
+        ars.append(ar)
+    ap50, _ = _ap_at_threshold(iou, 0.5)
+    ap75, _ = _ap_at_threshold(iou, 0.75)
+    return {
+        "map": float(np.nanmean(aps)),
+        "map_50": ap50,
+        "map_75": ap75,
+        "mar_100": float(np.nanmean(ars)),
+        "num_pred": int(pred_masks.shape[0]),
+        "num_target": int(tgt_masks.shape[0]),
+    }
+
+
 def mean_average_precision_stub(*args, **kwargs):
-    """COCO mAP requires torchmetrics+pycocotools (not in this image)."""
-    raise NotImplementedError(
-        "COCO-style mAP is not available in this environment; use pod_metric."
-    )
+    """Kept for compatibility: COCO mAP is now implemented natively in
+    :func:`mean_average_precision` (numpy; no pycocotools dependency)."""
+    return mean_average_precision(*args, **kwargs)
