@@ -86,3 +86,76 @@ def test_shard_batch_replicates_indivisible():
     out = shard_batch(batch, mesh)
     # replicated, not sharded
     assert out["x"].sharding.is_fully_replicated
+
+
+def _run_steps(module, state, batch, mesh, n_steps=2):
+    step = _step_fn(module)
+    sharded = shard_batch(batch, mesh)
+    loss = None
+    for i in range(n_steps):
+        state, loss = step(state, sharded, jax.random.PRNGKey(7 + i))
+    return float(jax.device_get(loss)), state
+
+
+def test_fsdp_matches_replicated():
+    from viscy_tpu.parallel.sharding_rules import infer_param_sharding, shard_train_state
+
+    module, state, batch, mesh = _setup(8)
+    loss_rep, state_rep = _run_steps(module, state, batch, mesh)
+
+    module2, state2, _, mesh2 = _setup(8)
+    shardings = infer_param_sharding(state2.params, mesh2, "fsdp", min_elems=2**10)
+    sharded_specs = {
+        s.spec for s in jax.tree_util.tree_leaves(
+            shardings, is_leaf=lambda x: hasattr(x, "spec")
+        )
+    }
+    assert any(spec != jax.sharding.PartitionSpec() for spec in sharded_specs), (
+        "expected at least one sharded tensor"
+    )
+    state2 = shard_train_state(state2, mesh2, "fsdp", min_elems=2**10)
+    loss_fsdp, state_fsdp = _run_steps(module2, state2, batch, mesh2)
+    assert loss_fsdp == pytest.approx(loss_rep, rel=1e-4)
+    p_rep = jax.device_get(jax.tree_util.tree_leaves(state_rep.params)[0])
+    p_fsdp = jax.device_get(jax.tree_util.tree_leaves(state_fsdp.params)[0])
+    np.testing.assert_allclose(p_rep, p_fsdp, rtol=1e-4, atol=1e-5)
+
+
+def test_tp_model_axis():
+    from viscy_tpu.parallel.sharding_rules import shard_train_state
+
+    from viscy_tpu.apps.cytoland.engine import VSUNet
+    from viscy_tpu.training.losses.mixed_loss import MixedLoss
+
+    module = VSUNet(
+        architecture="fcmae",
+        model_config=dict(
+            in_channels=1,
+            out_channels=1,
+            encoder_blocks=(1, 1, 1, 1),
+            dims=(8, 16, 32, 64),
+            stem_kernel_size=(5, 4, 4),
+            in_stack_depth=5,
+            pretraining=False,
+        ),
+        loss_function=MixedLoss(l1_alpha=1.0, ms_dssim_alpha=0.0),
+    )
+    rngs = np.random.default_rng(0)
+    batch = {
+        "source": rngs.random((8, 1, 5, 32, 32), np.float32),
+        "target": rngs.random((8, 1, 5, 32, 32), np.float32),
+    }
+    variables = module.init_variables(jax.random.PRNGKey(0), batch)
+    tx, _ = module.configure_optimizers(10)
+
+    # replicated single-device truth
+    mesh1 = make_mesh(data=1, model=1, devices=jax.devices()[:1])
+    state1 = replicate(TrainState.create(variables, tx), mesh1)
+    loss_ref, _ = _run_steps(module, state1, batch, mesh1)
+
+    # 4-way data x 2-way tensor parallel
+    mesh = make_mesh(data=4, model=2, devices=jax.devices()[:8])
+    state = TrainState.create(variables, tx)
+    state = shard_train_state(state, mesh, "tp", min_elems=2**10)
+    loss_tp, _ = _run_steps(module, state, batch, mesh)
+    assert loss_tp == pytest.approx(loss_ref, rel=1e-4)

@@ -7,5 +7,14 @@ from viscy_tpu.parallel.mesh import (
     shard_batch,
     local_batch_slice,
 )
+from viscy_tpu.parallel.sharding_rules import infer_param_sharding, shard_train_state
 
-__all__ = ["make_mesh", "get_mesh", "shard_batch", "replicate", "local_batch_slice"]
+__all__ = [
+    "make_mesh",
+    "get_mesh",
+    "shard_batch",
+    "replicate",
+    "local_batch_slice",
+    "infer_param_sharding",
+    "shard_train_state",
+]
