@@ -329,3 +329,61 @@ def test_transform_channel_wise_roundtrip():
     out = transform_channel_wise(double_first, ["a", "b", "c"], patch)
     np.testing.assert_allclose(out[:, 0], patch[:, 0] * 2, rtol=1e-6)
     np.testing.assert_allclose(out[:, 1:], patch[:, 1:], rtol=1e-6)
+
+
+def test_dinov2_hf_conversion_numeric_parity(tmp_path):
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+    import os
+
+    os.environ["HF_HUB_OFFLINE"] = "1"
+    from viscy_tpu.models.foundation.convert import convert_dinov2_state_dict
+    from viscy_tpu.models.foundation.vit import DinoViT
+
+    cfg = transformers.Dinov2Config(
+        hidden_size=64,
+        num_hidden_layers=2,
+        num_attention_heads=2,
+        intermediate_size=256,
+        image_size=32,
+        patch_size=8,
+        layerscale_value=0.5,
+        hidden_act="gelu",
+    )
+    tm = transformers.Dinov2Model(cfg).eval()
+    x = np.random.default_rng(0).normal(size=(2, 3, 32, 32)).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x)).last_hidden_state.numpy()
+    fm = DinoViT(img_size=32, patch_size=8, embed_dim=64, depth=2, num_heads=2)
+    params = convert_dinov2_state_dict(tm.state_dict(), depth=2, num_heads=2)
+    out = fm.apply({"params": params}, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    mine = np.asarray(out["tokens"])
+    np.testing.assert_allclose(ref, mine, atol=2e-5, rtol=1e-4)
+
+
+def test_foundation_wrapper_load_backbone(tmp_path):
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+    import os
+
+    os.environ["HF_HUB_OFFLINE"] = "1"
+    from viscy_tpu.models.foundation.wrappers import CellDinoModel
+
+    cfg = transformers.Dinov2Config(
+        hidden_size=32,
+        num_hidden_layers=1,
+        num_attention_heads=2,
+        intermediate_size=64,
+        image_size=56,
+        patch_size=14,
+    )
+    tm = transformers.Dinov2Model(cfg)
+    ckpt_dir = tmp_path / "hf_ckpt"
+    tm.save_pretrained(ckpt_dir)
+    wrapper = CellDinoModel(embed_dim=32, depth=1, num_heads=2, patch_size=14, resize_to=56)
+    x = np.random.rand(1, 1, 5, 64, 64).astype(np.float32)
+    variables = wrapper.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    variables = wrapper.load_backbone(variables, str(ckpt_dir))
+    feats, _ = wrapper.apply(variables, jnp.asarray(x))
+    assert feats.shape == (1, 32)
+    assert np.isfinite(np.asarray(feats)).all()

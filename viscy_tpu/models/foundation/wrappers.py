@@ -56,6 +56,20 @@ class _FrozenViTWrapper(nn.Module):
     resize_to: int = 224
     feature: str = "cls"
 
+    def load_backbone(self, variables: dict, checkpoint_path: str) -> dict:
+        """Splice converted HF DINOv2 weights into this wrapper's variables
+        (local checkpoint only; see ``foundation/convert.py``)."""
+        from viscy_tpu.models.foundation.convert import load_dinov2_checkpoint
+
+        backbone = load_dinov2_checkpoint(
+            checkpoint_path, depth=self.depth, num_heads=self.num_heads
+        )
+        variables = dict(variables)
+        params = dict(variables["params"])
+        params["backbone"] = jax.tree_util.tree_map(jnp.asarray, backbone)
+        variables["params"] = params
+        return variables
+
     @nn.compact
     def __call__(self, x: Array) -> tuple[Array, Array]:
         inp = _preprocess(x, self.resize_to)
