@@ -157,3 +157,31 @@ def test_cli_help_subprocess():
     assert result.returncode == 0
     for sub in ("fit", "validate", "test", "predict", "preprocess", "export"):
         assert sub in result.stdout
+
+
+def test_format_markdown_table_and_sections(tmp_path):
+    import yaml
+
+    from viscy_tpu.training.cli_utils import (
+        format_markdown_table,
+        load_config_section,
+        to_numpy,
+    )
+
+    table = format_markdown_table({"mean_ssim": 0.91234, "n_fovs": 4}, title="QC")
+    assert "## QC" in table and "| Mean Ssim | 0.912 |" in table
+    rows = format_markdown_table([{"fov": "A/1/0", "score": 0.5}, {"fov": "B/1/0", "score": 1.0}])
+    assert "| Fov | Score |" in rows and "| B/1/0 | 1.000 |" in rows
+
+    cfg = {"datasets": ["a", "b"], "preprocess": {"num_workers": 2}, "qc": {"metrics": ["focus"]}}
+    p = tmp_path / "cfg.yml"
+    p.write_text(yaml.safe_dump(cfg))
+    sec = load_config_section(p, "preprocess")
+    assert sec["num_workers"] == 2 and sec["datasets"] == ["a", "b"]
+    assert load_config_section(p, None, default_section="qc")["metrics"] == ["focus"]
+    with pytest.raises(KeyError):
+        load_config_section(p, "missing")
+
+    import jax.numpy as jnp
+
+    assert to_numpy(jnp.ones((2,))).sum() == 2.0
