@@ -20,6 +20,12 @@ __all__ = [
     "HostRandSpatialCropd",
     "HostCenterSpatialCropd",
     "HostRandFlipd",
+    "HostRandAdjustContrastd",
+    "HostRandScaleIntensityd",
+    "HostRandGaussianNoised",
+    "HostRandGaussianSmoothd",
+    "HostRandAffined",
+    "ToDeviced",
 ]
 
 
@@ -214,4 +220,181 @@ class HostNormalizeIntensityd(HostTransform):
         for k in self.key_iterator(data):
             x = np.asarray(data[k], np.float32)
             data[k] = (x - x.mean()) / (x.std() + 1e-8)
+        return data
+
+
+class HostRandAdjustContrastd(HostTransform):
+    """Per-sample gamma adjustment (MONAI ``RandAdjustContrastd``)."""
+
+    is_spatial = False
+    is_random = True
+
+    def __init__(self, keys, prob=0.1, gamma=(0.5, 4.5), allow_missing_keys=False) -> None:
+        super().__init__(keys, allow_missing_keys)
+        self.prob = prob
+        self.gamma = (gamma, gamma * 2) if isinstance(gamma, (int, float)) else tuple(gamma)
+
+    def __call__(self, data: dict, rng: np.random.Generator | None = None) -> dict:
+        rng = rng or np.random.default_rng()
+        if rng.random() >= self.prob:
+            return data
+        data = dict(data)
+        gamma = rng.uniform(*self.gamma)
+        for k in self.key_iterator(data):
+            x = np.asarray(data[k], np.float32)
+            lo, hi = x.min(), x.max()
+            span = max(hi - lo, 1e-8)
+            data[k] = ((x - lo) / span) ** gamma * span + lo
+        return data
+
+
+class HostRandScaleIntensityd(HostTransform):
+    """Per-sample multiplicative scaling (MONAI ``RandScaleIntensityd``)."""
+
+    is_spatial = False
+    is_random = True
+
+    def __init__(self, keys, factors=0.5, prob=0.1, allow_missing_keys=False) -> None:
+        super().__init__(keys, allow_missing_keys)
+        self.factors = (-abs(factors), abs(factors)) if isinstance(factors, (int, float)) else tuple(factors)
+        self.prob = prob
+
+    def __call__(self, data: dict, rng: np.random.Generator | None = None) -> dict:
+        rng = rng or np.random.default_rng()
+        if rng.random() >= self.prob:
+            return data
+        data = dict(data)
+        factor = 1.0 + rng.uniform(*self.factors)
+        for k in self.key_iterator(data):
+            data[k] = np.asarray(data[k], np.float32) * factor
+        return data
+
+
+class HostRandGaussianNoised(HostTransform):
+    """Per-sample additive Gaussian noise (MONAI ``RandGaussianNoised``)."""
+
+    is_spatial = False
+    is_random = True
+
+    def __init__(self, keys, prob=0.1, mean=0.0, std=0.1, allow_missing_keys=False) -> None:
+        super().__init__(keys, allow_missing_keys)
+        self.prob = prob
+        self.mean = mean
+        self.std = std
+
+    def __call__(self, data: dict, rng: np.random.Generator | None = None) -> dict:
+        rng = rng or np.random.default_rng()
+        if rng.random() >= self.prob:
+            return data
+        data = dict(data)
+        for k in self.key_iterator(data):
+            x = np.asarray(data[k], np.float32)
+            data[k] = x + rng.normal(self.mean, self.std, x.shape).astype(np.float32)
+        return data
+
+
+class HostRandGaussianSmoothd(HostTransform):
+    """Per-sample Gaussian blur with per-axis sigma ranges
+    (MONAI ``RandGaussianSmoothd``)."""
+
+    is_spatial = False
+    is_random = True
+
+    def __init__(
+        self,
+        keys,
+        prob=0.1,
+        sigma_x=(0.25, 1.5),
+        sigma_y=(0.25, 1.5),
+        sigma_z=(0.0, 0.0),
+        allow_missing_keys=False,
+    ) -> None:
+        super().__init__(keys, allow_missing_keys)
+        self.prob = prob
+        self.sigmas = (sigma_z, sigma_y, sigma_x)
+
+    def __call__(self, data: dict, rng: np.random.Generator | None = None) -> dict:
+        from scipy.ndimage import gaussian_filter
+
+        rng = rng or np.random.default_rng()
+        if rng.random() >= self.prob:
+            return data
+        data = dict(data)
+        sig = [rng.uniform(*s) if s[1] > 0 else 0.0 for s in self.sigmas]
+        for k in self.key_iterator(data):
+            x = np.asarray(data[k], np.float32)
+            sigma = [0.0] * (x.ndim - 3) + sig
+            data[k] = gaussian_filter(x, sigma=sigma).astype(np.float32)
+        return data
+
+
+class HostRandAffined(HostTransform):
+    """Per-sample affine warp via scipy (MONAI ``RandAffined`` semantics:
+    ZYX rotation/scale/shear ranges shared across keys)."""
+
+    is_spatial = True
+    is_random = True
+
+    def __init__(
+        self,
+        keys,
+        prob=0.1,
+        rotate_range=(0.0, 0.0, 0.0),
+        scale_range=(0.0, 0.0, 0.0),
+        shear_range=(0.0, 0.0, 0.0),
+        allow_missing_keys=False,
+    ) -> None:
+        super().__init__(keys, allow_missing_keys)
+        self.prob = prob
+        self.rotate_range = tuple(rotate_range)
+        self.scale_range = tuple(scale_range)
+        self.shear_range = tuple(shear_range)
+
+    @staticmethod
+    def _range(rng, r):
+        if isinstance(r, (tuple, list)):
+            lo, hi = (r if len(r) == 2 else (-r[0], r[0]))
+        else:
+            lo, hi = -r, r
+        return rng.uniform(lo, hi)
+
+    def __call__(self, data: dict, rng: np.random.Generator | None = None) -> dict:
+        from scipy.ndimage import affine_transform
+
+        rng = rng or np.random.default_rng()
+        if rng.random() >= self.prob:
+            return data
+        data = dict(data)
+        # one parameter draw shared across keys so source/target stay aligned
+        angle = self._range(rng, self.rotate_range[0]) if self.rotate_range else 0.0
+        scales = np.array(
+            [1.0 + self._range(rng, s) for s in self.scale_range], np.float64
+        ) if self.scale_range else np.ones(3)
+        cos, sin = np.cos(angle), np.sin(angle)
+        # rotation in the YX plane (Z-axis rotation), diagonal scale
+        rot = np.array([[1, 0, 0], [0, cos, -sin], [0, sin, cos]], np.float64)
+        mat = rot @ np.diag(1.0 / scales)
+        for k in self.key_iterator(data):
+            x = np.asarray(data[k], np.float32)
+            center = (np.asarray(x.shape[-3:]) - 1) / 2.0
+            offset = center - mat @ center
+            lead = x.shape[:-3]
+            flat = x.reshape(-1, *x.shape[-3:])
+            out = np.stack(
+                [affine_transform(f, mat, offset=offset, order=1) for f in flat]
+            )
+            data[k] = out.reshape(*lead, *x.shape[-3:]).astype(np.float32)
+        return data
+
+
+class ToDeviced(HostTransform):
+    """No-op name-compat shim: H2D transfer happens in the trainer's
+    ``shard_batch`` (reference ``ToDeviced`` moves tensors to GPU)."""
+
+    is_spatial = False
+
+    def __init__(self, keys=None, device=None, allow_missing_keys=False) -> None:
+        super().__init__(keys or [], True)
+
+    def __call__(self, data: dict, rng=None) -> dict:
         return data

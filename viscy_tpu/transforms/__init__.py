@@ -51,6 +51,12 @@ _HOST_ALIASES = {
     "RandSpatialCropd": "HostRandSpatialCropd",
     "RandWeightedCropd": "HostRandWeightedCropd",
     "ScaleIntensityRangePercentilesd": "HostScaleIntensityRangePercentilesd",
+    "RandAffined": "HostRandAffined",
+    "RandAdjustContrastd": "HostRandAdjustContrastd",
+    "RandScaleIntensityd": "HostRandScaleIntensityd",
+    "RandGaussianNoised": "HostRandGaussianNoised",
+    "RandGaussianSmoothd": "HostRandGaussianSmoothd",
+    "ToDeviced": "ToDeviced",
 }
 
 
@@ -102,4 +108,10 @@ __all__ = [
     "RandSpatialCropd",
     "RandWeightedCropd",
     "ScaleIntensityRangePercentilesd",
+    "RandAffined",
+    "RandAdjustContrastd",
+    "RandScaleIntensityd",
+    "RandGaussianNoised",
+    "RandGaussianSmoothd",
+    "ToDeviced",
 ]
