@@ -142,3 +142,43 @@ def test_loader_multithread_order_and_exceptions():
 
     with pytest.raises(RuntimeError, match="boom"):
         list(DataLoader(BadDS(), batch_size=2, num_workers=3))
+
+
+def test_hcs_caching_pushdown_native(preprocessed_hcs_dataset):
+    """Caching + weighted-crop pushdown drives the native crop kernel."""
+    from viscy_tpu.data import HCSDataModule
+    from viscy_tpu.transforms import RandWeightedCropd
+
+    dm = HCSDataModule(
+        preprocessed_hcs_dataset,
+        source_channel="Phase",
+        target_channel="GFP",
+        z_window_size=8,
+        batch_size=4,
+        num_workers=0,
+        yx_patch_size=(24, 24),
+        caching=True,
+        normalize_on_device=True,
+        augmentations=[
+            RandWeightedCropd(
+                keys=["source", "target"],
+                w_key="target",
+                spatial_size=(8, 24, 24),
+                num_samples=2,
+            )
+        ],
+    )
+    dm.prepare_data()
+    dm.setup("fit")
+    assert dm.train_dataset.pushdown_crop is not None
+    batch = next(iter(dm.train_dataloader()))
+    assert batch["source"].shape[-2:] == (24, 24)
+    assert batch["source"].shape[1:3] == (1, 8)
+    assert batch["target"].shape[1:3] == (1, 8)
+    assert np.isfinite(batch["source"]).all()
+    # reproducibility: same epoch -> same batch
+    dm.set_epoch(0)
+    b1 = next(iter(dm.train_dataloader()))
+    dm.set_epoch(0)
+    b2 = next(iter(dm.train_dataloader()))
+    np.testing.assert_allclose(b1["source"], b2["source"])

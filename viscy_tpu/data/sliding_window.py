@@ -65,6 +65,7 @@ class SlidingWindowDataset:
         self.max_nonzero_retries = max_nonzero_retries
         self.fg_mask_key = fg_mask_key
         self.pushdown_crop = pushdown_crop
+        self._origin_cdf_cache: dict = {}
         self.seed = seed
         self._all_ch_names = list(self.channels["source"])
         self._all_ch_idx = list(self.source_ch_idx)
@@ -239,18 +240,56 @@ class SlidingWindowDataset:
         weight = slab[n_source]  # first target channel
         cz, cy, cx = crop.spatial_size
         cz = min(cz, slab.shape[1])
-        origins = _sample_weighted_origins(
-            weight, (cy, cx), crop.num_samples, rng
-        )
+        # the weight volume is static across epochs: cache its window-sum
+        # CDF per (fov, t, z) — recomputing the integral image was ~44% of
+        # item time at production shapes
+        cache_key = (arr_idx, t, z)
+        cdf_vx = self._origin_cdf_cache.get(cache_key)
+        if cdf_vx is None:
+            if len(self._origin_cdf_cache) >= 512:
+                self._origin_cdf_cache.clear()
+            cdf_vx = _weighted_origin_cdf(weight, (cy, cx))
+            self._origin_cdf_cache[cache_key] = cdf_vx
+        origins = _sample_origins_from_cdf(*cdf_vx, crop.num_samples, rng)
         if norm_meta is not None:
             norm_meta = self._resolve_timepoint_norm_meta(norm_meta, t)
         sample_index = HCSStackIndex(f"/{img.path}", t, z)
-        out = []
-        for ys, xs in origins:
-            zs0 = 0 if cz >= slab.shape[1] else int(rng.integers(0, slab.shape[1] - cz + 1))
-            patch = np.ascontiguousarray(
-                slab[:, zs0 : zs0 + cz, ys : ys + cy, xs : xs + cx], dtype=np.float32
+        z_lo = 0 if cz >= slab.shape[1] else None
+        full = view[t]  # (C, Z, Y, X), contiguous when preloaded
+        origins3 = np.array(
+            [
+                (
+                    z
+                    + (
+                        z_lo
+                        if z_lo is not None
+                        else int(rng.integers(0, slab.shape[1] - cz + 1))
+                    ),
+                    ys,
+                    xs,
+                )
+                for ys, xs in origins
+            ],
+            np.int64,
+        )
+        if full.dtype == np.float32 and full.flags["C_CONTIGUOUS"]:
+            # fused native crop+collate (C++ thread pool; numpy fallback
+            # inside) — one pass, no per-patch temporaries
+            from viscy_tpu.native import batched_crop_normalize
+
+            patches = batched_crop_normalize(full, origins3, (cz, cy, cx))
+        else:
+            patches = np.stack(
+                [
+                    np.ascontiguousarray(
+                        full[:, z0 : z0 + cz, y0 : y0 + cy, x0 : x0 + cx],
+                        dtype=np.float32,
+                    )
+                    for z0, y0, x0 in origins3
+                ]
             )
+        out = []
+        for patch in patches:
             sample = {
                 "index": sample_index,
                 "source": patch[:n_source],
@@ -263,11 +302,11 @@ class SlidingWindowDataset:
         return out if len(out) > 1 else out[0]
 
 
-def _sample_weighted_origins(
-    weight: np.ndarray, crop_yx: tuple[int, int], num_samples: int, rng: np.random.Generator
-) -> list[tuple[int, int]]:
-    """Sample crop origins with probability proportional to window-summed
-    weight (Z-reduced), via an integral image (O(1) per window)."""
+def _weighted_origin_cdf(
+    weight: np.ndarray, crop_yx: tuple[int, int]
+) -> tuple[np.ndarray, int]:
+    """Cumulative distribution over valid crop origins, proportional to
+    window-summed weight (Z-reduced), via an integral image."""
     cy, cx = crop_yx
     wm = np.clip(weight.sum(axis=0, dtype=np.float32), 0, None)
     integral = np.pad(wm, ((1, 0), (1, 0))).cumsum(0).cumsum(1)
@@ -278,11 +317,32 @@ def _sample_weighted_origins(
         - integral[cy:, :-cx][:vy, :vx]
         + integral[:-cy, :-cx][:vy, :vx]
     )
-    flat = window.reshape(-1)
+    flat = np.clip(window.reshape(-1).astype(np.float64), 0, None)
     total = flat.sum()
-    p = np.full_like(flat, 1.0 / flat.size) if total <= 0 else flat / total
-    idx = rng.choice(flat.size, size=num_samples, p=p)
+    if total <= 0:
+        flat = np.ones_like(flat)
+        total = flat.size
+    cdf = np.cumsum(flat / total)
+    return cdf, vx
+
+
+def _sample_origins_from_cdf(
+    cdf: np.ndarray, vx: int, num_samples: int, rng: np.random.Generator
+) -> list[tuple[int, int]]:
+    """Inverse-CDF sampling: O(num_samples * log n) vs rng.choice's O(n)."""
+    u = rng.random(num_samples)
+    idx = np.searchsorted(cdf, u, side="right")
+    idx = np.minimum(idx, cdf.size - 1)
     return [(int(i) // vx, int(i) % vx) for i in idx]
+
+
+def _sample_weighted_origins(
+    weight: np.ndarray, crop_yx: tuple[int, int], num_samples: int, rng: np.random.Generator
+) -> list[tuple[int, int]]:
+    """Sample crop origins with probability proportional to window-summed
+    weight (kept for direct use; the dataset path caches the CDF)."""
+    cdf, vx = _weighted_origin_cdf(weight, crop_yx)
+    return _sample_origins_from_cdf(cdf, vx, num_samples, rng)
 
 
 class MaskTestDataset(SlidingWindowDataset):

@@ -1,0 +1,146 @@
+"""Native (C++) host input-pipeline kernels.
+
+The compute path is JAX/XLA/Pallas; the host feeder's hot loop — batched
+crop + normalize + collate from staged volumes — is C++ with a thread
+pool (``crop_norm.cpp``), the one host-side component SURVEY §7 marks as
+justified native code (the reference leans on torch DataLoader worker
+*processes* instead; a TPU host feeds from one process).
+
+Built on first use with ``g++ -O3 -march=native`` (pybind11 is not in this
+image; bindings are ctypes). Falls back to numpy transparently when no
+compiler is available — ``batched_crop_normalize`` is the single entry
+point either way.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import subprocess
+import threading
+from pathlib import Path
+
+import numpy as np
+
+_logger = logging.getLogger("viscy_tpu")
+_SRC = Path(__file__).parent / "crop_norm.cpp"
+_SO = Path(__file__).parent / "_crop_norm.so"
+_LOCK = threading.Lock()
+_LIB: ctypes.CDLL | None | bool = None  # None = untried, False = unavailable
+
+__all__ = ["batched_crop_normalize", "native_available"]
+
+
+def _build() -> bool:
+    cmd = [
+        "g++",
+        "-O3",
+        "-march=native",
+        "-shared",
+        "-fPIC",
+        "-std=c++17",
+        "-pthread",
+        str(_SRC),
+        "-o",
+        str(_SO),
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return True
+    except (OSError, subprocess.SubprocessError) as e:
+        _logger.warning("native crop_norm build failed (%s); using numpy fallback", e)
+        return False
+
+
+def _load() -> ctypes.CDLL | None:
+    global _LIB
+    with _LOCK:
+        if _LIB is None:
+            if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
+                if not _build():
+                    _LIB = False
+                    return None
+            lib = ctypes.CDLL(str(_SO))
+            lib.crop_norm_f32.restype = None
+            lib.crop_norm_f32.argtypes = [
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.c_int64,
+                ctypes.c_int64,
+                ctypes.c_int64,
+                ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int64,
+                ctypes.c_int64,
+                ctypes.c_int64,
+                ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.c_int64,
+            ]
+            _LIB = lib
+    return _LIB or None
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+def _numpy_crop_normalize(volume, origins, patch_size, means, stds):
+    pz, py, px = patch_size
+    out = np.empty((len(origins), volume.shape[0], pz, py, px), np.float32)
+    for i, (z0, y0, x0) in enumerate(origins):
+        patch = volume[:, z0 : z0 + pz, y0 : y0 + py, x0 : x0 + px].astype(np.float32)
+        if stds is not None:
+            patch = (patch - means[:, None, None, None]) / stds[:, None, None, None]
+        out[i] = patch
+    return out
+
+
+def batched_crop_normalize(
+    volume: np.ndarray,
+    origins: np.ndarray,
+    patch_size: tuple[int, int, int],
+    means: np.ndarray | None = None,
+    stds: np.ndarray | None = None,
+    n_threads: int = 0,
+) -> np.ndarray:
+    """Crop ``len(origins)`` patches from a (C, Z, Y, X) volume, fused with
+    per-channel ``(x - mean) / std``, into an (N, C, pz, py, px) batch.
+
+    ``n_threads=0`` uses all host cores; stats ``None`` skips normalization.
+    """
+    volume = np.ascontiguousarray(volume, np.float32)
+    origins = np.ascontiguousarray(origins, np.int64).reshape(-1, 3)
+    pz, py, px = (int(p) for p in patch_size)
+    c, zdim, ydim, xdim = volume.shape
+    if ((origins < 0).any()
+            or (origins[:, 0] + pz > zdim).any()
+            or (origins[:, 1] + py > ydim).any()
+            or (origins[:, 2] + px > xdim).any()):
+        raise ValueError("crop origins out of bounds")
+    if means is not None:
+        means = np.ascontiguousarray(means, np.float32).reshape(c)
+        stds = np.ascontiguousarray(stds, np.float32).reshape(c)
+    lib = _load()
+    if lib is None:
+        return _numpy_crop_normalize(volume, origins, (pz, py, px), means, stds)
+    out = np.empty((origins.shape[0], c, pz, py, px), np.float32)
+    fptr = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))  # noqa: E731
+    lib.crop_norm_f32(
+        fptr(volume),
+        c,
+        zdim,
+        ydim,
+        xdim,
+        origins.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        origins.shape[0],
+        pz,
+        py,
+        px,
+        fptr(means) if means is not None else None,
+        fptr(stds) if stds is not None else None,
+        fptr(out),
+        n_threads,
+    )
+    return out
