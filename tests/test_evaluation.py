@@ -276,3 +276,89 @@ def test_merge_csv_into_obs(tmp_path):
     merged, stats = merge_csv_into_obs(index, tmp_path / "m.csv", columns=["label"], prefix="ann_")
     assert stats == {"ann_label": 2}
     assert merged["ann_label"].tolist()[1:] == ["x", "y"]
+
+
+def test_cell_features_full():
+    from viscy_tpu.evaluation.feature import CellFeatures
+
+    rng = np.random.default_rng(0)
+    img = rng.random((64, 64)).astype(np.float32)
+    mask = np.zeros((64, 64), np.int16)
+    mask[10:30, 10:30] = 1  # square: eccentricity ~0
+    mask[40:60, 20:25] = 2  # elongated: high eccentricity
+    df = CellFeatures(img, mask).compute_all_features()
+    assert df.shape[0] == 1
+    for col in (
+        "mean_intensity",
+        "kurtosis",
+        "skewness",
+        "spectral_entropy",
+        "iqr",
+        "weighted_intensity_gradient",
+        "contrast",
+        "homogeneity",
+        "dissimilarity",
+        "texture",
+        "area",
+        "perimeter",
+        "perimeter_area_ratio",
+        "eccentricity",
+        "intensity_localization",
+        "masked_intensity",
+        "masked_area",
+        "zernike_std",
+        "zernike_mean",
+        "radial_intensity_gradient",
+    ):
+        assert col in df.columns, col
+        assert np.isfinite(df[col].iloc[0]), col
+    # elongated region dominates mean eccentricity above a circle's
+    assert df["eccentricity"].iloc[0] > 0.4
+    # no-mask path skips morphology
+    df2 = CellFeatures(img).compute_all_features()
+    assert "area" not in df2.columns
+
+
+def test_cell_features_shape_discrimination():
+    from viscy_tpu.evaluation.feature import _region_props, _zernike_moments
+
+    circle = np.zeros((65, 65), np.int16)
+    y, x = np.indices(circle.shape)
+    circle[(y - 32) ** 2 + (x - 32) ** 2 <= 20**2] = 1
+    ecc_circle = _region_props(circle)[0]["eccentricity"]
+    bar = np.zeros((65, 65), np.int16)
+    bar[30:35, 5:60] = 1
+    ecc_bar = _region_props(bar)[0]["eccentricity"]
+    assert ecc_circle < 0.2 < 0.9 < ecc_bar
+    # zernike: rotation invariance of the magnitudes
+    z0 = _zernike_moments(circle.astype(float), 32)
+    z90 = _zernike_moments(np.rot90(circle).astype(float), 32)
+    np.testing.assert_allclose(z0, z90, atol=1e-6)
+
+
+def test_dynamic_features():
+    import pandas as pd
+
+    from viscy_tpu.evaluation.feature import DynamicFeatures
+
+    # straight-line track: persistence 1, zero angular velocity
+    straight = pd.DataFrame(
+        {"track_id": ["a"] * 5, "t": range(5), "x": np.arange(5.0), "y": np.zeros(5)}
+    )
+    # right-angle turn
+    turn = pd.DataFrame(
+        {
+            "track_id": ["b"] * 5,
+            "t": range(5),
+            "x": [0.0, 1, 2, 2, 2],
+            "y": [0.0, 0, 0, 1, 2],
+        }
+    )
+    df = DynamicFeatures(pd.concat([straight, turn])).to_df()
+    a = df[df.track_id == "a"].iloc[0]
+    b = df[df.track_id == "b"].iloc[0]
+    assert a.directional_persistence == pytest.approx(1.0)
+    assert a.mean_angular_velocity == pytest.approx(0.0)
+    assert b.max_angular_velocity > 1.0
+    assert b.directional_persistence < 1.0
+    assert a.mean_velocity == pytest.approx(0.8)  # 4 moves of 1 over 5 points
