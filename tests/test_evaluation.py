@@ -362,3 +362,36 @@ def test_dynamic_features():
     assert b.max_angular_velocity > 1.0
     assert b.directional_persistence < 1.0
     assert a.mean_velocity == pytest.approx(0.8)  # 4 moves of 1 over 5 points
+
+
+def test_embedding_visualization_app(tmp_path):
+    import pandas as pd
+
+    from viscy_tpu.evaluation.visualization import EmbeddingVisualizationApp
+    from viscy_tpu.training.callbacks.embedding_writer import write_embedding_dataset
+
+    rng = np.random.default_rng(0)
+    feats = rng.normal(size=(12, 6)).astype(np.float32)
+    index = pd.DataFrame(
+        {
+            "fov_name": ["A/1/0"] * 6 + ["B/1/0"] * 6,
+            "track_id": [1, 1, 1, 2, 2, 2, 3, 3, 3, 4, 4, 4],
+            "t": [0, 1, 2] * 4,
+        }
+    )
+    path = tmp_path / "emb"
+    write_embedding_dataset(path, feats, index)
+    app = EmbeddingVisualizationApp(
+        str(path), fov_tracks={"A/1/0": "all", "B/1/0": [3]}, output_dir=str(tmp_path)
+    )
+    assert {"PC1", "PC2", "PC3"} <= set(app.features_df.columns)
+    assert len(app.filtered_features_df) == 9  # 6 from A + track 3 only from B
+    ax = app.plot()
+    assert ax is not None
+    app.add_cluster(app.filtered_features_df.head(3), name="early")
+    csv_path = app.save_clusters_to_csv()
+    saved = pd.read_csv(csv_path)
+    assert list(saved["cluster_name"].unique()) == ["early"]
+    assert saved.shape[0] == 3
+    with pytest.raises(ImportError, match="dash"):
+        app.run()
