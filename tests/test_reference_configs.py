@@ -56,3 +56,52 @@ def test_reference_recipe_composition():
     assert cfg["trainer"]["max_epochs"] == 30
     # private top-level anchors stripped
     assert not any(k.startswith("_") for k in cfg)
+
+
+_CYTOLAND = REFERENCE / "applications/cytoland/examples/configs"
+
+
+@pytest.mark.skipif(not REFERENCE.exists(), reason="reference checkout not mounted")
+@pytest.mark.parametrize(
+    "rel",
+    [
+        "vscyto2d/finetune.yml",
+        "vscyto2d/pretrain.yml",
+        "vsneuromast/fit.yml",
+        "fnet3d/fit.yml",
+    ],
+)
+def test_other_production_models_instantiate(rel):
+    """Every shipped cytoland fit config's model section instantiates."""
+    cfg = load_composed_config(_CYTOLAND / rel)
+    model_cfg = cfg["model"]
+    init_args = model_cfg.get("init_args", {})
+    if "ckpt_path" in init_args:
+        # the HPC checkpoint is not in this image; encoder-only load
+        # depends on it
+        init_args.pop("ckpt_path")
+        init_args.pop("encoder_only", None)
+    module = instantiate(model_cfg)
+    assert hasattr(module, "model")
+    assert hasattr(module, "training_loss")
+
+
+@pytest.mark.skipif(not REFERENCE.exists(), reason="reference checkout not mounted")
+@pytest.mark.parametrize(
+    "rel",
+    ["vscyto3d/predict_a549.yml", "vscyto2d/predict.yml", "vsneuromast/predict.yml"],
+)
+def test_predict_configs_model_and_callbacks(rel):
+    path = _CYTOLAND / rel
+    if not path.exists():
+        pytest.skip(f"{rel} not shipped")
+    cfg = load_composed_config(path)
+    model_cfg = cfg["model"]
+    model_cfg.get("init_args", {}).pop("ckpt_path", None)
+    module = instantiate(model_cfg)
+    assert hasattr(module, "predict_step")
+    for cb in cfg.get("trainer", {}).get("callbacks", []):
+        if "PredictionWriter" in cb.get("class_path", ""):
+            from viscy_tpu.training.instantiate import resolve_class
+
+            assert resolve_class(cb["class_path"]) is not None

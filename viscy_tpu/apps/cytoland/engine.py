@@ -104,6 +104,21 @@ class VSUNet(TrainModule):
             model_config.setdefault("pretraining", architecture == "fcmae")
             if architecture == "UNeXt2_2D":
                 model_config["pretraining"] = False
+        if architecture == "FNet3D" and (
+            "depth" in model_config or "mult_chan" in model_config
+        ):
+            # reference FNet3D signature (unet3d.py:63): depth/mult_chan
+            # expand to a dims ladder with batch norm + relu, no residuals
+            fnet_depth = int(model_config.pop("depth", 4))
+            mult_chan = int(model_config.pop("mult_chan", 32))
+            self._in_stack_depth = model_config.pop("in_stack_depth", None)
+            model_config.setdefault(
+                "dims", tuple(mult_chan * 2**i for i in range(fnet_depth + 1))
+            )
+            model_config.setdefault("num_res_block", (1,) * fnet_depth)
+            model_config.setdefault("residual", False)
+            model_config.setdefault("norm", "batch")
+            model_config.setdefault("activation", "relu")
         # normalize config lists to tuples for linen hashability
         for k, v in model_config.items():
             if isinstance(v, list):
@@ -129,7 +144,13 @@ class VSUNet(TrainModule):
     def example_input(self) -> dict:
         import numpy as np
 
-        depth = 1 if self.architecture == "2D" else self.model_config.get("in_stack_depth", 5)
+        depth = (
+            1
+            if self.architecture == "2D"
+            else self.model_config.get(
+                "in_stack_depth", getattr(self, "_in_stack_depth", None) or 5
+            )
+        )
         in_ch = self.model_config.get("in_channels", 1)
         out_ch = self.model_config.get("out_channels", 1)
         x = np.zeros((1, in_ch, depth, *self.example_input_yx_shape), np.float32)
