@@ -105,3 +105,26 @@ def test_predict_configs_model_and_callbacks(rel):
             from viscy_tpu.training.instantiate import resolve_class
 
             assert resolve_class(cb["class_path"]) is not None
+
+
+_DYNACLR = REFERENCE / "applications/dynaclr/configs"
+
+
+@pytest.mark.skipif(not REFERENCE.exists(), reason="reference checkout not mounted")
+def test_all_dynaclr_training_configs_instantiate():
+    """Every shipped DynaCLR training config's model section instantiates
+    (ContrastiveEncoder variants, foundation wrappers, aux-head configs)."""
+    paths = sorted((_DYNACLR / "training").rglob("*.yml"))
+    assert len(paths) > 20
+    failures = {}
+    for p in paths:
+        try:
+            cfg = load_composed_config(p)
+            if "model" not in cfg:
+                continue
+            model_cfg = cfg["model"]
+            model_cfg.get("init_args", {}).pop("ckpt_path", None)
+            instantiate(model_cfg)
+        except Exception as e:  # noqa: BLE001 - collecting a report
+            failures[p.name] = f"{type(e).__name__}: {e}"
+    assert not failures, failures

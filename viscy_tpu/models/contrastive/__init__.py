@@ -1,1 +1,13 @@
 """Contrastive encoders and losses (DynaCLR)."""
+
+from viscy_tpu.models.contrastive.encoder import ContrastiveEncoder
+from viscy_tpu.models.contrastive.loss import NTXentHCL, NTXentLoss, ntxent_loss
+from viscy_tpu.models.contrastive.resnet3d import ResNet3dEncoder
+
+__all__ = [
+    "ContrastiveEncoder",
+    "NTXentLoss",
+    "NTXentHCL",
+    "ntxent_loss",
+    "ResNet3dEncoder",
+]

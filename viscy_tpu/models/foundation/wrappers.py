@@ -55,12 +55,27 @@ class _FrozenViTWrapper(nn.Module):
     patch_size: int = 14
     resize_to: int = 224
     feature: str = "cls"
+    # reference-config compatibility (dinov3.py:35, cell_dino.py:54):
+    # wrappers are always frozen here (params never enter the optimizer);
+    # ``freeze`` is accepted for config parity. ``weights_path`` points at
+    # a local converted checkpoint consumed by ``load_backbone``.
+    freeze: bool = True
+    weights_path: str | None = None
+    projection: nn.Module | None = None
 
-    def load_backbone(self, variables: dict, checkpoint_path: str) -> dict:
+    def _project(self, feats):
+        if self.projection is not None:
+            return feats, self.projection(feats)
+        return feats, feats
+
+    def load_backbone(self, variables: dict, checkpoint_path: str | None = None) -> dict:
         """Splice converted HF DINOv2 weights into this wrapper's variables
         (local checkpoint only; see ``foundation/convert.py``)."""
         from viscy_tpu.models.foundation.convert import load_dinov2_checkpoint
 
+        checkpoint_path = checkpoint_path or self.weights_path
+        if checkpoint_path is None:
+            raise ValueError("no checkpoint_path given and weights_path is unset")
         backbone = load_dinov2_checkpoint(
             checkpoint_path, depth=self.depth, num_heads=self.num_heads
         )
@@ -82,7 +97,7 @@ class _FrozenViTWrapper(nn.Module):
             name="backbone",
         )(inp)
         feats = out[self.feature]
-        return feats, feats
+        return self._project(feats)
 
 
 class DINOv3Model(_FrozenViTWrapper):
@@ -93,9 +108,16 @@ class DINOv3Model(_FrozenViTWrapper):
 
 
 class CellDinoModel(_FrozenViTWrapper):
-    """Cell-finetuned DINOv2 ViT (reference ``cell_dino.py``)."""
+    """Cell-finetuned DINOv2 ViT (reference ``cell_dino.py:54``):
+    ``img_size`` aliases the wrapper's working resolution."""
 
     patch_size: int = 14
+    img_size: int | None = None
+
+    def __post_init__(self):
+        if self.img_size is not None:
+            object.__setattr__(self, "resize_to", int(self.img_size))
+        super().__post_init__()
 
 
 class OpenPhenomModel(_FrozenViTWrapper):
@@ -120,4 +142,4 @@ class OpenPhenomModel(_FrozenViTWrapper):
             inp = _preprocess(x[:, c : c + 1, None], self.resize_to)
             feats.append(vit(inp)[self.feature])
         out = jnp.stack(feats).mean(axis=0)
-        return out, out
+        return self._project(out)
