@@ -128,3 +128,26 @@ def test_all_dynaclr_training_configs_instantiate():
         except Exception as e:  # noqa: BLE001 - collecting a report
             failures[p.name] = f"{type(e).__name__}: {e}"
     assert not failures, failures
+
+
+@pytest.mark.skipif(not REFERENCE.exists(), reason="reference checkout not mounted")
+def test_dynaclr_prediction_and_evaluation_configs():
+    """Shipped prediction/evaluation configs instantiate (one reference
+    YAML has a syntax error upstream and is skipped)."""
+    import yaml as _yaml
+
+    failures = {}
+    for family in ("prediction", "evaluation", "dimensionality_reduction"):
+        for p in sorted((_DYNACLR / family).rglob("*.yml")):
+            try:
+                cfg = load_composed_config(p)
+            except _yaml.YAMLError:
+                continue  # upstream syntax error (dinov3_temporal_MLP_predict)
+            try:
+                if "model" in cfg:
+                    model_cfg = cfg["model"]
+                    model_cfg.get("init_args", {}).pop("ckpt_path", None)
+                    instantiate(model_cfg)
+            except Exception as e:  # noqa: BLE001
+                failures[p.name] = f"{type(e).__name__}: {e}"
+    assert not failures, failures

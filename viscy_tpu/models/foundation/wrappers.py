@@ -62,6 +62,7 @@ class _FrozenViTWrapper(nn.Module):
     freeze: bool = True
     weights_path: str | None = None
     projection: nn.Module | None = None
+    model_name: str = ""
 
     def _project(self, feats):
         if self.projection is not None:
