@@ -70,9 +70,9 @@ def test_dynacell_flow_matching_engine(tmp_path):
             dims=(8, 16),
             num_res_block=(1,),
             time_embed_dim=32,
-            vit_hidden_size=48,
-            vit_num_heads=2,
-            vit_num_layers=1,
+            hidden_size=48,
+            num_heads=2,
+            num_hidden_layers=1,
         ),
         num_sampling_steps=2,
         example_input_yx_shape=(16, 16),

@@ -49,9 +49,9 @@ def test_celldiff_wrapper_loss_and_generation():
         cond_channels=1,
         dims=(8, 16),
         num_res_block=(1,),
-        vit_hidden_size=32,
-        vit_num_heads=2,
-        vit_num_layers=1,
+        hidden_size=32,
+        num_heads=2,
+        num_hidden_layers=1,
     )
     model = CELLDiff3DVS(net=net)
     phase = np.random.rand(1, 1, 4, 16, 16).astype(np.float32)

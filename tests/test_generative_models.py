@@ -76,8 +76,8 @@ def test_unet_vit3d_shape():
         out_channels=2,
         dims=(8, 16, 32),
         num_res_block=(1, 1),
-        vit_hidden_size=48,
-        vit_num_heads=2,
+        hidden_size=48,
+        num_heads=2,
     )
     x = jnp.zeros((1, 1, 3, 16, 16))
     variables = model.init({"params": KEY}, x)
@@ -93,9 +93,9 @@ def test_celldiff_flow_matching_and_sampling():
         dims=(8, 16),
         num_res_block=(1,),
         time_embed_dim=32,
-        vit_hidden_size=48,
-        vit_num_heads=2,
-        vit_num_layers=1,
+        hidden_size=48,
+        num_heads=2,
+        num_hidden_layers=1,
     )
     rng = np.random.default_rng(0)
     x1 = jnp.asarray(rng.random((2, 1, 2, 16, 16), np.float32))
@@ -115,3 +115,70 @@ def test_celldiff_flow_matching_and_sampling():
     sample = euler_sampler(vel, x0, num_steps=3)
     assert sample.shape == x1.shape
     assert np.isfinite(np.asarray(sample)).all()
+
+
+def test_dynacell_gan_modernization_knobs():
+    """R3GAN loss + R1 penalty + EMA + LeCam all run inside one jitted step."""
+    import optax
+
+    from viscy_tpu.apps.dynacell.engine import DynacellGAN
+    from viscy_tpu.training.state import TrainState
+
+    module = DynacellGAN(
+        architecture="UNetViT3D",
+        generator_config=dict(
+            in_channels=1,
+            out_channels=1,
+            dims=(8, 16),
+            num_res_block=(1,),
+            hidden_size=32,
+            num_heads=2,
+            num_hidden_layers=1,
+        ),
+        discriminator_config=dict(num_scales=2, base_channels=8, n_layers=2),
+        loss_type="rpgan",
+        r1_gamma=0.1,
+        r2_gamma=0.1,
+        r1_every=2,
+        ema_kimg=0.01,
+        lecam_gamma=0.1,
+        lambda_l1=10.0,
+        lr_g=1e-4,
+        lr_d=2e-4,
+    )
+    rng = jax.random.PRNGKey(0)
+    batch = {
+        "source": jnp.asarray(np.random.rand(2, 1, 4, 16, 16), jnp.float32),
+        "target": jnp.asarray(np.random.rand(2, 1, 4, 16, 16), jnp.float32),
+    }
+    variables = module.init_variables(rng, batch)
+    assert "gan_state" in variables and "ema_generator" in variables["gan_state"]
+    tx, _ = module.configure_optimizers(10)
+    state = TrainState.create(variables, tx)
+
+    @jax.jit
+    def step(state, batch, key):
+        def loss_fn(params):
+            loss, (metrics, updates) = module.training_loss(
+                {"params": params, **state.extra_vars}, batch, key
+            )
+            return loss, (metrics, updates)
+
+        (loss, (metrics, updates)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        return state.apply_gradients(grads, updates), loss, metrics
+
+    state, loss, metrics = step(state, batch, jax.random.PRNGKey(1))
+    state, loss, metrics = step(state, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(loss))
+    assert "loss/r1" in metrics and np.isfinite(float(metrics["loss/r1"]))
+    gs = state.extra_vars["gan_state"]
+    assert int(gs["d_step"]) == 2
+    assert float(jnp.abs(gs["lecam_real"])) >= 0
+    # EMA drifted toward the updated generator
+    ema_leaf = jax.tree_util.tree_leaves(gs["ema_generator"])[0]
+    assert np.isfinite(np.asarray(ema_leaf)).all()
+    # EMA predict path
+    out = module.predict_step(state.variables, batch)
+    assert out.shape == batch["target"].shape

@@ -151,3 +151,29 @@ def test_dynaclr_prediction_and_evaluation_configs():
             except Exception as e:  # noqa: BLE001
                 failures[p.name] = f"{type(e).__name__}: {e}"
     assert not failures, failures
+
+
+@pytest.mark.skipif(not REFERENCE.exists(), reason="reference checkout not mounted")
+def test_all_dynacell_configs_instantiate():
+    """Every dynacell benchmark leaf (423 model configs: DynacellUNet with
+    predict tiling, FlowMatching net/transport configs, GAN modernization
+    knobs incl. spectral norm) instantiates."""
+    paths = sorted(
+        (REFERENCE / "applications/cytoland/examples/configs/dynacell").rglob("*.yml")
+    )
+    paths += sorted((REFERENCE / "applications/dynacell").rglob("configs/**/*.yml"))
+    failures = {}
+    n_model = 0
+    for p in paths:
+        try:
+            cfg = load_composed_config(p)
+            if "model" not in cfg:
+                continue
+            n_model += 1
+            model_cfg = cfg["model"]
+            model_cfg.get("init_args", {}).pop("ckpt_path", None)
+            instantiate(model_cfg)
+        except Exception as e:  # noqa: BLE001
+            failures[str(p)] = f"{type(e).__name__}: {e}"
+    assert n_model > 300
+    assert not failures, dict(list(failures.items())[:5])

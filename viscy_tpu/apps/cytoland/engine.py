@@ -92,6 +92,9 @@ class VSUNet(TrainModule):
         tta_type: Literal["mean", "median", "product"] = "mean",
         warmup_steps: int = 0,
         warmup_multiplier: float = 1e-3,
+        predict_method: Literal["full_image", "sliding_window"] = "full_image",
+        predict_overlap: tuple[int, int, int] = (4, 256, 256),
+        encoder_only: bool = False,
     ) -> None:
         net_class = _UNET_ARCHITECTURE.get(architecture)
         if not net_class:
@@ -139,6 +142,13 @@ class VSUNet(TrainModule):
         self.tta_type = tta_type
         self.warmup_steps = warmup_steps
         self.warmup_multiplier = warmup_multiplier
+        # prediction tiling (reference dynacell engine.py:170): tiled
+        # Z-blended inference is in prediction.predict_sliding_windows
+        self.predict_method = predict_method
+        self.predict_overlap = tuple(predict_overlap)
+        if encoder_only and ckpt_path is None:
+            _logger.warning("encoder_only=True has no effect without ckpt_path")
+        self.encoder_only = encoder_only
 
     # -- init ----------------------------------------------------------------
     def example_input(self) -> dict:

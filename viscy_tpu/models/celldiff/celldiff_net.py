@@ -26,11 +26,15 @@ class CELLDiffNet(nn.Module):
     dims: Sequence[int] = (32, 64, 128)
     num_res_block: Sequence[int] = (2, 2)
     downsample_z: bool = False
+    input_spatial_size: Sequence[int] | None = None
     time_embed_dim: int = 256
-    vit_hidden_size: int = 256
-    vit_num_heads: int = 4
-    vit_num_layers: int = 2
-    vit_patch_size: int = 1
+    hidden_size: int = 256
+    num_heads: int = 4
+    num_hidden_layers: int = 2
+    patch_size: int = 1
+    dim_head: int | None = None
+    dropout: float = 0.0
+    final_dropout: float = 0.0
 
     @property
     def num_blocks(self) -> int:
@@ -48,10 +52,13 @@ class CELLDiffNet(nn.Module):
             bottleneck_factory=partial(
                 ViTBottleneck3D,
                 in_channels=self.dims[-1],
-                hidden_size=self.vit_hidden_size,
-                num_heads=self.vit_num_heads,
-                num_hidden_layers=self.vit_num_layers,
-                patch_size=self.vit_patch_size,
+                hidden_size=self.hidden_size,
+                num_heads=self.num_heads,
+                num_hidden_layers=self.num_hidden_layers,
+                patch_size=self.patch_size,
+                dim_head=self.dim_head,
+                dropout=self.dropout,
+                final_dropout=self.final_dropout,
                 conditioned=True,
                 name="bottleneck",
             ),
@@ -70,10 +77,16 @@ class UNetViT3D(nn.Module):
     dims: Sequence[int] = (32, 64, 128)
     num_res_block: Sequence[int] = (2, 2)
     downsample_z: bool = False
-    vit_hidden_size: int = 256
-    vit_num_heads: int = 4
-    vit_num_layers: int = 2
-    vit_patch_size: int = 1
+    # native (D, H, W) patch size for tiled inference (reference
+    # unet_vit_3d.py:59); informational, consumed by sliding-window predict
+    input_spatial_size: Sequence[int] | None = None
+    hidden_size: int = 256
+    num_heads: int = 4
+    num_hidden_layers: int = 2
+    patch_size: int = 1
+    dim_head: int | None = None
+    dropout: float = 0.0
+    final_dropout: float = 0.0
 
     @property
     def num_blocks(self) -> int:
@@ -93,10 +106,13 @@ class UNetViT3D(nn.Module):
             bottleneck_factory=partial(
                 ViTBottleneck3D,
                 in_channels=self.dims[-1],
-                hidden_size=self.vit_hidden_size,
-                num_heads=self.vit_num_heads,
-                num_hidden_layers=self.vit_num_layers,
-                patch_size=self.vit_patch_size,
+                hidden_size=self.hidden_size,
+                num_heads=self.num_heads,
+                num_hidden_layers=self.num_hidden_layers,
+                patch_size=self.patch_size,
+                dim_head=self.dim_head,
+                dropout=self.dropout,
+                final_dropout=self.final_dropout,
                 conditioned=False,
                 name="bottleneck",
             ),

@@ -51,9 +51,13 @@ class TransformerBlock(nn.Module):
     num_heads: int
     mlp_ratio: float = 4.0
     conditioned: bool = True
+    qkv_features: int | None = None
+    dropout: float = 0.0
 
     @nn.compact
-    def __call__(self, x: Array, cond: Array | None = None) -> Array:
+    def __call__(
+        self, x: Array, cond: Array | None = None, deterministic: bool = True
+    ) -> Array:
         if self.conditioned and cond is not None:
             mod = nn.Dense(6 * self.hidden_size, name="adaLN",
                            kernel_init=nn.initializers.zeros)(nn.silu(cond))
@@ -68,7 +72,11 @@ class TransformerBlock(nn.Module):
         h = nn.LayerNorm(use_bias=False, use_scale=False, name="norm1")(x)
         h = h * (1 + scale_a[:, None]) + shift_a[:, None]
         h = nn.MultiHeadDotProductAttention(
-            num_heads=self.num_heads, qkv_features=self.hidden_size, name="attn"
+            num_heads=self.num_heads,
+            qkv_features=self.qkv_features or self.hidden_size,
+            dropout_rate=self.dropout,
+            deterministic=deterministic,
+            name="attn",
         )(h, h)
         x = x + (h if gate_a is None else gate_a[:, None] * h)
 
@@ -91,9 +99,14 @@ class ViTBottleneck3D(nn.Module):
     patch_size: int = 1
     mlp_ratio: float = 4.0
     conditioned: bool = True
+    dim_head: int | None = None  # qkv width per head (reference unet_vit_3d.py:66)
+    dropout: float = 0.0
+    final_dropout: float = 0.0
 
     @nn.compact
-    def __call__(self, x: Array, time_embeds: Array | None = None) -> Array:
+    def __call__(
+        self, x: Array, time_embeds: Array | None = None, deterministic: bool = True
+    ) -> Array:
         b, d, h, w, c = x.shape
         p = self.patch_size
         # patchify (p applies to H, W; Z kept whole — stride (1, p, p))
@@ -109,9 +122,13 @@ class ViTBottleneck3D(nn.Module):
                 self.num_heads,
                 self.mlp_ratio,
                 conditioned=self.conditioned,
+                qkv_features=(self.dim_head or 0) * self.num_heads or None,
+                dropout=self.dropout,
                 name=f"block{i}",
-            )(tokens, time_embeds)
+            )(tokens, time_embeds, deterministic=deterministic)
         tokens = nn.LayerNorm(name="final_norm")(tokens)
+        if self.final_dropout > 0:
+            tokens = nn.Dropout(self.final_dropout, deterministic=deterministic)(tokens)
         tokens = nn.Dense(p * p * c, name="final_proj", kernel_init=nn.initializers.zeros)(tokens)
         out = tokens.reshape(b, d, hp, wp, p, p, c).transpose(0, 1, 2, 4, 3, 5, 6)
         out = out.reshape(b, d, h, w, c)

@@ -5,6 +5,8 @@ from viscy_tpu.models.gan.losses import (
     feature_matching_loss,
     gan_loss_d,
     gan_loss_g,
+    lecam_penalty,
+    mean_logit,
 )
 
 __all__ = [
@@ -12,5 +14,7 @@ __all__ = [
     "MultiScalePatchGAN3D",
     "gan_loss_d",
     "gan_loss_g",
+    "lecam_penalty",
+    "mean_logit",
     "feature_matching_loss",
 ]

@@ -1,4 +1,6 @@
-"""GAN losses (reference ``gan/losses.py``): LSGAN / hinge + feature matching."""
+"""GAN losses (reference ``gan/losses.py`` + dynacell ``engine.py:700``):
+LSGAN / hinge / non-saturating / relativistic-pairing (R3GAN) + feature
+matching + LeCam regularization."""
 
 from __future__ import annotations
 
@@ -15,7 +17,9 @@ def _as_list(logits) -> list:
 
 
 def gan_loss_d(
-    real_logits, fake_logits, mode: Literal["lsgan", "hinge"] = "lsgan"
+    real_logits,
+    fake_logits,
+    mode: Literal["lsgan", "hinge", "nonsat", "rpgan"] = "lsgan",
 ) -> Array:
     """Discriminator loss over (multiscale) patch logits."""
     loss = 0.0
@@ -24,18 +28,34 @@ def gan_loss_d(
         f = f.astype(jnp.float32)
         if mode == "lsgan":
             loss += jnp.mean((r - 1.0) ** 2) + jnp.mean(f**2)
+        elif mode == "nonsat":
+            loss += jnp.mean(jax.nn.softplus(-r)) + jnp.mean(jax.nn.softplus(f))
+        elif mode == "rpgan":
+            # relativistic pairing (R3GAN): logits compared patchwise
+            loss += jnp.mean(jax.nn.softplus(-(r - f)))
         else:
             loss += jnp.mean(jax.nn.relu(1.0 - r)) + jnp.mean(jax.nn.relu(1.0 + f))
     return loss / len(_as_list(real_logits))
 
 
-def gan_loss_g(fake_logits, mode: Literal["lsgan", "hinge"] = "lsgan") -> Array:
-    """Generator adversarial loss."""
+def gan_loss_g(
+    fake_logits,
+    mode: Literal["lsgan", "hinge", "nonsat", "rpgan"] = "lsgan",
+    real_logits=None,
+) -> Array:
+    """Generator adversarial loss (``rpgan`` needs the real logits too)."""
     loss = 0.0
-    for f in _as_list(fake_logits):
+    reals = _as_list(real_logits) if real_logits is not None else [None] * len(
+        _as_list(fake_logits)
+    )
+    for f, r in zip(_as_list(fake_logits), reals):
         f = f.astype(jnp.float32)
         if mode == "lsgan":
             loss += jnp.mean((f - 1.0) ** 2)
+        elif mode == "nonsat":
+            loss += jnp.mean(jax.nn.softplus(-f))
+        elif mode == "rpgan":
+            loss += jnp.mean(jax.nn.softplus(-(f - r.astype(jnp.float32))))
         else:
             loss += -jnp.mean(f)
     return loss / len(_as_list(fake_logits))
@@ -53,3 +73,17 @@ def feature_matching_loss(real_features, fake_features) -> Array:
     for r, f in zip(real_features, fake_features):
         loss += jnp.mean(jnp.abs(r.astype(jnp.float32) - f.astype(jnp.float32)))
     return loss / max(len(real_features), 1)
+
+
+def lecam_penalty(real_logits, fake_logits, ema_real: Array, ema_fake: Array) -> Array:
+    """LeCam regularization (Tseng et al. 2021; reference dynacell
+    ``engine.py:714``): pulls D outputs toward their opposing EMAs."""
+    r = jnp.concatenate([x.reshape(-1) for x in _as_list(real_logits)])
+    f = jnp.concatenate([x.reshape(-1) for x in _as_list(fake_logits)])
+    return jnp.mean((r - ema_fake) ** 2) + jnp.mean((f - ema_real) ** 2)
+
+
+def mean_logit(logits) -> Array:
+    return jnp.concatenate(
+        [x.reshape(-1).astype(jnp.float32) for x in _as_list(logits)]
+    ).mean()

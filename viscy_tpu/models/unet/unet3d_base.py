@@ -94,7 +94,7 @@ class UNet3DBase(nn.Module):
                 name=f"down{i}",
             )(h)
 
-        h = self.bottleneck_factory()(h, time_embeds=time_embeds)
+        h = self.bottleneck_factory()(h, time_embeds=time_embeds, deterministic=deterministic)
 
         for idx, i in enumerate(reversed(range(n_levels))):
             up_kernel = (3, 3, 3) if self.downsample_z else (1, 3, 3)
@@ -119,7 +119,9 @@ class IdentityBottleneck(nn.Module):
     """Pass-through bottleneck."""
 
     @nn.compact
-    def __call__(self, x: Array, time_embeds: Array | None = None) -> Array:
+    def __call__(
+        self, x: Array, time_embeds: Array | None = None, deterministic: bool = True
+    ) -> Array:
         return x
 
 
@@ -133,7 +135,9 @@ class ResnetBottleneck(nn.Module):
     time_emb_dim: int | None = None
 
     @nn.compact
-    def __call__(self, x: Array, time_embeds: Array | None = None) -> Array:
+    def __call__(
+        self, x: Array, time_embeds: Array | None = None, deterministic: bool = True
+    ) -> Array:
         for i in range(2):
             x = ResnetBlock(
                 self.dim,
