@@ -105,8 +105,12 @@ def test_dynacell_gan_engine():
         "target": np.random.default_rng(1).random((1, 1, 5, 32, 32), np.float32),
     }
     variables = module.init_variables(jax.random.PRNGKey(0), batch)
+    extra = {k: v for k, v in variables.items() if k != "params"}
+    assert "batch_stats" in extra  # spectral-norm power-iteration vectors
     (loss, (metrics, _)), grads = jax.value_and_grad(
-        lambda p: module.training_loss({"params": p}, batch, jax.random.PRNGKey(1)),
+        lambda p: module.training_loss(
+            {"params": p, **extra}, batch, jax.random.PRNGKey(1)
+        ),
         has_aux=True,
     )(variables["params"])
     assert np.isfinite(float(loss))
@@ -120,3 +124,20 @@ def test_dynacell_gan_engine():
     )
     assert g_norm > 0
     assert d_norm > 0
+
+
+def test_qc_reference_config_shape(tmp_path):
+    import yaml
+
+    from viscy_tpu.apps.qc.config import QCConfig
+
+    ref = "/root/reference/applications/qc/configs/focus.yml"
+    import os
+
+    if not os.path.exists(ref):
+        pytest.skip("reference not mounted")
+    cfg = yaml.safe_load(open(ref))
+    q = QCConfig(**cfg)
+    metrics = q.build_metrics()
+    assert len(metrics) == 1
+    assert metrics[0].channel_names == ["Phase3D"]

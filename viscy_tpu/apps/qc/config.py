@@ -15,12 +15,25 @@ class FocusMetricConfig(BaseModel):
     pixel_size: float
     channel_names: list[str]
     midband_fractions: tuple[float, float] = (0.125, 0.25)
+    # reference configs carry a torch device; compute here is jax/numpy
+    device: str | None = None
 
 
 class QCConfig(BaseModel):
+    """QC run config. Accepts both shapes: a ``metrics:`` list, or the
+    reference layout with one top-level section per metric kind
+    (``focus_slice: {...}``; reference ``qc/configs/focus.yml``)."""
+
     data_path: Path
     num_workers: int = Field(default=4, ge=1)
-    metrics: list[FocusMetricConfig]
+    metrics: list[FocusMetricConfig] = []
+    focus_slice: FocusMetricConfig | None = None
+
+    def model_post_init(self, _ctx) -> None:
+        if self.focus_slice is not None:
+            self.metrics = list(self.metrics) + [self.focus_slice]
+        if not self.metrics:
+            raise ValueError("QCConfig needs at least one metric section")
 
     def build_metrics(self) -> list:
         from viscy_tpu.apps.qc.focus import FocusSliceMetric
