@@ -177,3 +177,33 @@ def test_all_dynacell_configs_instantiate():
             failures[str(p)] = f"{type(e).__name__}: {e}"
     assert n_model > 300
     assert not failures, dict(list(failures.items())[:5])
+
+
+@pytest.mark.skipif(not REFERENCE.exists(), reason="reference checkout not mounted")
+def test_data_sections_instantiate():
+    """Shipped leaf configs' data sections construct (recipe fragments are
+    partial by design and excluded)."""
+    roots = [
+        _DYNACLR / "training",
+        _CYTOLAND,
+    ]
+    failures = {}
+    n = 0
+    for root in roots:
+        for p in sorted(root.rglob("*.yml")):
+            if "recipes" in p.parts:
+                continue
+            try:
+                cfg = load_composed_config(p)
+            except Exception:
+                continue
+            data_cfg = cfg.get("data")
+            if not isinstance(data_cfg, dict) or "class_path" not in data_cfg:
+                continue
+            n += 1
+            try:
+                instantiate(data_cfg)
+            except Exception as e:  # noqa: BLE001
+                failures[p.name] = f"{type(e).__name__}: {e}"
+    assert n > 25
+    assert not failures, failures

@@ -241,8 +241,8 @@ class MultiExperimentDataModule(DataModule):
     def __init__(
         self,
         cell_index_path: str | Path | pd.DataFrame,
-        channel_names: Sequence[str],
-        z_window_size: int,
+        channel_names: Sequence[str] | None = None,
+        z_window_size: int | None = None,
         yx_patch_size: tuple[int, int] = (160, 160),
         batch_size: int = 32,
         split_ratio: float = 0.8,
@@ -257,11 +257,70 @@ class MultiExperimentDataModule(DataModule):
         temporal_enrichment: bool = False,
         use_focus_slice: bool = False,
         seed: int = 42,
+        # -- reference signature compatibility (dynaclr datamodule.py:150) --
+        z_window: int | None = None,
+        z_extraction_window: int | None = None,
+        z_focus_offset: float = 0.5,
+        final_yx_patch_size: tuple[int, int] | None = None,
+        val_experiments: list[str] | None = None,
+        tau_range: tuple[float, float] | None = None,
+        num_workers: int = 0,
+        leaky: float = 0.0,
+        temporal_window_hours: float = 2.0,
+        temporal_global_fraction: float = 0.3,
+        group_weights: dict[str, float] | None = None,
+        channels_per_sample: int | list[str] | None = None,
+        channel_dropout_channels: list[int] | None = None,
+        channel_dropout_prob: float = 0.0,
+        cache_pool_bytes: int = 0,
+        recheck_cached_data: str | bool | None = None,
+        file_io_concurrency: int | None = None,
+        include_wells: list[str] | None = None,
+        exclude_fovs: list[str] | None = None,
+        focus_channel: str | None = None,
+        reference_pixel_size_xy_um: float | None = None,
+        reference_pixel_size_z_um: float | None = None,
+        positive_cell_source: str = "lookup",
+        positive_match_columns: list[str] | None = None,
+        positive_channel_source: str = "same",
+        label_columns: dict[str, str] | None = None,
+        max_border_shift: int = -1,
+        shuffle_val: bool = False,
+        pin_memory: bool = True,
+        **_compat_kwargs,
     ) -> None:
+        if z_window_size is None:
+            z_window_size = z_window if z_window is not None else 1
+        if channel_names is None:
+            channels_cfg = channels_per_sample
+            channel_names = (
+                list(channels_cfg) if isinstance(channels_cfg, (list, tuple)) else []
+            )
+        if tau_range is not None:
+            tau_min = max(int(round(tau_range[0])), 1)
+            tau_max = max(int(round(tau_range[1])), tau_min)
+        if focus_channel is not None:
+            use_focus_slice = True
+        # final_yx_patch_size is the post-augmentation crop; the fused
+        # device pipeline samples at the final size directly
+        if final_yx_patch_size is not None:
+            yx_patch_size = tuple(final_yx_patch_size)
         self.cell_index_path = cell_index_path
         self.channel_names = list(channel_names)
         self.z_window_size = z_window_size
         self.yx_patch_size = tuple(yx_patch_size)
+        self.val_experiments = val_experiments
+        self.num_workers = num_workers
+        self.leaky = leaky
+        self.group_weights = group_weights
+        self.channels_per_sample = channels_per_sample
+        self.channel_dropout_channels = channel_dropout_channels
+        self.channel_dropout_prob = channel_dropout_prob
+        self.include_wells = include_wells
+        self.exclude_fovs = exclude_fovs
+        self.focus_channel = focus_channel
+        self.label_columns = dict(label_columns or {})
+        self.shuffle_val = shuffle_val
         self.batch_size = batch_size
         self.split_ratio = split_ratio
         self.tau_min = tau_min
@@ -296,7 +355,19 @@ class MultiExperimentDataModule(DataModule):
             if isinstance(self.cell_index_path, pd.DataFrame)
             else pd.read_parquet(self.cell_index_path)
         )
+        if self.include_wells:
+            df = df[df["well"].isin(self.include_wells)]
+        if self.exclude_fovs:
+            df = df[~df["fov"].isin(self.exclude_fovs)]
         if stage in ("fit", "validate"):
+            if self.val_experiments:
+                # explicit experiment-level holdout (reference semantics)
+                val_mask = df["experiment"].isin(self.val_experiments)
+                self.train_index = self._make_index(df[~val_mask])
+                self.val_index = self._make_index(df[val_mask])
+                self.train_dataset = self._dataset(self.train_index, fit=True)
+                self.val_dataset = self._dataset(self.val_index, fit=True)
+                return
             fovs = np.asarray(df["fov"].unique(), dtype=object)
             rng = np.random.default_rng(self.seed)
             fovs = fovs[rng.permutation(len(fovs))]
@@ -339,6 +410,8 @@ class MultiExperimentDataModule(DataModule):
             batch_size=self.batch_size,
             batch_group_by=self.batch_group_by,
             stratify_by=self.stratify_by,
+            leaky=self.leaky,
+            group_weights=self.group_weights,
             temporal_enrichment=self.temporal_enrichment,
             seed=self.seed,
         )

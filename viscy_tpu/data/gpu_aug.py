@@ -123,7 +123,7 @@ class CachedOmeZarrDataModule(DeviceTransformDataModule):
         include_fov_names: list[str] | None = None,
         seed: int = 42,
     ) -> None:
-        self.data_path = Path(data_path)
+        self.data_path = Path(data_path) if data_path is not None else None
         self.channels = [channels] if isinstance(channels, str) else list(channels)
         self.source_channel = self.channels
         self.target_channel: list[str] = []

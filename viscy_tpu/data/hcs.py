@@ -81,6 +81,8 @@ class HCSDataModule(DataModule):
         nonzero_threshold: float = 0.0,
         nonzero_channel: str | None = None,
         max_nonzero_retries: int = 100,
+        gpu_augmentations: list | None = None,
+        val_augmentations: list | None = None,
         val_gpu_augmentations: list | None = None,
         include_fov_names: Iterable[str] | None = None,
         exclude_fov_names: Iterable[str] | None = None,
@@ -95,7 +97,7 @@ class HCSDataModule(DataModule):
         fg_mask_key: str | None = None,
     ) -> None:
         super().__init__()
-        self.data_path = Path(data_path)
+        self.data_path = Path(data_path) if data_path is not None else None
         self.source_channel = (
             [source_channel] if isinstance(source_channel, str) else list(source_channel)
         )
@@ -123,12 +125,18 @@ class HCSDataModule(DataModule):
         self.prefetch_factor = prefetch_factor
         self.fg_mask_key = fg_mask_key
 
-        augmentations = list(augmentations or [])
+        # reference splits CPU (``augmentations``) vs GPU
+        # (``gpu_augmentations``) lists explicitly; here any transform
+        # subclassing HostTransform runs in loader threads and the rest
+        # fuses into the jitted step, so both spellings are accepted
+        augmentations = list(augmentations or []) + list(gpu_augmentations or [])
         self._host_augmentations = [a for a in augmentations if isinstance(a, HostTransform)]
         self._device_augmentations = [
             a for a in augmentations if not isinstance(a, HostTransform)
         ]
-        self._val_device_augmentations = list(val_gpu_augmentations or [])
+        self._val_device_augmentations = list(val_augmentations or []) + list(
+            val_gpu_augmentations or []
+        )
         self._device_compose = (
             Compose(self._device_augmentations) if self._device_augmentations else None
         )

@@ -26,6 +26,11 @@ _MODULE_ALIASES: dict[str, str] = {
     "cytoland.engine": "viscy_tpu.apps.cytoland.engine",
     "cytoland": "viscy_tpu.apps.cytoland",
     "dynaclr.engine": "viscy_tpu.apps.dynaclr.engine",
+    "dynaclr.data.datamodule": "viscy_tpu.apps.dynaclr.data",
+    "dynaclr.data.dataset": "viscy_tpu.apps.dynaclr.data",
+    "dynaclr.data.index": "viscy_tpu.apps.dynaclr.data",
+    "dynaclr.data.tau_sampling": "viscy_tpu.apps.dynaclr.data",
+    "dynaclr.data": "viscy_tpu.apps.dynaclr.data",
     "dynaclr": "viscy_tpu.apps.dynaclr",
     "dynacell.engine": "viscy_tpu.apps.dynacell.engine",
     "dynacell": "viscy_tpu.apps.dynacell",
