@@ -133,3 +133,67 @@ def test_multi_experiment_predict(cell_index_setup):
     batch = next(iter(dm.predict_dataloader()))
     assert "index" in batch
     assert batch["anchor"].shape[1:] == (1, 5, 64, 64)
+
+
+def test_dynaclr_cli_embedding_commands(tmp_path):
+    import json
+
+    import pandas as pd
+    from click.testing import CliRunner
+
+    from viscy_tpu.apps.dynaclr.cli import main
+    from viscy_tpu.training.callbacks.embedding_writer import write_embedding_dataset
+
+    rng = np.random.default_rng(0)
+    feats = rng.normal(size=(12, 6)).astype(np.float32)
+    index = pd.DataFrame(
+        {
+            "id": np.arange(12),
+            "fov_name": ["A/1/0"] * 6 + ["B/1/0"] * 6,
+            "track_id": [1, 1, 1, 2, 2, 2, 3, 3, 3, 4, 4, 4],
+            "t": [0, 1, 2] * 4,
+            "y": rng.uniform(0, 100, 12),
+            "x": rng.uniform(0, 100, 12),
+            "condition": ["mock"] * 6 + ["infected"] * 6,
+        }
+    )
+    emb = tmp_path / "emb"
+    write_embedding_dataset(emb, feats, index)
+    runner = CliRunner()
+
+    r = runner.invoke(main, ["info", "--embeddings", str(emb)])
+    assert r.exit_code == 0, r.output
+    summary = json.loads(r.output)
+    assert summary["n_samples"] == 12 and summary["feature_dim"] == 6
+
+    r = runner.invoke(
+        main, ["reduce-dimensionality", "--embeddings", str(emb), "--method", "pca", "--components", "3"]
+    )
+    assert r.exit_code == 0, r.output
+    from viscy_tpu.training.callbacks.embedding_writer import _read_array
+
+    assert _read_array(emb, "PCA").shape == (12, 3)
+
+    csv = tmp_path / "ann.csv"
+    pd.DataFrame({"id": [0, 1], "state": ["a", "b"]}).to_csv(csv, index=False)
+    r = runner.invoke(
+        main, ["append-obs", "--embeddings", str(emb), "--csv", str(csv), "--columns", "state"]
+    )
+    assert r.exit_code == 0, r.output
+    idx2 = pd.read_parquet(emb / "index.parquet")
+    assert idx2["state"].notna().sum() == 2
+
+    r = runner.invoke(
+        main,
+        ["split-embeddings", "--embeddings", str(emb), "--column", "condition", "--output-dir", str(tmp_path / "split")],
+    )
+    assert r.exit_code == 0, r.output
+    assert (tmp_path / "split" / "mock" / "index.parquet").exists()
+
+    r = runner.invoke(main, ["evaluate-tracking-accuracy", "--embeddings", str(emb)])
+    assert r.exit_code == 0, r.output
+
+    r = runner.invoke(
+        main, ["compute-mmd", "--embeddings", str(emb), "--group-column", "condition", "--permutations", "20"]
+    )
+    assert r.exit_code == 0, r.output
