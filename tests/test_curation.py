@@ -160,3 +160,17 @@ def test_convert_ops_parquet(tmp_path):
     assert df["fov"].tolist() == ["0", "0", "1"]
     assert df.loc[1, "gene_name"] == "NTC"
     assert df.loc[0, "y"] == 5.0 and df.loc[0, "x"] == 10.0
+
+
+def test_airtable_reference_prepare_config():
+    import os
+
+    import yaml
+
+    from viscy_tpu.apps.airtable_utils.prepare import PrepareConfig
+
+    ref = "/root/reference/applications/airtable/configs/prepare_config.yml"
+    if not os.path.exists(ref):
+        pytest.skip("reference not mounted")
+    cfg = PrepareConfig(**yaml.safe_load(open(ref)))
+    assert cfg.nfs_root and cfg.qc["channel_names"] == ["Phase3D"]
