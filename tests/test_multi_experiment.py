@@ -197,3 +197,58 @@ def test_dynaclr_cli_embedding_commands(tmp_path):
         main, ["compute-mmd", "--embeddings", str(emb), "--group-column", "condition", "--permutations", "20"]
     )
     assert r.exit_code == 0, r.output
+
+
+def test_dtw_pseudotime():
+    import pandas as pd
+
+    from viscy_tpu.apps.dynaclr.pseudotime import compute_pseudotime, dtw_align
+
+    # identical trajectories align on the diagonal with zero cost
+    rng = np.random.default_rng(0)
+    traj = rng.normal(size=(6, 4)).astype(np.float32)
+    path, cost = dtw_align(traj, traj)
+    assert cost == pytest.approx(0.0, abs=1e-6)
+    assert (path[:, 0] == path[:, 1]).all()
+
+    # a stretched copy of a reference gets monotone pseudotime
+    base = np.cumsum(rng.normal(size=(8, 4)).astype(np.float32), axis=0)
+    stretched = np.repeat(base, 2, axis=0)  # same path, 2x slower
+    feats = np.concatenate([base, stretched])
+    index = pd.DataFrame(
+        {
+            "fov_name": ["A"] * 8 + ["B"] * 16,
+            "track_id": [1] * 8 + [2] * 16,
+            "t": list(range(8)) + list(range(16)),
+        }
+    )
+    out = compute_pseudotime(feats, index, reference_track=("A", 1), metric="euclidean")
+    pt = out[out["track_id"] == 2]["pseudotime"].to_numpy()
+    assert np.all(np.diff(pt) >= -1e-9)  # monotone non-decreasing
+    assert pt[0] == pytest.approx(0.0, abs=1e-6)
+    assert pt[-1] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_joint_encoder_module():
+    import jax
+
+    from viscy_tpu.apps.dynaclr.multi_modal import JointEncoderModule
+
+    enc_cfg = dict(
+        backbone="convnextv2_test",
+        in_channels=1,
+        in_stack_depth=5,
+        embedding_dim=64,
+        projection_dim=16,
+    )
+    module = JointEncoderModule(source_encoder=enc_cfg, target_encoder=dict(enc_cfg))
+    batch = {
+        "source": np.random.rand(4, 1, 5, 32, 32).astype(np.float32),
+        "target": np.random.rand(4, 1, 5, 32, 32).astype(np.float32),
+    }
+    variables = module.init_variables(jax.random.PRNGKey(0), batch)
+    loss, (_, updates) = module.training_loss(
+        variables, {k: np.asarray(v) for k, v in batch.items()}, jax.random.PRNGKey(1)
+    )
+    assert np.isfinite(float(loss))
+    assert "batch_stats" in updates
