@@ -252,3 +252,26 @@ def test_joint_encoder_module():
     )
     assert np.isfinite(float(loss))
     assert "batch_stats" in updates
+
+
+def test_foundation_module_predict():
+    import jax
+
+    from viscy_tpu.apps.dynaclr.foundation_engine import FoundationModule
+    from viscy_tpu.models.foundation.wrappers import CellDinoModel
+
+    module = FoundationModule(
+        model=CellDinoModel(embed_dim=32, depth=1, num_heads=2, patch_size=14, resize_to=28),
+        example_input_array_shape=(1, 1, 3, 48, 48),
+    )
+    batch = module.example_input()
+    variables = module.init_variables(jax.random.PRNGKey(0), batch)
+    out = module.predict_step(variables, {"anchor": np.asarray(batch["anchor"])})
+    assert out["features"].shape == (1, 32)
+    # frozen: optimizer is a no-op
+    tx, _ = module.configure_optimizers(10)
+    import jax.numpy as jnp
+
+    params = variables["params"]
+    updates, _ = tx.update(jax.tree_util.tree_map(jnp.ones_like, params), tx.init(params), params)
+    assert all(float(np.abs(u).sum()) == 0 for u in jax.tree_util.tree_leaves(updates))
