@@ -275,3 +275,83 @@ def test_foundation_module_predict():
     params = variables["params"]
     updates, _ = tx.update(jax.tree_util.tree_map(jnp.ones_like, params), tx.init(params), params)
     assert all(float(np.abs(u).sum()) == 0 for u in jax.tree_util.tree_leaves(updates))
+
+
+def test_mlp_embedder_roundtrip(tmp_path):
+    from viscy_tpu.apps.dynaclr.mlp_embedder import (
+        apply_mlp_embedder,
+        train_mlp_embedder,
+    )
+
+    rng = np.random.default_rng(0)
+    # two linearly separable blobs
+    feats = np.concatenate(
+        [rng.normal(-2, 1, (60, 8)), rng.normal(2, 1, (60, 8))]
+    ).astype(np.float32)
+    labels = np.array(["a"] * 60 + ["b"] * 60)
+    ckpt, metrics = train_mlp_embedder(
+        feats, labels, hidden_dims=(16,), epochs=60, batch_size=32, output_path=tmp_path / "mlp"
+    )
+    assert metrics["val_acc"] > 0.9
+    reps = apply_mlp_embedder(feats, tmp_path / "mlp")
+    assert reps.shape == (120, 16)
+    np.testing.assert_allclose(np.linalg.norm(reps, axis=1), 1.0, atol=1e-4)
+
+
+def test_dynaclr_cli_mlp_and_compare(tmp_path):
+    import pandas as pd
+    from click.testing import CliRunner
+
+    from viscy_tpu.apps.dynaclr.cli import main
+    from viscy_tpu.training.callbacks.embedding_writer import write_embedding_dataset
+
+    rng = np.random.default_rng(0)
+    feats = np.concatenate(
+        [rng.normal(-2, 1, (30, 6)), rng.normal(2, 1, (30, 6))]
+    ).astype(np.float32)
+    index = pd.DataFrame(
+        {
+            "fov_name": ["A/1/0"] * 60,
+            "track_id": np.repeat(np.arange(12), 5),
+            "t": np.tile(np.arange(5), 12),
+            "state": ["a"] * 30 + ["b"] * 30,
+        }
+    )
+    emb = tmp_path / "emb"
+    write_embedding_dataset(emb, feats, index)
+    runner = CliRunner()
+    r = runner.invoke(
+        main,
+        ["train-mlp-embedder", "--embeddings", str(emb), "--label-column", "state",
+         "--output", str(tmp_path / "mlp"), "--hidden-dims", "16", "--epochs", "30"],
+    )
+    assert r.exit_code == 0, r.output
+    r = runner.invoke(
+        main,
+        ["apply-mlp-embedder", "--embeddings", str(emb), "--model", str(tmp_path / "mlp")],
+    )
+    assert r.exit_code == 0, r.output
+    from viscy_tpu.training.callbacks.embedding_writer import _read_array
+
+    assert _read_array(emb, "MLP").shape == (60, 16)
+    r = runner.invoke(main, ["compare-models", "--embeddings", str(emb)])
+    assert r.exit_code == 0, r.output
+    assert "Model comparison" in r.output
+    r = runner.invoke(
+        main,
+        ["run-linear-classifiers", "--embeddings", str(emb), "--label-columns", "state", "--splits", "3"],
+    )
+    assert r.exit_code == 0, r.output
+    # mmd csv -> heatmap
+    csv = tmp_path / "mmd.csv"
+    r = runner.invoke(
+        main,
+        ["compute-mmd", "--embeddings", str(emb), "--group-column", "state",
+         "--permutations", "10", "--output", str(csv)],
+    )
+    assert r.exit_code == 0, r.output
+    r = runner.invoke(
+        main, ["plot-mmd-heatmap", "--mmd-csv", str(csv), "--output", str(tmp_path / "h.png")]
+    )
+    assert r.exit_code == 0, r.output
+    assert (tmp_path / "h.png").exists()

@@ -304,6 +304,170 @@ def compute_mmd(embeddings: str, group_column: str, permutations: int, output: s
     click.echo(json.dumps(rows, indent=2, default=float))
 
 
+@main.command("train-mlp-embedder")
+@click.option("--embeddings", required=True, type=click.Path(exists=True))
+@click.option("--label-column", required=True)
+@click.option("--output", required=True, type=click.Path())
+@click.option("--hidden-dims", default="256,128")
+@click.option("--epochs", default=30)
+@click.option("--lr", default=1e-3)
+def train_mlp_embedder_cmd(embeddings, label_column, output, hidden_dims, epochs, lr):
+    """Train a supervised MLP embedder on a label column
+    (reference ``train-mlp-embedder``)."""
+    from viscy_tpu.apps.dynaclr.mlp_embedder import train_mlp_embedder
+
+    ds = _load_embeddings(embeddings)
+    labeled = ds["index"][label_column].notna().to_numpy()
+    dims = tuple(int(d) for d in hidden_dims.split(","))
+    _, metrics = train_mlp_embedder(
+        ds["features"][labeled],
+        ds["index"].loc[labeled, label_column].to_numpy(),
+        hidden_dims=dims,
+        epochs=epochs,
+        lr=lr,
+        output_path=output,
+    )
+    click.echo(json.dumps({"val_acc": metrics["val_acc"]}, indent=2))
+
+
+@main.command("apply-mlp-embedder")
+@click.option("--embeddings", required=True, type=click.Path(exists=True))
+@click.option("--model", "model_path", required=True, type=click.Path())
+@click.option("--key", default="MLP")
+def apply_mlp_embedder_cmd(embeddings, model_path, key):
+    """Write MLP-embedder representations back into the dataset
+    (reference ``apply-mlp-embedder``)."""
+    from viscy_tpu.apps.dynaclr.mlp_embedder import apply_mlp_embedder
+    from viscy_tpu.evaluation.zarr_utils import append_to_embedding_dataset
+
+    ds = _load_embeddings(embeddings)
+    reps = apply_mlp_embedder(ds["features"], model_path)
+    append_to_embedding_dataset(embeddings, obsm={key: reps})
+    click.echo(f"Wrote {key} {reps.shape} into {embeddings}")
+
+
+@main.command("run-linear-classifiers")
+@click.option("--embeddings", required=True, type=click.Path(exists=True))
+@click.option("--label-columns", required=True, help="comma-separated")
+@click.option("--splits", default=5)
+def run_linear_classifiers(embeddings, label_columns, splits):
+    """Cross-validated linear probes over several label columns
+    (reference ``run-linear-classifiers``)."""
+    from viscy_tpu.evaluation.linear_classifier import cross_validate_classifier
+
+    ds = _load_embeddings(embeddings)
+    results = {}
+    for col in label_columns.split(","):
+        mask = ds["index"][col].notna().to_numpy()
+        results[col] = cross_validate_classifier(
+            ds["features"][mask], ds["index"].loc[mask, col].to_numpy(), n_splits=splits
+        )
+    click.echo(json.dumps(results, indent=2, default=float))
+
+
+@main.command("compare-models")
+@click.option("--embeddings", "embedding_dirs", multiple=True, required=True, type=click.Path(exists=True))
+@click.option("--distance-metric", default="cosine")
+@click.option("--output", default=None, type=click.Path())
+def compare_models(embedding_dirs, distance_metric, output):
+    """Smoothness/dynamic-range comparison across embedding datasets
+    (reference ``compare-models``)."""
+    from viscy_tpu.evaluation.smoothness import compute_embeddings_smoothness
+    from viscy_tpu.training.cli_utils import format_markdown_table
+
+    rows = []
+    for d in embedding_dirs:
+        ds = _load_embeddings(d)
+        index = ds["index"]
+        if "fov_name" not in index.columns and "fov" in index.columns:
+            index = index.rename(columns={"fov": "fov_name"})
+        res = compute_embeddings_smoothness(ds["features"], index, distance_metric)
+        rows.append({"model": Path(d).name, **{k: v for k, v in res.items() if isinstance(v, (int, float))}})
+    table = format_markdown_table(rows, title="Model comparison")
+    if output:
+        Path(output).write_text(table)
+    click.echo(table)
+
+
+@main.command("combined-dim-reduction")
+@click.option("--embeddings", "embedding_dirs", multiple=True, required=True, type=click.Path(exists=True))
+@click.option("--method", default="pca", type=click.Choice(["pca", "umap", "phate"]))
+@click.option("--components", default=8)
+def combined_dim_reduction(embedding_dirs, method, components):
+    """Fit one reduction over the union of datasets, then write each
+    dataset's projection back (reference ``combined-dim-reduction``)."""
+    from sklearn.decomposition import PCA
+
+    from viscy_tpu.evaluation.zarr_utils import append_to_embedding_dataset
+
+    if method != "pca":
+        from viscy_tpu.evaluation.dimensionality_reduction import reduce_features  # noqa: F401
+
+        raise click.ClickException("only pca is installed in this image")
+    datasets = [_load_embeddings(d) for d in embedding_dirs]
+    combined = np.concatenate([ds["features"] for ds in datasets])
+    pca = PCA(n_components=min(components, min(combined.shape) - 1)).fit(combined)
+    for d, ds in zip(embedding_dirs, datasets):
+        append_to_embedding_dataset(d, obsm={"PCA": pca.transform(ds["features"]).astype(np.float32)})
+        click.echo(f"{d}: PCA ({pca.n_components_}) written")
+
+
+@main.command("plot-mmd-heatmap")
+@click.option("--mmd-csv", required=True, type=click.Path(exists=True))
+@click.option("--value-column", default="mmd2")
+@click.option("--output", required=True, type=click.Path())
+def plot_mmd_heatmap(mmd_csv, value_column, output):
+    """Render the pairwise MMD matrix (from compute-mmd --output) as a
+    heatmap (reference ``plot-mmd-heatmap``)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import pandas as pd
+
+    df = pd.read_csv(mmd_csv)
+    groups = sorted(set(df["group_a"]) | set(df["group_b"]))
+    mat = np.zeros((len(groups), len(groups)))
+    pos = {g: i for i, g in enumerate(groups)}
+    for _, r in df.iterrows():
+        i, j = pos[r["group_a"]], pos[r["group_b"]]
+        mat[i, j] = mat[j, i] = r[value_column]
+    fig, ax = plt.subplots(figsize=(1 + len(groups), 1 + len(groups)))
+    im = ax.imshow(mat, cmap="viridis")
+    ax.set_xticks(range(len(groups)), groups, rotation=45, ha="right")
+    ax.set_yticks(range(len(groups)), groups)
+    fig.colorbar(im, ax=ax, label=value_column)
+    fig.tight_layout()
+    fig.savefig(output, dpi=120)
+    click.echo(f"Wrote heatmap to {output}")
+
+
+@main.command("inspect-batches")
+@click.option("--config", "-c", required=True, type=click.Path(exists=True))
+@click.option("--num-batches", default=2)
+def inspect_batches(config, num_batches):
+    """Instantiate the config's datamodule and print batch structure
+    (reference ``inspect-batches``)."""
+    from viscy_tpu.training.cli_utils import load_config
+    from viscy_tpu.training.instantiate import instantiate
+
+    cfg = load_config(config)
+    dm = instantiate(cfg["data"])
+    dm.prepare_data()
+    dm.setup("fit")
+    loader = dm.train_dataloader()
+    for i, batch in enumerate(loader):
+        if i >= num_batches:
+            break
+        desc = {
+            k: (list(np.shape(v)), str(np.asarray(v).dtype))
+            for k, v in batch.items()
+            if hasattr(v, "shape") or isinstance(v, np.ndarray)
+        }
+        click.echo(json.dumps({"batch": i, **{k: d for k, d in desc.items()}}, default=str))
+
+
 if __name__ == "__main__":
     main()
+
 
