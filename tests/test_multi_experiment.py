@@ -355,3 +355,42 @@ def test_dynaclr_cli_mlp_and_compare(tmp_path):
     )
     assert r.exit_code == 0, r.output
     assert (tmp_path / "h.png").exists()
+
+
+def test_prepare_eval_configs(tmp_path):
+    import json as _json
+
+    import yaml
+    from click.testing import CliRunner
+
+    from viscy_tpu.apps.dynaclr.cli import main
+
+    training = {
+        "model": {"class_path": "dynaclr.engine.ContrastiveModule"},
+        "data": {
+            "class_path": "dynaclr.data.datamodule.MultiExperimentDataModule",
+            "init_args": {"cell_index_path": "/data/index.parquet"},
+        },
+        "trainer": {"max_epochs": 5},
+    }
+    tcfg = tmp_path / "train.yaml"
+    tcfg.write_text(yaml.safe_dump(training))
+    eval_cfg = {
+        "training_config": str(tcfg),
+        "output_dir": str(tmp_path / "eval"),
+        "steps": ["predict", "smoothness", "mmd", "linear_classifiers"],
+        "label_columns": ["state"],
+    }
+    ecfg = tmp_path / "eval.yaml"
+    ecfg.write_text(yaml.safe_dump(eval_cfg))
+    r = CliRunner().invoke(main, ["prepare-eval-configs", "-c", str(ecfg)])
+    assert r.exit_code == 0, r.output
+    manifest = _json.loads(r.output)
+    assert manifest["cell_index_path"] == "/data/index.parquet"
+    for step in ("predict", "smoothness", "mmd", "linear_classifiers"):
+        assert (tmp_path / "eval" / "configs" / f"{step}.yaml").exists()
+    assert (tmp_path / "eval" / "configs" / "manifest.json").exists()
+    # predict config drops the trainer section and records the output dir
+    pcfg = yaml.safe_load(open(manifest["predict"]))
+    assert "trainer" not in pcfg
+    assert pcfg["predict"]["output_path"].endswith("embeddings")

@@ -467,7 +467,19 @@ def inspect_batches(config, num_batches):
         click.echo(json.dumps({"batch": i, **{k: d for k, d in desc.items()}}, default=str))
 
 
+@main.command("prepare-eval-configs")
+@click.option("--config", "-c", required=True, type=click.Path(exists=True))
+def prepare_eval_configs(config):
+    """Generate per-step evaluation configs + JSON manifest
+    (reference ``prepare-eval-configs``)."""
+    from viscy_tpu.apps.dynaclr.evaluate_pipeline import prepare_configs
+
+    manifest = prepare_configs(config)
+    click.echo(json.dumps(manifest, indent=2))
+
+
 if __name__ == "__main__":
     main()
+
 
 
