@@ -394,3 +394,28 @@ def test_prepare_eval_configs(tmp_path):
     pcfg = yaml.safe_load(open(manifest["predict"]))
     assert "trainer" not in pcfg
     assert pcfg["predict"]["output_path"].endswith("embeddings")
+
+
+def test_check_evals(tmp_path):
+    import json as _json
+
+    import yaml
+    from click.testing import CliRunner
+
+    from viscy_tpu.apps.dynaclr.cli import main
+
+    training = {"model": {"class_path": "x"}, "data": {"init_args": {}}}
+    tcfg = tmp_path / "train.yaml"
+    tcfg.write_text(yaml.safe_dump(training))
+    ecfg = tmp_path / "eval.yaml"
+    ecfg.write_text(
+        yaml.safe_dump({"training_config": str(tcfg), "output_dir": str(tmp_path / "run")})
+    )
+    runner = CliRunner()
+    r = runner.invoke(main, ["prepare-eval-configs", "-c", str(ecfg)])
+    assert r.exit_code == 0, r.output
+    r = runner.invoke(main, ["check-evals", "--output-dir", str(tmp_path / "run")])
+    assert r.exit_code == 0, r.output
+    report = _json.loads(r.output)[str(tmp_path / "run")]
+    assert report["manifest"] is True
+    assert report["embeddings"] is False  # predict hasn't run

@@ -478,8 +478,32 @@ def prepare_eval_configs(config):
     click.echo(json.dumps(manifest, indent=2))
 
 
+@main.command("check-evals")
+@click.option("--output-dir", "output_dirs", multiple=True, required=True, type=click.Path())
+def check_evals(output_dirs):
+    """Report evaluation completion status per model output dir
+    (reference ``check-evals``): which per-step artifacts exist."""
+    report = {}
+    for d in output_dirs:
+        d = Path(d)
+        manifest_path = d / "configs" / "manifest.json"
+        status = {"manifest": manifest_path.exists()}
+        if manifest_path.exists():
+            manifest = json.loads(manifest_path.read_text())
+            emb = Path(manifest.get("embeddings_dir", d / "embeddings"))
+            status["embeddings"] = (emb / "index.parquet").exists()
+            status["smoothness"] = (d / "smoothness" / "smoothness.json").exists()
+            status["mmd"] = (d / "mmd" / "mmd.csv").exists()
+            status["linear_classifiers"] = any((d / "linear_classifiers").glob("*")) if (
+                d / "linear_classifiers"
+            ).exists() else False
+        report[str(d)] = status
+    click.echo(json.dumps(report, indent=2))
+
+
 if __name__ == "__main__":
     main()
+
 
 
 
