@@ -419,3 +419,53 @@ def test_check_evals(tmp_path):
     report = _json.loads(r.output)[str(tmp_path / "run")]
     assert report["manifest"] is True
     assert report["embeddings"] is False  # predict hasn't run
+
+
+def test_append_annotations_and_predictions(tmp_path):
+    import pandas as pd
+    from click.testing import CliRunner
+
+    from viscy_tpu.apps.dynaclr.cli import main
+    from viscy_tpu.training.callbacks.embedding_writer import write_embedding_dataset
+
+    rng = np.random.default_rng(0)
+    feats = np.concatenate(
+        [rng.normal(-2, 1, (20, 6)), rng.normal(2, 1, (20, 6))]
+    ).astype(np.float32)
+    index = pd.DataFrame(
+        {
+            "fov_name": ["A/1/0"] * 40,
+            "track_id": np.repeat(np.arange(8), 5),
+            "t": np.tile(np.arange(5), 8),
+            "y": rng.uniform(0, 100, 40),
+            "x": rng.uniform(0, 100, 40),
+        }
+    )
+    emb = tmp_path / "emb"
+    write_embedding_dataset(emb, feats, index)
+    ann = index[["fov_name", "track_id", "t"]].copy()
+    ann["infection_state"] = ["mock"] * 20 + ["infected"] * 20
+    csv = tmp_path / "ann.csv"
+    ann.to_csv(csv, index=False)
+    runner = CliRunner()
+    r = runner.invoke(main, ["append-annotations", "--embeddings", str(emb), "--csv", str(csv)])
+    assert r.exit_code == 0, r.output
+    idx = pd.read_parquet(emb / "index.parquet")
+    assert idx["infection_state"].notna().all()
+
+    r = runner.invoke(
+        main,
+        ["train-classifier", "--embeddings", str(emb), "--label-column", "infection_state",
+         "--output", str(tmp_path / "clf.joblib")],
+    )
+    assert r.exit_code == 0, r.output
+    r = runner.invoke(
+        main,
+        ["append-predictions", "--embeddings", str(emb), "--classifier", str(tmp_path / "clf.joblib"),
+         "--task", "infection_state"],
+    )
+    assert r.exit_code == 0, r.output
+    idx = pd.read_parquet(emb / "index.parquet")
+    assert "predicted_infection_state" in idx.columns
+    agree = (idx["predicted_infection_state"] == idx["infection_state"]).mean()
+    assert agree > 0.9

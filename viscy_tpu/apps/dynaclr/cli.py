@@ -501,8 +501,55 @@ def check_evals(output_dirs):
     click.echo(json.dumps(report, indent=2))
 
 
+@main.command("append-annotations")
+@click.option("--embeddings", required=True, type=click.Path(exists=True))
+@click.option("--csv", "csv_path", required=True, type=click.Path(exists=True))
+@click.option("--columns", default=None, help="comma-separated task columns; default = all non-key columns")
+@click.option("--spatial-tolerance", default=4.0)
+def append_annotations_cmd(embeddings, csv_path, columns, spatial_tolerance):
+    """Join human-annotation task columns onto the index by
+    (fov_name, t, track_id) or (fov_name, id), resolving mitosis-frame
+    duplicates spatially (reference ``append-annotations``)."""
+    import pandas as pd
+
+    from viscy_tpu.evaluation.annotation import load_annotation
+    from viscy_tpu.evaluation.zarr_utils import append_to_embedding_dataset
+
+    ds = _load_embeddings(embeddings)
+    join_keys = {"fov_name", "t", "track_id", "id", "y", "x"}
+    if columns:
+        tasks = columns.split(",")
+    else:
+        tasks = [c for c in pd.read_csv(csv_path, nrows=1).columns if c not in join_keys]
+    counts = {}
+    for task in tasks:
+        series = load_annotation(ds, csv_path, task, spatial_tolerance=spatial_tolerance)
+        counts[task] = int(series.notna().sum())
+    append_to_embedding_dataset(embeddings, obs=ds["index"])
+    click.echo(json.dumps(counts, indent=2))
+
+
+@main.command("append-predictions")
+@click.option("--embeddings", required=True, type=click.Path(exists=True))
+@click.option("--classifier", required=True, type=click.Path(exists=True))
+@click.option("--task", default="state")
+@click.option("--features-key", default="features")
+def append_predictions_cmd(embeddings, classifier, task, features_key):
+    """Apply a saved linear classifier to every cell and persist a
+    ``predicted_{task}`` column (reference ``append-predictions``)."""
+    from viscy_tpu.evaluation.linear_classifier import LinearClassifierPipeline
+    from viscy_tpu.evaluation.zarr_utils import append_to_embedding_dataset
+
+    ds = _load_embeddings(embeddings)
+    pipeline = LinearClassifierPipeline.load(classifier)
+    ds["index"][f"predicted_{task}"] = pipeline.predict(ds[features_key])
+    append_to_embedding_dataset(embeddings, obs=ds["index"])
+    click.echo(f"Wrote predicted_{task} for {len(ds['index'])} cells")
+
+
 if __name__ == "__main__":
     main()
+
 
 
 
