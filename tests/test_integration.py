@@ -111,9 +111,10 @@ def test_predict_writes_hcs_zarr(preprocessed_hcs_dataset, tmp_path):
     assert pos.channel_names == ["GFP"]
     img = pos["0"]
     # z_window 12 of a 12-slice stack -> one window per t, out depth 1 at
-    # center offset (12-1)//2 = 5
+    # the dataset's center-slice key z + z_window_size // 2 = 6 (matches the
+    # reference's even-window convention, prediction_writer.py:305)
     assert img.shape[0] == 2
-    written = img[:, 0, 5]
+    written = img[:, 0, 6]
     assert np.abs(written).sum() > 0
 
 
@@ -215,4 +216,4 @@ def test_predict_write_input_channels(preprocessed_hcs_dataset, tmp_path):
     img = pos["0"]
     assert img.shape[1] == 2
     # source center slice written in channel 0
-    assert np.abs(img[0, 0, 5]).sum() > 0
+    assert np.abs(img[0, 0, 6]).sum() > 0

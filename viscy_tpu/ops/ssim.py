@@ -117,7 +117,6 @@ def ms_ssim_25d(
     geometric mean, batch-averaged scalar.
     """
     base_min = 1e-4
-    data_range = jnp.max(target).astype(jnp.float32)
     # truncate scales that would shrink below the window (the torch
     # reference errors on small inputs; truncation keeps tiny-shape
     # smoke tests and dry runs functional without changing large-image
@@ -134,8 +133,15 @@ def ms_ssim_25d(
     ssim = None
     p, t = preds, target
     for _ in range(len(betas)):
+        # data_range recomputed from the (downsampled) target at every scale,
+        # matching the reference loop (metrics.py:313-349) so C1/C2 track the
+        # coarse-scale dynamic range.
         ssim, cs = ssim_25d(
-            p, t, in_plane_window_size, return_contrast_sensitivity=True, data_range=data_range
+            p,
+            t,
+            in_plane_window_size,
+            return_contrast_sensitivity=True,
+            data_range=jnp.max(t).astype(jnp.float32),
         )
         if clamp:
             cs = jnp.clip(cs, base_min, None)

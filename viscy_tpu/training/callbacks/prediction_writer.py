@@ -69,7 +69,10 @@ class HCSPredictionWriter(Callback):
         self._source_channels: list[str] = []
         self._target_channels: list[str] = []
         self._z_window_size = 1
-        self._pool = ThreadPoolExecutor(max_workers=2)
+        # One background writer thread: keeps host zarr writes off the device
+        # critical path while serializing the read-modify-write feathered
+        # blends (overlapping Z-slabs of one FOV must apply in order).
+        self._pool = ThreadPoolExecutor(max_workers=1)
         self._pending = []
 
     def setup_from_datamodule(self, datamodule) -> None:
@@ -124,13 +127,20 @@ class HCSPredictionWriter(Callback):
         sources = batch.get("source") if self.write_input else None
         for i, idx in enumerate(indices):
             img_name, t, z = str(idx[0]), int(idx[1]), int(idx[2])
-            self._write_sample(
-                preds[i],
-                img_name,
-                t,
-                z,
-                source=None if sources is None else np.asarray(sources[i], np.float32),
+            src = None if sources is None else np.asarray(sources[i], np.float32)
+            self._pending.append(
+                self._pool.submit(self._write_sample, preds[i], img_name, t, z, src)
             )
+        self._drain(max_pending=64)
+
+    def _drain(self, max_pending: int = 0) -> None:
+        """Bound the write queue; surface background write errors promptly."""
+        while len(self._pending) > max_pending:
+            self._pending.pop(0).result()
+        done = [f for f in self._pending if f.done()]
+        for f in done:
+            self._pending.remove(f)
+            f.result()  # re-raise any background exception
 
     def _get_position(self, img_name: str) -> Position:
         # img_name like "/A/1/0/0" or "A/1/0/0" (fov path + array key)
@@ -151,9 +161,12 @@ class HCSPredictionWriter(Callback):
         pos = self._get_position(img_name)
         n_ch = len(self._channels)
         cz = pred.shape[-3]
-        # 2.5D: output depth < input window — place at the window center
-        # (reference ``z_padding``; prediction_writer.py:305)
-        z_padding = max(0, (self._z_window_size - cz) // 2)
+        # 2.5D: output depth < input window — place at the window center.
+        # For single-slice outputs use z_window_size // 2 to match the
+        # reference (prediction_writer.py:305) and SlidingWindowDataset's
+        # center-slice key (z + z_window_size // 2), which differ from
+        # (z_window_size - 1) // 2 when the window is even.
+        z_padding = self._z_window_size // 2 if cz == 1 else max(0, (self._z_window_size - cz) // 2)
         z_index = z_start + z_padding
         z_slice = slice(z_index, z_index + cz)
         if "0" not in pos:
@@ -187,6 +200,8 @@ class HCSPredictionWriter(Callback):
 
     def on_predict_end(self, trainer, module) -> None:
         if self._pool is not None:
+            self._drain(max_pending=0)
             self._pool.shutdown(wait=True)
+            self._pool = None
         self._plate = None
         self._positions.clear()

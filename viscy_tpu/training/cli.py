@@ -31,7 +31,33 @@ _TRAINER_ARG_KEYS = {
     "log_every_n_steps",
     "default_root_dir",
     "precision",
+    "gradient_clip_val",
+    "gradient_clip_algorithm",
+    "accumulate_grad_batches",
+    "check_val_every_n_epoch",
     "seed",
+}
+
+# Lightning trainer keys that are structurally irrelevant on the mesh/pjit
+# trainer (parallelism comes from the device mesh, not a strategy object).
+_IGNORED_TRAINER_KEYS = {
+    "logger",  # CSV+TB built in; W&B via env-gated extra logger
+    "strategy",
+    "devices",
+    "accelerator",
+    "num_nodes",
+    "use_distributed_sampler",
+    "sync_batchnorm",
+    "num_sanity_val_steps",
+    "enable_progress_bar",
+    "enable_model_summary",
+    "deterministic",
+    "benchmark",
+    "detect_anomaly",
+    "inference_mode",
+    "plugins",
+    "profiler",
+    "reload_dataloaders_every_n_epochs",
 }
 
 
@@ -40,27 +66,45 @@ def _setup_environment() -> None:
     logging.basicConfig(level=getattr(logging, level.upper(), logging.INFO))
 
 
-def build_trainer(trainer_cfg: dict):
+def build_trainer(trainer_cfg: dict, subcommand: str | None = None):
     """Build a Trainer from a Lightning-style trainer config dict."""
     from viscy_tpu.training.trainer import Trainer
 
     trainer_cfg = dict(trainer_cfg or {})
     callbacks = instantiate(trainer_cfg.pop("callbacks", []) or [])
-    trainer_cfg.pop("logger", None)  # W&B/TB logger config: CSV+TB built in
-    trainer_cfg.pop("strategy", None)  # mesh parallelism replaces DDP strategy
-    trainer_cfg.pop("devices", None)
-    trainer_cfg.pop("accelerator", None)
-    trainer_cfg.pop("num_nodes", None)
-    trainer_cfg.pop("use_distributed_sampler", None)
-    trainer_cfg.pop("gradient_clip_val", None)
-    trainer_cfg.pop("check_val_every_n_epoch", None)
-    kwargs = {k: v for k, v in trainer_cfg.items() if k in _TRAINER_ARG_KEYS}
+    loggers = _build_loggers(trainer_cfg.pop("logger", None), subcommand)
+    for key in list(trainer_cfg):
+        if key in _IGNORED_TRAINER_KEYS:
+            trainer_cfg.pop(key)
+        elif key not in _TRAINER_ARG_KEYS:
+            _logger.warning(
+                "trainer config key %r is not supported by the TPU trainer "
+                "and was dropped — training semantics may differ from the "
+                "reference run.",
+                key,
+            )
+            trainer_cfg.pop(key)
+    kwargs = dict(trainer_cfg)
     default_root = kwargs.pop("default_root_dir", None)
     if default_root is None:
         stamp = datetime.now().strftime("%Y%m%d-%H%M%S")
         default_root = Path("lightning_logs") / stamp
-    kwargs.pop("precision", None)
-    return Trainer(default_root_dir=default_root, callbacks=callbacks, **kwargs)
+    return Trainer(
+        default_root_dir=default_root, callbacks=callbacks, loggers=loggers, **kwargs
+    )
+
+
+def _build_loggers(logger_cfg, subcommand: str | None = None) -> list:
+    """Map Lightning logger configs to extra metric sinks.
+
+    W&B activates only when the ``wandb`` package is importable and
+    ``WANDB_API_KEY`` is set (reference default logger,
+    ``viscy_utils/cli.py:35-92``); otherwise it degrades to the built-in
+    CSV+TensorBoard sinks with a log message.
+    """
+    from viscy_tpu.training.loggers import build_loggers_from_config
+
+    return build_loggers_from_config(logger_cfg, subcommand)
 
 
 def run_subcommand(subcommand: str, config_path: str, ckpt_path: str | None = None) -> None:
@@ -95,10 +139,20 @@ def run_subcommand(subcommand: str, config_path: str, ckpt_path: str | None = No
             )
         return
 
+    ckpt = ckpt_path or cfg.get("ckpt_path")
+    # checkpoint-hparams precedence (reference ``_parse_ckpt_path``,
+    # cli.py:94-125): on fit, hparams saved with the checkpoint win over the
+    # config (resume must restore lr/architecture); on predict/test/validate
+    # the user config wins (e.g. fresh predict options).
+    if subcommand == "fit" and ckpt:
+        saved = _load_ckpt_hparams(ckpt)
+        if saved is not None and "model" in cfg:
+            cfg["model"] = saved
     model = instantiate(cfg["model"]) if "model" in cfg else None
     datamodule = instantiate(cfg["data"]) if "data" in cfg else None
-    trainer = build_trainer(cfg.get("trainer", {}))
-    ckpt = ckpt_path or cfg.get("ckpt_path")
+    trainer = build_trainer(cfg.get("trainer", {}), subcommand)
+    if subcommand == "fit" and "model" in cfg:
+        _save_ckpt_hparams(trainer, cfg["model"])
 
     if subcommand == "fit":
         trainer.fit(model, datamodule, ckpt_path=ckpt)
@@ -129,6 +183,48 @@ def run_subcommand(subcommand: str, config_path: str, ckpt_path: str | None = No
         convert_to_anndata(cc["embeddings_path"], cc["output_path"])
     else:
         raise click.UsageError(f"Unknown subcommand {subcommand}")
+
+
+def _hparams_file(ckpt_path: str | Path) -> Path:
+    """The model-hparams sidecar for a checkpoint directory.
+
+    Orbax payloads hold arrays only, so the model config rides alongside the
+    ``checkpoints/`` directory as ``hparams.yaml`` (Lightning embeds
+    hyper_parameters inside the ckpt; a sidecar keeps the same contract).
+    """
+    p = Path(ckpt_path)
+    if p.is_symlink():
+        p = p.resolve()
+    # checkpoints live at <root>/checkpoints/<name>; hparams at <root>/hparams.yaml
+    for parent in [p] + list(p.parents):
+        if parent.name == "checkpoints":
+            return parent.parent / "hparams.yaml"
+    return p.parent / "hparams.yaml"
+
+
+def _load_ckpt_hparams(ckpt_path: str | Path) -> dict | None:
+    import yaml
+
+    f = _hparams_file(ckpt_path)
+    if not f.exists():
+        _logger.info("no hparams.yaml found beside %s; config model hparams apply", ckpt_path)
+        return None
+    with open(f) as fh:
+        saved = yaml.safe_load(fh)
+    _logger.info("fit resume: model hparams restored from %s (ckpt wins over config)", f)
+    return saved
+
+
+def _save_ckpt_hparams(trainer, model_cfg: dict) -> None:
+    import yaml
+
+    try:
+        out = Path(trainer.default_root_dir) / "hparams.yaml"
+        out.parent.mkdir(parents=True, exist_ok=True)
+        with open(out, "w") as fh:
+            yaml.safe_dump(model_cfg, fh)
+    except Exception:
+        _logger.debug("could not write hparams.yaml", exc_info=True)
 
 
 @click.group()

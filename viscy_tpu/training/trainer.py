@@ -36,13 +36,22 @@ _logger = logging.getLogger("viscy_tpu")
 
 
 class CSVLogger:
-    """Minimal metrics logger: CSV + optional TensorBoard."""
+    """Minimal metrics logger: CSV + optional TensorBoard + extra sinks.
 
-    def __init__(self, log_dir: Path, use_tensorboard: bool = True) -> None:
+    ``extra`` sinks (e.g. the env-gated W&B logger,
+    ``viscy_tpu.training.loggers.WandbLogger``) receive the same
+    ``log_metrics``/``log_image``/``close`` calls; sink failures never
+    interrupt training.
+    """
+
+    def __init__(
+        self, log_dir: Path, use_tensorboard: bool = True, extra: Sequence | None = None
+    ) -> None:
         self.log_dir = Path(log_dir)
         self.log_dir.mkdir(parents=True, exist_ok=True)
         self._csv = open(self.log_dir / "metrics.csv", "a")
         self._tb = None
+        self.extra = list(extra or [])
         if use_tensorboard:
             try:
                 from tensorboardX import SummaryWriter
@@ -58,15 +67,30 @@ class CSVLogger:
         if self._tb is not None:
             for k, v in metrics.items():
                 self._tb.add_scalar(k, float(v), step)
+        for sink in self.extra:
+            try:
+                sink.log_metrics(metrics, step)
+            except Exception:  # never let an observability sink kill training
+                _logger.debug("extra logger %r failed", sink, exc_info=True)
 
     def log_image(self, tag: str, image: np.ndarray, step: int) -> None:
         if self._tb is not None:
             self._tb.add_image(tag, image, step, dataformats="HWC")
+        for sink in self.extra:
+            try:
+                sink.log_image(tag, image, step)
+            except Exception:
+                _logger.debug("extra logger %r failed", sink, exc_info=True)
 
     def close(self) -> None:
         self._csv.close()
         if self._tb is not None:
             self._tb.close()
+        for sink in self.extra:
+            try:
+                sink.close()
+            except Exception:
+                pass
 
 
 class Trainer:
@@ -88,9 +112,14 @@ class Trainer:
         seed: int = 42,
         mesh=None,
         use_tensorboard: bool = True,
-        precision: str = "bf16-mixed",
+        precision: str | None = None,
+        gradient_clip_val: float | None = None,
+        gradient_clip_algorithm: str = "norm",
+        accumulate_grad_batches: int = 1,
+        check_val_every_n_epoch: int = 1,
         profile_dir: str | None = None,
         profile_steps: tuple[int, int] = (10, 15),
+        loggers: Sequence | None = None,
     ) -> None:
         self.max_epochs = max_epochs
         self.max_steps = max_steps
@@ -106,9 +135,23 @@ class Trainer:
         self.seed = seed
         self.mesh = mesh or get_mesh()
         self.precision = precision
+        if precision is not None:
+            # Compute dtype on TPU is a model-config decision (param_dtype /
+            # dtype on the flax modules), not a trainer flag; accepting the
+            # Lightning value silently would imply it changes numerics here.
+            _logger.warning(
+                "Trainer(precision=%r) has no effect: compute/param dtype is "
+                "set by the model config (e.g. model.init_args.dtype). The "
+                "value is recorded but ignored.",
+                precision,
+            )
+        self.gradient_clip_val = gradient_clip_val
+        self.gradient_clip_algorithm = gradient_clip_algorithm
+        self.accumulate_grad_batches = max(1, int(accumulate_grad_batches or 1))
+        self.check_val_every_n_epoch = max(1, int(check_val_every_n_epoch or 1))
         self.profile_dir = profile_dir
         self.profile_steps = profile_steps
-        self.logger = CSVLogger(self.default_root_dir, use_tensorboard)
+        self.logger = CSVLogger(self.default_root_dir, use_tensorboard, extra=loggers)
         self.state: TrainState | None = None
         self.current_epoch = 0
         self.global_step = 0
@@ -122,6 +165,21 @@ class Trainer:
         variables = module.init_variables(rng, batch)
         variables = module.load_pretrained(variables)
         tx, self._schedule = module.configure_optimizers(total_steps)
+        if self.gradient_clip_val:
+            import optax
+
+            # Lightning's trainer-level gradient clipping, applied before the
+            # module's optimizer chain.
+            clip = (
+                optax.clip(self.gradient_clip_val)
+                if self.gradient_clip_algorithm == "value"
+                else optax.clip_by_global_norm(self.gradient_clip_val)
+            )
+            tx = optax.chain(clip, tx)
+        if self.accumulate_grad_batches > 1:
+            import optax
+
+            tx = optax.MultiSteps(tx, every_k_schedule=self.accumulate_grad_batches)
         state = TrainState.create(variables, tx)
         return replicate(state, self.mesh)
 
@@ -201,7 +259,17 @@ class Trainer:
         try:
             steps_per_epoch = len(train_loader)
         except TypeError:
-            steps_per_epoch = 100
+            steps_per_epoch = getattr(datamodule, "steps_per_epoch", None)
+            if steps_per_epoch is None:
+                steps_per_epoch = 100
+                _logger.warning(
+                    "train_dataloader has no len() and the datamodule defines no "
+                    "steps_per_epoch: assuming %d steps/epoch for the LR schedule "
+                    "(total_steps=%d). Set datamodule.steps_per_epoch or "
+                    "Trainer(max_steps=...) to silence this.",
+                    steps_per_epoch,
+                    steps_per_epoch * self.max_epochs,
+                )
         if self.limit_train_batches:
             steps_per_epoch = min(steps_per_epoch, self.limit_train_batches)
         total_steps = self.max_steps or steps_per_epoch * self.max_epochs
@@ -264,8 +332,10 @@ class Trainer:
                     f"epoch {epoch}: {n_seen} steps in {dt:.1f}s ({n_seen / dt:.2f} it/s)"
                 )
 
-            # validation
-            val_metrics = self._run_validation(module, datamodule, val_step, rng, sched)
+            # validation (every check_val_every_n_epoch epochs, Lightning-style)
+            val_metrics = {}
+            if (epoch + 1) % self.check_val_every_n_epoch == 0 or self.fast_dev_run:
+                val_metrics = self._run_validation(module, datamodule, val_step, rng, sched)
             for cb in self.callbacks:
                 cb.on_train_epoch_end(self, module, epoch)
 
@@ -402,18 +472,34 @@ class Trainer:
         if score is not None:
             self._ckpt_scores.append((score, str(path)))
             self._ckpt_scores.sort(key=lambda t: t[0])
-            while len(self._ckpt_scores) > self.checkpoint_top_k:
-                _, worst = self._ckpt_scores.pop()
+            # Top-k pruning must never delete the checkpoint that "last"
+            # points at (the just-written one), or resume-from-last breaks.
+            last_target = str(path.absolute())
+            keep: list[tuple[float, str]] = []
+            while len(self._ckpt_scores) - len(keep) > self.checkpoint_top_k:
+                worst_score, worst = self._ckpt_scores.pop()
+                if str(Path(worst).absolute()) == last_target:
+                    keep.append((worst_score, worst))
+                    continue
                 import shutil
 
                 shutil.rmtree(worst, ignore_errors=True)
+            self._ckpt_scores.extend(keep)
+            self._ckpt_scores.sort(key=lambda t: t[0])
 
     def load_checkpoint(self, path: str | Path, module: TrainModule) -> None:
         import orbax.checkpoint as ocp
 
         path = Path(path)
         if path.name == "last" and path.is_symlink():
-            path = path.resolve()
+            resolved = path.resolve()
+            if not resolved.exists():
+                raise FileNotFoundError(
+                    f"'last' checkpoint symlink {path} points at {resolved}, "
+                    "which no longer exists (it may have been pruned). Pass an "
+                    "explicit epoch=*-step=* checkpoint directory instead."
+                )
+            path = resolved
         ckptr = ocp.StandardCheckpointer()
         template = {
             "params": jax.device_get(self.state.params),
@@ -430,5 +516,7 @@ class Trainer:
             step=jnp.asarray(restored["step"], jnp.int32),
         )
         self.state = replicate(self.state, self.mesh)
-        self.current_epoch = int(restored["epoch"])
+        # The payload records the just-completed epoch; resume at the next one
+        # (Lightning semantics — re-running the saved epoch double-trains it).
+        self.current_epoch = int(restored["epoch"]) + 1
         self.global_step = int(restored["step"])
