@@ -22,21 +22,17 @@ from viscy_tpu.training.instantiate import instantiate
 
 _logger = logging.getLogger("viscy_tpu")
 
-_TRAINER_ARG_KEYS = {
-    "max_epochs",
-    "max_steps",
-    "fast_dev_run",
-    "limit_train_batches",
-    "limit_val_batches",
-    "log_every_n_steps",
-    "default_root_dir",
-    "precision",
-    "gradient_clip_val",
-    "gradient_clip_algorithm",
-    "accumulate_grad_batches",
-    "check_val_every_n_epoch",
-    "seed",
-}
+def _trainer_arg_keys() -> set[str]:
+    """Keys the Trainer actually accepts, from its signature."""
+    import inspect
+
+    from viscy_tpu.training.trainer import Trainer
+
+    return {
+        k
+        for k in inspect.signature(Trainer.__init__).parameters
+        if k not in ("self", "callbacks", "loggers")
+    }
 
 # Lightning trainer keys that are structurally irrelevant on the mesh/pjit
 # trainer (parallelism comes from the device mesh, not a strategy object).
@@ -73,10 +69,11 @@ def build_trainer(trainer_cfg: dict, subcommand: str | None = None):
     trainer_cfg = dict(trainer_cfg or {})
     callbacks = instantiate(trainer_cfg.pop("callbacks", []) or [])
     loggers = _build_loggers(trainer_cfg.pop("logger", None), subcommand)
+    accepted = _trainer_arg_keys()
     for key in list(trainer_cfg):
         if key in _IGNORED_TRAINER_KEYS:
             trainer_cfg.pop(key)
-        elif key not in _TRAINER_ARG_KEYS:
+        elif key not in accepted:
             _logger.warning(
                 "trainer config key %r is not supported by the TPU trainer "
                 "and was dropped — training semantics may differ from the "

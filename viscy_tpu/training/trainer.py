@@ -508,11 +508,29 @@ class Trainer:
             "step": 0,
             "epoch": 0,
         }
-        restored = ckptr.restore(path.absolute(), target=template)
+        try:
+            restored = ckptr.restore(path.absolute(), target=template)
+            opt_state = restored["opt_state"]
+        except ValueError:
+            # Optimizer structure changed between save and load (e.g. the
+            # saving run used gradient_clip_val / accumulate_grad_batches and
+            # this one doesn't, or vice versa). Weights are what matters for
+            # predict/test/validate and for resuming with a new optimizer —
+            # restore them and keep the fresh opt_state.
+            _logger.warning(
+                "checkpoint %s: optimizer state structure does not match the "
+                "current trainer config; restoring weights only (fresh "
+                "optimizer state).",
+                path,
+            )
+            # params/extra_vars are plain nested dicts, so a target-free
+            # restore reproduces them structurally.
+            restored = ckptr.restore(path.absolute())
+            opt_state = self.state.opt_state
         self.state = self.state.replace(
             params=restored["params"],
             extra_vars=restored["extra_vars"],
-            opt_state=restored["opt_state"],
+            opt_state=opt_state,
             step=jnp.asarray(restored["step"], jnp.int32),
         )
         self.state = replicate(self.state, self.mesh)
