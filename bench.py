@@ -1,73 +1,92 @@
 """Benchmark: VSCyto3D training throughput (patches/sec/chip).
 
-Measures the jitted training step (device-side augmentation fused with
-forward + backward + AdamW update) of the flagship VSCyto3D architecture
-(FCMAE-based UNeXt2, 1->2ch, 15-deep stacks, 384x384 patches — reference
-production config ``finetune_a549_infected_4gpu_batched.yml``: 64
-patches/step/rank on A100-80GB).
+Measures the **production** train step of the flagship VSCyto3D recipe
+(reference ``finetune_a549_infected_4gpu_batched.yml:131-165``): the full
+device-side augmentation pipeline —
+
+    BatchedRandAffined(prob=0.8, rot [pi,0,0], shear [0,.05,.05],
+                       scale [[.7,1.3],[.5,1.5],[.5,1.5]])
+    BatchedCenterSpatialCropd((15,384,384))          # fused into the warp
+    BatchedRandAdjustContrastd + BatchedRandScaleIntensityd
+    + BatchedRandGaussianNoised + BatchedRandGaussianSmoothd
+
+— on (20,600,600) input stacks, fused with forward + backward + AdamW of
+the FCMAE-based UNeXt2 (1->2ch). The affine warp and the downstream center
+crop compile into a single output-space gather (Compose peephole,
+``viscy_tpu/transforms/base.py``).
+
+Also measures an **end-to-end** variant fed by the real HCSDataModule
+loader on a synthetic OME-Zarr plate (host read -> crop/normalize ->
+double-buffered async device_put -> device step), reported as extra keys.
 
 Prints ONE JSON line:
-``{"metric": "...", "value": N, "unit": "...", "vs_baseline": N}``.
+``{"metric": "...", "value": N, "unit": "...", "vs_baseline": N, ...}``.
 
 Baseline: the reference publishes no throughput numbers (BASELINE.md).
-``vs_baseline`` is computed against an estimated H100 per-chip rate of
-64 patches/step x 1.0 steps/s = 64 patches/s (bf16-mixed torch compile-less
-Lightning step of the same model at the production per-rank batch), which
-is our best-effort anchor until a measured reference number exists.
+``vs_baseline`` divides by an estimated H100 per-chip rate of 64
+patches/s (production per-rank batch at ~1 step/s, bf16 Lightning) —
+best-effort anchor until a measured reference number exists.
+
+Env knobs: BENCH_BATCH (default 16), BENCH_STEPS (default 10),
+BENCH_SKIP_E2E=1 to skip the loader-fed variant.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
 
 H100_EST_PATCHES_PER_SEC = 64.0
 
-PATCH = (15, 384, 384)
+if os.environ.get("BENCH_TINY") == "1":
+    # smoke-test mode for CPU CI: tiny shapes + tiny model, same code path
+    STACK = (8, 48, 48)
+    PATCH = (5, 32, 32)  # tiny flagship stem needs depth >= 5
+else:
+    STACK = (20, 600, 600)  # host RandWeightedCropd output (config :128)
+    PATCH = (15, 384, 384)  # device center-crop (config :140)
+
+_TINY = os.environ.get("BENCH_TINY") == "1"
 
 
-def main() -> None:
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-
-    from viscy_tpu.parallel.mesh import make_mesh, replicate, shard_batch
-    from viscy_tpu.training.state import TrainState
+def _production_aug():
     from viscy_tpu.transforms import (
+        BatchedCenterSpatialCropd,
         BatchedRandAdjustContrastd,
-        BatchedRandFlipd,
+        BatchedRandAffined,
         BatchedRandGaussianNoised,
+        BatchedRandGaussianSmoothd,
+        BatchedRandScaleIntensityd,
         Compose,
     )
-    import importlib.util
 
-    spec = importlib.util.spec_from_file_location("graft_entry", "__graft_entry__.py")
-    graft = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(graft)
-
-    n_dev = jax.device_count()
-    mesh = make_mesh()
-    module = graft._flagship(tiny=False)
-
-    import os
-    batch_per_chip = int(os.environ.get("BENCH_BATCH", "16"))
-    b = batch_per_chip * n_dev
-    rng = np.random.default_rng(0)
-    batch = {
-        "source": rng.random((b, 1, *PATCH), np.float32),
-        "target": rng.random((b, 2, *PATCH), np.float32),
-    }
-    variables = module.init_variables(jax.random.PRNGKey(0), batch)
-    tx, _ = module.configure_optimizers(total_steps=1000)
-    state = replicate(TrainState.create(variables, tx), mesh)
-
-    aug = Compose(
+    return Compose(
         [
-            BatchedRandFlipd(keys=["source", "target"], prob=0.5),
-            BatchedRandAdjustContrastd(keys=["source"], gamma=(0.8, 1.2), prob=0.3),
-            BatchedRandGaussianNoised(keys=["source"], prob=0.5, std=0.1),
+            BatchedRandAffined(
+                keys=["source", "target"],
+                prob=0.8,
+                rotate_range=[3.14, 0, 0],
+                shear_range=[0.0, 0.05, 0.05],
+                scale_range=[[0.7, 1.3], [0.5, 1.5], [0.5, 1.5]],
+            ),
+            BatchedCenterSpatialCropd(keys=["source", "target"], roi_size=list(PATCH)),
+            BatchedRandAdjustContrastd(keys=["source"], prob=0.5, gamma=(0.8, 1.2)),
+            BatchedRandScaleIntensityd(keys=["source"], prob=0.5, factors=0.5),
+            BatchedRandGaussianNoised(keys=["source"], prob=0.5, mean=0.0, std=0.3),
+            BatchedRandGaussianSmoothd(
+                keys=["source"],
+                prob=0.5,
+                sigma_x=(0.25, 0.75),
+                sigma_y=(0.25, 0.75),
+                sigma_z=(0.25, 0.75),
+            ),
         ]
     )
+
+
+def _build_step(module, aug, mesh):
+    import jax
 
     def train_step(state, batch, rng):
         rng, aug_rng = jax.random.split(rng)
@@ -81,38 +100,192 @@ def main() -> None:
         (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         return state.apply_gradients(grads), loss
 
-    step = jax.jit(train_step, donate_argnums=(0,))
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+def bench_production_step(graft, mesh, n_dev: int, batch_per_chip: int, n_steps: int):
+    """Device-only production step at full stack shape (augs included)."""
+    import jax
+    import numpy as np
+
+    from viscy_tpu.parallel.mesh import replicate, shard_batch
+    from viscy_tpu.training.state import TrainState
+
+    module = graft._flagship(tiny=_TINY)
+    b = batch_per_chip * n_dev
+    rng = np.random.default_rng(0)
+    batch = {
+        "source": rng.random((b, 1, *STACK), np.float32),
+        "target": rng.random((b, 2, *STACK), np.float32),
+    }
+    # init at the post-augmentation shape the model actually sees
+    init_batch = {
+        "source": batch["source"][:, :, : PATCH[0], : PATCH[1], : PATCH[2]],
+        "target": batch["target"][:, :, : PATCH[0], : PATCH[1], : PATCH[2]],
+    }
+    variables = module.init_variables(jax.random.PRNGKey(0), init_batch)
+    tx, _ = module.configure_optimizers(total_steps=1000)
+    state = replicate(TrainState.create(variables, tx), mesh)
+
+    step = _build_step(module, _production_aug(), mesh)
     device_batch = shard_batch(batch, mesh)
     key = jax.random.PRNGKey(1)
 
-    # warmup + compile; fetch the loss VALUE to the host — on remote-execution
-    # backends block_until_ready can return before the work completes, so a
-    # data dependency to the host is the only reliable fence. Two warmup
-    # steps: the first output's sharding layouts differ from the fresh
-    # inputs', so the second call compiles the steady-state executable.
+    # warmup + compile; fetching the loss VALUE is the only reliable fence on
+    # remote-execution backends. Two warmups: the second compiles the
+    # steady-state executable with donated-output layouts.
     for w in range(2):
         state, loss = step(state, device_batch, jax.random.fold_in(key, 1000 + w))
     float(jax.device_get(loss))
 
-    n_steps = 10
     t0 = time.perf_counter()
     for i in range(n_steps):
         state, loss = step(state, device_batch, jax.random.fold_in(key, i))
     final_loss = float(jax.device_get(loss))
     dt = time.perf_counter() - t0
-    assert np.isfinite(final_loss)
+    assert np.isfinite(final_loss), f"non-finite loss {final_loss}"
+    return b * n_steps / dt / n_dev
 
-    patches_per_sec_per_chip = b * n_steps / dt / n_dev
-    print(
-        json.dumps(
-            {
-                "metric": "VSCyto3D train patches/sec/chip (15x384x384, fcmae-unext2)",
-                "value": round(patches_per_sec_per_chip, 3),
-                "unit": "patches/s/chip",
-                "vs_baseline": round(patches_per_sec_per_chip / H100_EST_PATCHES_PER_SEC, 4),
-            }
-        )
+
+def bench_e2e(graft, mesh, n_dev: int, batch_per_chip: int, n_steps: int):
+    """End-to-end: real HCSDataModule loader on a synthetic plate feeding the
+    production step through the trainer's double-buffered device prefetch."""
+    import tempfile
+
+    import jax
+    import numpy as np
+
+    from viscy_tpu.data.hcs import HCSDataModule
+    from viscy_tpu.data.host_transforms import HostRandWeightedCropd
+    from viscy_tpu.parallel.mesh import replicate
+    from viscy_tpu.training.state import TrainState
+    from viscy_tpu.transforms.normalize import NormalizeSampled
+    from viscy_tpu.zarr_io.synthetic import build_hcs_plate
+
+    tmp = tempfile.mkdtemp(prefix="bench_e2e_")
+    plate = build_hcs_plate(
+        f"{tmp}/plate.zarr",
+        ["Phase3D", "DAPI_Density3D", "TXR_Density3D"],
+        zyx_shape=(STACK[0], STACK[1] + 40, STACK[2] + 40),
+        rows=("A",),
+        cols=("1",),
+        fovs=("0", "1"),
+        num_timepoints=1,
+        dtype=np.float32,
+        max_value=1.0,
+        norm_meta=True,
     )
+    num_samples = 4  # patches per stack index (config :128)
+    dm = HCSDataModule(
+        data_path=str(plate),
+        source_channel=["Phase3D"],
+        target_channel=["DAPI_Density3D", "TXR_Density3D"],
+        z_window_size=STACK[0],
+        split_ratio=0.99,
+        batch_size=max(1, batch_per_chip * n_dev // num_samples),
+        num_workers=int(os.environ.get("BENCH_WORKERS", "0")),
+        yx_patch_size=list(STACK[1:]),
+        normalizations=[
+            NormalizeSampled(
+                keys=["Phase3D"], level="fov_statistics", subtrahend="mean", divisor="std"
+            )
+        ],
+        augmentations=[
+            HostRandWeightedCropd(
+                keys=["Phase3D", "DAPI_Density3D", "TXR_Density3D"],
+                w_key="DAPI_Density3D",
+                spatial_size=[STACK[0], *STACK[1:]],
+                num_samples=num_samples,
+            )
+        ],
+    )
+    dm.prepare_data()
+    dm.setup("fit")
+
+    module = graft._flagship(tiny=_TINY)
+    loader = dm.train_dataloader()
+    first = next(iter(loader))
+    b = first["source"].shape[0]
+    init_batch = {
+        "source": np.asarray(first["source"][:, :, : PATCH[0], : PATCH[1], : PATCH[2]]),
+        "target": np.asarray(first["target"][:, :, : PATCH[0], : PATCH[1], : PATCH[2]]),
+    }
+    variables = module.init_variables(jax.random.PRNGKey(0), init_batch)
+    tx, _ = module.configure_optimizers(total_steps=1000)
+    state = replicate(TrainState.create(variables, tx), mesh)
+    step = _build_step(module, _production_aug(), mesh)
+    key = jax.random.PRNGKey(1)
+
+    from viscy_tpu.training.trainer import Trainer
+
+    trainer = Trainer(mesh=mesh, use_tensorboard=False, default_root_dir=f"{tmp}/logs")
+
+    state_box = [state]
+
+    def run(n: int) -> tuple[int, float]:
+        seen = 0
+        it = 0
+        loss = None
+        t0 = time.perf_counter()
+        while seen < n:
+            for _, batch in trainer._iter_loader(dm.train_dataloader(), None):
+                device_batch = {k: batch[k] for k in ("source", "target")}
+                state_box[0], loss = step(
+                    state_box[0], device_batch, jax.random.fold_in(key, it)
+                )
+                it += 1
+                seen += device_batch["source"].shape[0]
+                if seen >= n:
+                    break
+        float(jax.device_get(loss))
+        return seen, time.perf_counter() - t0
+    # warmup/compile
+    for i, batch in trainer._iter_loader(dm.train_dataloader(), 2):
+        yb = {k: batch[k] for k in ("source", "target")}
+        state_box[0], loss = step(state_box[0], yb, jax.random.fold_in(key, 900 + i))
+    float(jax.device_get(loss))
+
+    target_patches = b * n_steps
+    seen, dt = run(target_patches)
+    return seen / dt / n_dev
+
+
+def main() -> None:
+    import importlib.util
+
+    import jax
+
+    from viscy_tpu.parallel.mesh import make_mesh
+
+    spec = importlib.util.spec_from_file_location("graft_entry", "__graft_entry__.py")
+    graft = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(graft)
+
+    n_dev = jax.device_count()
+    mesh = make_mesh()
+    batch_per_chip = int(os.environ.get("BENCH_BATCH", "16"))
+    n_steps = int(os.environ.get("BENCH_STEPS", "10"))
+
+    prod = bench_production_step(graft, mesh, n_dev, batch_per_chip, n_steps)
+
+    out = {
+        "metric": (
+            "VSCyto3D production train patches/sec/chip "
+            f"(aug: affine+crop {'x'.join(map(str, STACK))}->{'x'.join(map(str, PATCH))}"
+            " + intensity, fcmae-unext2 fwd+bwd)"
+        ),
+        "value": round(prod, 3),
+        "unit": "patches/s/chip",
+        "vs_baseline": round(prod / H100_EST_PATCHES_PER_SEC, 4),
+    }
+    if os.environ.get("BENCH_SKIP_E2E") != "1":
+        try:
+            e2e = bench_e2e(graft, mesh, n_dev, batch_per_chip, n_steps)
+            out["e2e_patches_per_sec_per_chip"] = round(e2e, 3)
+            out["e2e_fraction_of_device_rate"] = round(e2e / prod, 3)
+        except Exception as e:  # report but never fail the primary metric
+            out["e2e_error"] = f"{type(e).__name__}: {e}"
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -260,3 +260,43 @@ def test_compose_key_split_and_jit():
     np.testing.assert_array_equal(np.asarray(out["source"]), np.asarray(out2["source"]))
     out3 = run(data, jax.random.PRNGKey(1))
     assert not np.array_equal(np.asarray(out["source"]), np.asarray(out3["source"]))
+
+
+def test_affine_crop_fusion_matches_unfused():
+    """Compose peephole: warp+center-crop fused == warp then crop, exactly."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from viscy_tpu.transforms import (
+        BatchedCenterSpatialCropd,
+        BatchedRandAffined,
+        Compose,
+    )
+
+    rng = np.random.default_rng(0)
+    data = {
+        "source": jnp.asarray(rng.random((2, 1, 8, 21, 20), np.float32)),
+        "target": jnp.asarray(rng.random((2, 2, 8, 21, 20), np.float32)),
+    }
+    kwargs = dict(
+        keys=["source", "target"],
+        prob=0.7,
+        rotate_range=[3.14, 0, 0],
+        shear_range=[0.0, 0.05, 0.05],
+        scale_range=[[0.7, 1.3], [0.5, 1.5], [0.5, 1.5]],
+    )
+    roi = [5, 12, 13]  # odd diffs on two axes exercise the half-voxel offset
+    affine = BatchedRandAffined(**kwargs)
+    crop = BatchedCenterSpatialCropd(keys=["source", "target"], roi_size=roi)
+    fused = Compose([affine, crop])
+    assert len(fused) == 1 and fused.transforms[0].crop_size == tuple(roi)
+
+    key = jax.random.PRNGKey(3)
+    got = fused(dict(data), key)
+    # unfused reference path: same transform without the peephole
+    unfused_affine = BatchedRandAffined(**kwargs)
+    want = crop(unfused_affine(dict(data), jax.random.split(key, 1)[0]))
+    for k in ("source", "target"):
+        np.testing.assert_allclose(np.asarray(got[k]), np.asarray(want[k]), atol=1e-5)
+        assert got[k].shape[-3:] == tuple(roi)

@@ -1,0 +1,32 @@
+"""Dynacell evaluation framework (TPU-native rebuild).
+
+Rebuilds the reference's three-tier virtual-staining benchmark
+(``/root/reference/applications/dynacell/src/dynacell/evaluation/``):
+
+- **pixel tier** (:mod:`.metrics`): PCC / SSIM / NRMSE / PSNR plus the
+  spectral suite (:mod:`.spectral` — spectral-PCC, multiband EV, FSC).
+- **mask tier** (:mod:`.metrics`, :mod:`.instance_metrics`,
+  :mod:`.segmentation`): binary Dice/IoU family + Cellpose-style
+  instance AP over native watershed (or gated Cellpose) segmentations.
+- **feature tier** (:mod:`.feature_metrics`, :mod:`.features`): per-cell
+  CP regionprops + deep embeddings scored with FID / KID / precision-
+  recall / MIND / cosine, feature pruning (:mod:`.feature_select`), and
+  FOV-stratified linear probes (:mod:`.linear_probe`).
+
+Orchestration lives in :mod:`.pipeline` with artifact caching in
+:mod:`.cache` (identity manifest + per-artifact param invalidation,
+mirroring reference ``cache.py``/``pipeline_cache.py``) and local
+thread-pool batching in :mod:`.runtime` (replacing SLURM submission).
+
+All numerics are numpy/scipy/JAX — no cubic/cupy/torch-fidelity
+dependencies; GPU-only reference paths run on the TPU host CPU or via
+jitted JAX where batched (SSIM, deep features).
+"""
+
+from viscy_tpu.apps.dynacell.eval.spectral import (  # noqa: F401
+    estimate_noise_floor,
+    fsc_resolution,
+    multiband_ev_score,
+    radial_power_spectrum,
+    spectral_pcc,
+)

@@ -118,7 +118,12 @@ def _reflect(c: Array, n: int) -> Array:
     return jnp.where(c > n - 1, period - c, c)
 
 
-def affine_grid_3d(matrices: Array, in_shape: tuple[int, int, int], out_shape: tuple[int, int, int]) -> Array:
+def affine_grid_3d(
+    matrices: Array,
+    in_shape: tuple[int, int, int],
+    out_shape: tuple[int, int, int],
+    out_offset: tuple[float, float, float] | None = None,
+) -> Array:
     """Build per-sample sampling grids from center-anchored affine matrices.
 
     Parameters
@@ -127,6 +132,10 @@ def affine_grid_3d(matrices: Array, in_shape: tuple[int, int, int], out_shape: t
         voxel coords (centered), (z, y, x) order.
     in_shape : input (Z, Y, X).
     out_shape : output (Z, Y, X).
+    out_offset : optional per-axis shift added to the centered output
+        coordinates before the matrix multiply. Used to express a fused
+        warp+center-crop whose integer crop start is off the exact center
+        by half a voxel (odd ``in - out`` difference).
 
     Returns
     -------
@@ -135,9 +144,10 @@ def affine_grid_3d(matrices: Array, in_shape: tuple[int, int, int], out_shape: t
     Zo, Yo, Xo = out_shape
     Zi, Yi, Xi = in_shape
     dt = matrices.dtype
-    zz = jnp.arange(Zo, dtype=dt) - (Zo - 1) / 2.0
-    yy = jnp.arange(Yo, dtype=dt) - (Yo - 1) / 2.0
-    xx = jnp.arange(Xo, dtype=dt) - (Xo - 1) / 2.0
+    off = out_offset or (0.0, 0.0, 0.0)
+    zz = jnp.arange(Zo, dtype=dt) - (Zo - 1) / 2.0 + off[0]
+    yy = jnp.arange(Yo, dtype=dt) - (Yo - 1) / 2.0 + off[1]
+    xx = jnp.arange(Xo, dtype=dt) - (Xo - 1) / 2.0 + off[2]
     gz, gy, gx = jnp.meshgrid(zz, yy, xx, indexing="ij")
     grid = jnp.stack([gz, gy, gx], axis=0).reshape(3, -1)  # (3, N)
     # p_in = A[:, :3] @ p_out + t, then shift back to corner-origin coords

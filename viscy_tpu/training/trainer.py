@@ -34,6 +34,8 @@ from viscy_tpu.training.state import TrainState
 
 _logger = logging.getLogger("viscy_tpu")
 
+_STOP = object()  # prefetch-queue sentinel
+
 
 class CSVLogger:
     """Minimal metrics logger: CSV + optional TensorBoard + extra sinks.
@@ -239,16 +241,57 @@ class Trainer:
 
         return keep(batch)
 
-    def _iter_loader(self, loader, limit: int | None, sched: dict | None = None):
-        for i, batch in enumerate(loader):
-            if limit is not None and i >= limit:
-                break
+    def _iter_loader(
+        self, loader, limit: int | None, sched: dict | None = None, prefetch: int = 2
+    ):
+        """Double-buffered device feed: a producer thread walks the host
+        loader and issues async ``device_put`` (``shard_batch``) up to
+        ``prefetch`` batches ahead, so H2D transfer overlaps the previous
+        step's device compute instead of sitting on the critical path.
+        """
+        import queue
+        import threading
+
+        def make_view(i, batch):
             view = self._device_view(batch)
             if sched:
                 # epoch-dependent scalars (temperatures, aux-head weights)
                 # ride in as replicated array args: no retrace across epochs
                 view["_schedule"] = {k: np.float32(v) for k, v in sched.items()}
-            yield i, shard_batch(view, self.mesh)
+            return i, shard_batch(view, self.mesh)
+
+        q: queue.Queue = queue.Queue(maxsize=max(1, prefetch))
+        stop = threading.Event()
+
+        def producer():
+            try:
+                for i, batch in enumerate(loader):
+                    if stop.is_set() or (limit is not None and i >= limit):
+                        break
+                    item = make_view(i, batch)
+                    while not stop.is_set():
+                        try:
+                            q.put(item, timeout=0.5)
+                            break
+                        except queue.Full:
+                            continue
+            except BaseException as e:  # surface loader errors in the main thread
+                q.put(e)
+            finally:
+                q.put(_STOP)
+
+        t = threading.Thread(target=producer, daemon=True, name="viscy-prefetch")
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is _STOP:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
 
     # -- fit --------------------------------------------------------------------
     def fit(self, module: TrainModule, datamodule, ckpt_path: str | None = None) -> None:

@@ -78,9 +78,16 @@ class BatchedRandAffined(RandTransform):
         padding_mode: str = "zeros",
         safe_crop_size: Sequence[int] | None = None,
         safe_crop_coverage: float = 1.0,
+        crop_size: Sequence[int] | None = None,
         allow_missing_keys: bool = False,
     ) -> None:
         super().__init__(keys, prob, allow_missing_keys)
+        # crop_size fuses a downstream center crop into the warp: the sample
+        # grid is generated only for the cropped output region, so the gather
+        # touches (crop) voxels instead of the full volume — bit-identical to
+        # warp-then-BatchedCenterSpatialCropd (Compose applies this peephole
+        # automatically; see transforms/base.py).
+        self.crop_size = tuple(crop_size) if crop_size else None
         self.rotate_range = _as_range3(rotate_range)
         self.translate_range = _as_range3(translate_range)
         self.scale_range = _as_range3(scale_range, default=1.0) if scale_range is not None else None
@@ -173,10 +180,24 @@ class BatchedRandAffined(RandTransform):
         matrices = compose_affine_3d(
             rotation=rotation, scale=scale, shear=shear, translate=translate
         )
-        grids = affine_grid_3d(matrices, spatial, spatial)
+        if self.crop_size is None:
+            out_shape, offset = spatial, None
+        else:
+            from viscy_tpu.transforms.crop import center_crop
+
+            out_shape = tuple(min(r, s) for r, s in zip(self.crop_size, spatial))
+            # integer crop start (s - r) // 2 sits half a voxel off the exact
+            # center when (s - r) is odd; the grid offset absorbs it so the
+            # fused output matches warp-then-center_crop exactly
+            offset = tuple(
+                (s - r) // 2 - (s - r) / 2.0 for r, s in zip(out_shape, spatial)
+            )
+        grids = affine_grid_3d(matrices, spatial, out_shape, out_offset=offset)
         for k in self.key_iterator(data):
             x = data[k]
             new = jax.vmap(lambda v, g: trilinear_sample(v, g, self.padding_mode))(x, grids)
+            if self.crop_size is not None:
+                x = center_crop(x, out_shape)
             data[k] = self._where(mask, new, x)
         return data
 

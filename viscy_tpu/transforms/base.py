@@ -87,6 +87,37 @@ class RandTransform(MapTransform):
         return jnp.where(mask.reshape(shape), new, old)
 
 
+def _fuse_affine_crop(transforms: list) -> list:
+    """Peephole: BatchedRandAffined followed by BatchedCenterSpatialCropd on
+    the same keys fuses into one output-space warp (the sample grid is built
+    only for the crop region — ~3x fewer gathers for the production VSCyto3D
+    recipe that warps (20,600,600) and keeps (15,384,384)). Bit-identical to
+    the unfused pair; see ``BatchedRandAffined.crop_size``.
+    """
+    out: list = []
+    i = 0
+    while i < len(transforms):
+        t = transforms[i]
+        nxt = transforms[i + 1] if i + 1 < len(transforms) else None
+        if (
+            nxt is not None
+            and type(t).__name__ == "BatchedRandAffined"
+            and type(nxt).__name__ == "BatchedCenterSpatialCropd"
+            and getattr(t, "crop_size", None) is None
+            and set(getattr(t, "keys", ())) == set(getattr(nxt, "keys", ()))
+        ):
+            import copy
+
+            fused = copy.copy(t)
+            fused.crop_size = tuple(nxt.roi_size)
+            out.append(fused)
+            i += 2
+            continue
+        out.append(t)
+        i += 1
+    return out
+
+
 class Compose(Transform):
     """Compose transforms, splitting the PRNG key across random members.
 
@@ -95,7 +126,7 @@ class Compose(Transform):
     """
 
     def __init__(self, transforms: Sequence[Transform]) -> None:
-        self.transforms = [t for t in transforms if t is not None]
+        self.transforms = _fuse_affine_crop([t for t in transforms if t is not None])
 
     @property
     def is_spatial(self) -> bool:  # type: ignore[override]
