@@ -463,6 +463,7 @@ def fsc_resolution(
     radii = (edges[:-1] + edges[1:]) / 2.0
     below = np.flatnonzero((fsc < threshold) & (radii > 0))
     if below.size == 0:
-        return {"fsc": float("inf")}
+        # never crosses the threshold: resolution is Nyquist-limited
+        return {"fsc": 1.0 / float(radii[-1])}
     k_cut = float(radii[below[0]])
     return {"fsc": 1.0 / k_cut if k_cut > 0 else float("inf")}
