@@ -375,3 +375,177 @@ class TestSegmentation:
         vals = np.concatenate([rng.normal(0, 0.1, 500), rng.normal(1, 0.1, 500), rng.normal(2, 0.1, 500)])
         lo, hi = multi_otsu_thresholds(vals)
         assert 0.2 < lo < 0.8 < 1.2 < hi < 1.8
+
+
+# -- pipeline integration ------------------------------------------------------
+class TestPipeline:
+    @pytest.fixture()
+    def plates(self, tmp_path):
+        """Pred + GT plates with blob-like 'nuclei' (pred = noisy GT)."""
+        from viscy_tpu.zarr_io.store import open_ome_zarr
+
+        rng = np.random.default_rng(0)
+        shape = (2, 1, 2, 48, 48)  # (T, C, Z, Y, X)
+        paths = {}
+        blobs = np.zeros((48, 48), np.float32)
+        yy, xx = np.mgrid[:48, :48]
+        for cy, cx in ((12, 12), (34, 34), (12, 36)):
+            blobs += np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) / 18.0)
+        for side in ("gt", "pred"):
+            path = tmp_path / f"{side}.zarr"
+            plate = open_ome_zarr(path, layout="hcs", mode="w-", channel_names=["Nuclei"])
+            for fov in ("0", "1"):
+                pos = plate.create_position("A", "1", fov)
+                data = np.broadcast_to(blobs, shape).astype(np.float32).copy()
+                noise = 0.02 if side == "gt" else 0.08
+                data += noise * rng.standard_normal(shape).astype(np.float32)
+                pos.create_image("0", data)
+            paths[side] = path
+        return paths
+
+    def _config(self, plates, tmp_path, **overrides):
+        cfg = {
+            "io": {
+                "pred_path": str(plates["pred"]),
+                "gt_path": str(plates["gt"]),
+                "pred_channel_name": "Nuclei",
+                "gt_channel_name": "Nuclei",
+                "gt_cache_dir": str(tmp_path / "cache_gt"),
+                "pred_cache_dir": str(tmp_path / "cache_pred"),
+            },
+            "target_name": "nucleus",
+            "spacing": [2.0, 0.5, 0.5],
+            "compute_feature_metrics": True,
+            "compute_instance_ap": True,
+            "cell_similarity": {"metrics": ["pcc"], "reduce": ["mean", "median"]},
+            "pixel_metrics": {"spectral_pcc": {}, "fsc": {}, "multiband_ev": True},
+            "feature_metrics": {
+                "patch_size": 16,
+                "cp": {"glcm": {"enabled": False}},
+                "dinov3": {"type": "random_projection", "dim": 8},
+                "dynaclr": {"type": "random_projection", "dim": 8, "seed": 7},
+            },
+            "save": {"save_dir": str(tmp_path / "eval_out")},
+            "runtime": {"executor": "serial"},
+        }
+        cfg.update(overrides)
+        return cfg
+
+    def test_three_tiers_end_to_end(self, plates, tmp_path):
+        from viscy_tpu.apps.dynacell.eval.pipeline import evaluate_model
+
+        cfg = self._config(plates, tmp_path)
+        pixel, mask, feature = evaluate_model(cfg)
+        assert len(pixel) == 4  # 2 FOVs x 2 t
+        assert len(mask) == 4
+        assert len(feature) == 4
+        row = pixel[0]
+        for k in ("PCC", "SSIM", "Spectral_PCC", "Multiband_EV_NC", "PerCell_PCC_mean"):
+            assert k in row, k
+        assert row["PCC"] > 0.8
+        mrow = mask[0]
+        assert mrow["Dice"] > 0.5
+        assert "mAP" in mrow and "instance_dice" in mrow
+        frow = feature[0]
+        assert "CP_FID" in frow
+        assert "Dataset_CP_FID" in frow
+        assert "Dataset_DINOv3_Indistinguishability" in frow
+        # artifacts on disk
+        out = tmp_path / "eval_out"
+        assert (out / "pixel_metrics.csv").exists()
+        assert (out / "cp_selected_feature_mask.json").exists()
+        assert (out / "embeddings" / "gt_cp_single_cell_embeddings.npz").exists()
+        assert (out / "timings.csv").exists()
+
+    def test_cache_hit_and_invalidation(self, plates, tmp_path):
+        from viscy_tpu.apps.dynacell.eval.cache import StaleCacheError, cache_paths, load_manifest
+        from viscy_tpu.apps.dynacell.eval.pipeline import evaluate_predictions
+
+        cfg = self._config(plates, tmp_path)
+        evaluate_predictions(cfg)
+        paths = cache_paths(tmp_path / "cache_gt")
+        manifest = load_manifest(paths)
+        assert manifest["gt"]["plate_path"] == str(plates["gt"])
+        assert "masks_gt" in manifest["artifacts"]
+        n_mask_files = len(list((paths.masks_dir).rglob("*.npy")))
+        assert n_mask_files == 2  # one per FOV
+        # second run: cached masks are reused (mtimes unchanged)
+        mtimes = {p: p.stat().st_mtime_ns for p in paths.masks_dir.rglob("*.npy")}
+        evaluate_predictions(cfg)
+        for p, m in mtimes.items():
+            assert p.stat().st_mtime_ns == m
+        # identity mismatch raises StaleCacheError
+        bad = self._config(plates, tmp_path)
+        bad["io"]["gt_channel_name"] = "Nuclei"
+        bad["io"]["gt_path"] = str(plates["pred"])
+        with pytest.raises(StaleCacheError):
+            evaluate_predictions(bad)
+
+    def test_final_metrics_cache(self, plates, tmp_path):
+        from viscy_tpu.apps.dynacell.eval.pipeline import (
+            _final_metrics_cache_valid,
+            evaluate_model,
+        )
+
+        cfg = self._config(plates, tmp_path)
+        assert not _final_metrics_cache_valid(cfg)
+        evaluate_model(cfg)
+        assert _final_metrics_cache_valid(cfg)
+        cfg["force_recompute"] = {"final_metrics": True}
+        assert not _final_metrics_cache_valid(cfg)
+
+    def test_grouped_with_cross_condition_probe(self, plates, tmp_path):
+        from viscy_tpu.apps.dynacell.eval.cross_condition import GROUP_PROBE_FILENAME
+        from viscy_tpu.apps.dynacell.eval.pipeline import evaluate_predictions_grouped
+
+        cfg = self._config(plates, tmp_path)
+        cfg["conditions"] = {"mock": {}, "denv": {}}
+        results = evaluate_predictions_grouped(cfg)
+        assert {name for name, _ in results} == {"mock", "denv"}
+        probe_csv = tmp_path / "eval_out" / "eval_denv" / GROUP_PROBE_FILENAME
+        assert probe_csv.exists()
+        import pandas as pd
+
+        df = pd.read_csv(probe_csv)
+        assert set(df["source"]) == {"pred", "gt"}
+        cp_rows = df[(df.feature_type == "cp") & (df.source == "gt")]
+        assert len(cp_rows) == 1
+
+
+class TestTablesAndCLI:
+    def test_comparison_table_and_renderers(self, tmp_path):
+        import pandas as pd
+
+        from viscy_tpu.apps.dynacell.eval.tables import comparison_table, to_latex, to_markdown
+
+        for model, pcc in (("A", 0.9), ("B", 0.7)):
+            d = tmp_path / model
+            d.mkdir()
+            pd.DataFrame(
+                [{"FOV": "A/1/0", "Timepoint": 0, "PCC": pcc, "SSIM": pcc - 0.1},
+                 {"FOV": "A/1/0", "Timepoint": 1, "PCC": pcc + 0.02, "SSIM": pcc - 0.08}]
+            ).to_csv(d / "pixel_metrics.csv", index=False)
+            pd.DataFrame(
+                [{"FOV": "A/1/0", "Timepoint": 0, "Dice": pcc},
+                 {"FOV": "A/1/0", "Timepoint": 1, "Dice": pcc}]
+            ).to_csv(d / "mask_metrics.csv", index=False)
+        table = comparison_table({"A": tmp_path / "A", "B": tmp_path / "B"})
+        assert "PCC" in table.columns and "Dice" in table.columns
+        md = to_markdown(table)
+        assert "**" in md  # best bolded
+        tex = to_latex(table, caption="cap", label="tab:x")
+        assert "\\textbf" in tex and "\\caption{cap}" in tex
+
+    def test_cli_help_lists_eval_subcommands(self):
+        import subprocess
+        import sys
+
+        out = subprocess.run(
+            [sys.executable, "-m", "viscy_tpu.apps.dynacell", "--help"],
+            capture_output=True,
+            text=True,
+            timeout=120,
+        )
+        assert out.returncode == 0
+        for sub in ("evaluate", "evaluate-grouped", "cross-condition-probe", "report", "fit"):
+            assert sub in out.stdout

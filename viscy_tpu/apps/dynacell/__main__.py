@@ -1,0 +1,109 @@
+"""Dynacell application CLI (reference ``dynacell/__main__.py``).
+
+Routes training subcommands (fit / predict / test / validate) to the
+shared viscy CLI and evaluation subcommands to the eval pipeline:
+
+    python -m viscy_tpu.apps.dynacell fit -c unetvit3d/fit.yml
+    python -m viscy_tpu.apps.dynacell evaluate -c eval.yml
+    python -m viscy_tpu.apps.dynacell evaluate-grouped -c grouped.yml
+    python -m viscy_tpu.apps.dynacell cross-condition-probe --eval-dirs d1 d2 --out p.csv
+    python -m viscy_tpu.apps.dynacell report -c report.yml
+
+Evaluation configs are plain YAML matching the schema documented in
+:mod:`viscy_tpu.apps.dynacell.eval.pipeline`.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import click
+import yaml
+
+
+@click.group()
+def main() -> None:
+    """dynacell: virtual-staining benchmark framework (TPU-native)."""
+
+
+@main.command()
+@click.option("--config", "-c", required=True, type=click.Path(exists=True))
+def evaluate(config: str) -> None:
+    """Run the three-tier evaluation for one leaf config."""
+    from viscy_tpu.apps.dynacell.eval.pipeline import evaluate_model
+
+    with open(config) as f:
+        cfg = yaml.safe_load(f)
+    pixel, mask, feature = evaluate_model(cfg)
+    click.echo(f"evaluated: {len(pixel)} pixel rows, {len(mask)} mask rows, {len(feature)} feature rows")
+
+
+@main.command("evaluate-grouped")
+@click.option("--config", "-c", required=True, type=click.Path(exists=True))
+def evaluate_grouped(config: str) -> None:
+    """Evaluate every condition of a group, then run the cross-condition probe."""
+    from viscy_tpu.apps.dynacell.eval.pipeline import evaluate_predictions_grouped
+
+    with open(config) as f:
+        cfg = yaml.safe_load(f)
+    results = evaluate_predictions_grouped(cfg)
+    click.echo(f"evaluated conditions: {[name for name, _ in results]}")
+
+
+@main.command("cross-condition-probe")
+@click.option("--eval-dirs", "-d", multiple=True, required=True, type=click.Path(exists=True))
+@click.option("--out", "-o", required=True, type=click.Path())
+@click.option("--n-splits", default=5, type=int)
+@click.option("--rng-seed", default=2020, type=int)
+def cross_condition_probe(eval_dirs, out, n_splits, rng_seed) -> None:
+    """Probe condition pairs across finished eval dirs (long-form CSV)."""
+    from viscy_tpu.apps.dynacell.eval.cross_condition import run
+
+    path = run([Path(d) for d in eval_dirs], Path(out), n_splits=n_splits, rng_seed=rng_seed)
+    click.echo(f"wrote {path}")
+
+
+@main.command()
+@click.option("--config", "-c", required=True, type=click.Path(exists=True))
+def report(config: str) -> None:
+    """Generate model-comparison tables from finished eval dirs.
+
+    Config: ``{results_dirs: {name: path}, metrics: [...], out_dir: ...}``.
+    """
+    from viscy_tpu.apps.dynacell.eval.tables import comparison_table, to_latex, to_markdown
+
+    with open(config) as f:
+        cfg = yaml.safe_load(f)
+    table = comparison_table(
+        {k: Path(v) for k, v in cfg["results_dirs"].items()}, metrics=cfg.get("metrics")
+    )
+    out_dir = Path(cfg.get("out_dir", "dynacell_report"))
+    out_dir.mkdir(parents=True, exist_ok=True)
+    (out_dir / "comparison.md").write_text(to_markdown(table))
+    (out_dir / "comparison.tex").write_text(to_latex(table))
+    table.to_csv(out_dir / "comparison.csv")
+    click.echo(to_markdown(table))
+
+
+def _route_training(argv: list[str]) -> None:
+    from viscy_tpu.training.cli import main as viscy_main
+
+    sys.argv = ["viscy"] + argv
+    viscy_main()
+
+
+for _sub in ("fit", "predict", "test", "validate"):
+
+    @main.command(
+        name=_sub,
+        context_settings={"ignore_unknown_options": True},
+        help=f"Route `{_sub}` to the shared viscy CLI.",
+    )
+    @click.argument("args", nargs=-1, type=click.UNPROCESSED)
+    def _train(args, _sub=_sub) -> None:
+        _route_training([_sub, *args])
+
+
+if __name__ == "__main__":
+    main()
