@@ -114,19 +114,38 @@ def ssim3d(
     return float(ssim_map.mean())
 
 
+#: below this Z depth, spectral metrics run per-slice in 2-D — the radial
+#: Nyquist of a thin anisotropic stack is capped by the coarse Z axis
+#: (inscribed-sphere convention), which would discard nearly all lateral
+#: frequency content and collapse the metric to 0
+MIN_SPECTRAL_DEPTH = 8
+
+
+def _spectral_inputs(p: np.ndarray, t: np.ndarray, spacing) -> list[tuple[np.ndarray, np.ndarray, list[float] | None]]:
+    """(pred, target, spacing) triples for spectral metrics: the full volume
+    for deep stacks, per-z 2-D slices for thin ones (averaged by callers)."""
+    if p.ndim == 3 and p.shape[0] < MIN_SPECTRAL_DEPTH:
+        sp2 = None if spacing is None else list(spacing)[-2:]
+        return [(p[z], t[z], sp2) for z in range(p.shape[0])]
+    return [(p, t, None if spacing is None else list(spacing))]
+
+
 def compute_pixel_metrics(
     prediction: np.ndarray,
     target: np.ndarray,
     spacing: Sequence[float] | None = None,
     fsc_kwargs: dict | None = None,
     spectral_pcc_kwargs: dict | None = None,
+    multiband_ev: bool = False,
 ) -> dict[str, float]:
     """Pixel-level quality metrics between one (D, H, W) prediction/target.
 
     Mirrors the reference schema (``compute_pixel_metrics``, metrics.py:136):
-    PCC / SSIM / NRMSE / PSNR always; ``Spectral_PCC`` and
-    ``*_FSC_Resolution`` when their kwargs are provided. Min-max
-    normalization applies to SSIM/NRMSE/PSNR as in the reference.
+    PCC / SSIM / NRMSE / PSNR always; ``Spectral_PCC``,
+    ``*_FSC_Resolution`` and ``Multiband_EV_NC`` when requested. Min-max
+    normalization applies to SSIM/NRMSE/PSNR as in the reference. Thin
+    stacks (D < 8) score the spectral metrics per z-slice in 2-D and
+    average (the reference's 2-D path, ``compute_timepoint_metrics_2d``).
     """
     p = np.asarray(prediction, np.float32)
     t = np.asarray(target, np.float32)
@@ -139,15 +158,27 @@ def compute_pixel_metrics(
         "NRMSE": float(np.sqrt(mse)),  # min-max normalized RMSE
         "PSNR": float(10.0 * np.log10(1.0 / mse)) if mse > 0 else float("inf"),
     }
+    if spectral_pcc_kwargs is None and fsc_kwargs is None and not multiband_ev:
+        return metrics
+    slabs = _spectral_inputs(p, t, spacing)
     if spectral_pcc_kwargs is not None:
         from viscy_tpu.apps.dynacell.eval.spectral import spectral_pcc
 
-        metrics["Spectral_PCC"] = spectral_pcc(p, t, spacing=spacing, **spectral_pcc_kwargs)
+        metrics["Spectral_PCC"] = float(
+            np.mean([spectral_pcc(pp, tt, spacing=sp, **spectral_pcc_kwargs) for pp, tt, sp in slabs])
+        )
     if fsc_kwargs is not None:
         from viscy_tpu.apps.dynacell.eval.spectral import fsc_resolution
 
-        res = fsc_resolution(t, p, spacing=spacing, **fsc_kwargs)
-        metrics.update({f"{k.upper()}_FSC_Resolution": float(v) for k, v in res.items()})
+        per_slab = [fsc_resolution(tt, pp, spacing=sp, **fsc_kwargs) for pp, tt, sp in slabs]
+        for k in per_slab[0]:
+            metrics[f"{k.upper()}_FSC_Resolution"] = float(np.mean([r[k] for r in per_slab]))
+    if multiband_ev:
+        from viscy_tpu.apps.dynacell.eval.spectral import multiband_ev_score
+
+        metrics["Multiband_EV_NC"] = float(
+            np.mean([multiband_ev_score(pp, tt, spacing=sp)[0] for pp, tt, sp in slabs])
+        )
     return metrics
 
 

@@ -222,12 +222,9 @@ def _process_one_fov(
                     spacing=spacing,
                     spectral_pcc_kwargs=pm_cfg.get("spectral_pcc"),
                     fsc_kwargs=pm_cfg.get("fsc"),
+                    multiband_ev=bool(pm_cfg.get("multiband_ev")),
                 )
             )
-            if pm_cfg.get("multiband_ev"):
-                from viscy_tpu.apps.dynacell.eval.spectral import multiband_ev_score
-
-                row["Multiband_EV_NC"], _ = multiband_ev_score(predict[t], target[t], spacing=spacing)
             if cs_cfg and gt_inst is not None:
                 row.update(
                     per_cell_similarity(
