@@ -19,6 +19,12 @@ from viscy_tpu.zarr_io import build_hcs_plate, open_ome_zarr
 from viscy_tpu.zarr_io.synthetic import inject_uniform_norm_meta
 
 
+def _rds_idx(emb):
+    from viscy_tpu.training.callbacks.embedding_writer import read_embedding_dataset
+
+    return read_embedding_dataset(emb)["index"]
+
+
 @pytest.fixture(scope="module")
 def cell_index_setup(tmp_path_factory):
     root = tmp_path_factory.mktemp("multi_exp")
@@ -170,9 +176,9 @@ def test_dynaclr_cli_embedding_commands(tmp_path):
         main, ["reduce-dimensionality", "--embeddings", str(emb), "--method", "pca", "--components", "3"]
     )
     assert r.exit_code == 0, r.output
-    from viscy_tpu.training.callbacks.embedding_writer import _read_array
+    from viscy_tpu.training.callbacks.embedding_writer import read_embedding_dataset
 
-    assert _read_array(emb, "PCA").shape == (12, 3)
+    assert read_embedding_dataset(emb)["PCA"].shape == (12, 3)
 
     csv = tmp_path / "ann.csv"
     pd.DataFrame({"id": [0, 1], "state": ["a", "b"]}).to_csv(csv, index=False)
@@ -180,15 +186,16 @@ def test_dynaclr_cli_embedding_commands(tmp_path):
         main, ["append-obs", "--embeddings", str(emb), "--csv", str(csv), "--columns", "state"]
     )
     assert r.exit_code == 0, r.output
-    idx2 = pd.read_parquet(emb / "index.parquet")
-    assert idx2["state"].notna().sum() == 2
+    idx2 = read_embedding_dataset(emb)["index"]
+    assert (idx2["state"] != "nan").sum() == 2 or idx2["state"].notna().sum() == 2
 
     r = runner.invoke(
         main,
         ["split-embeddings", "--embeddings", str(emb), "--column", "condition", "--output-dir", str(tmp_path / "split")],
     )
     assert r.exit_code == 0, r.output
-    assert (tmp_path / "split" / "mock" / "index.parquet").exists()
+    split_ds = read_embedding_dataset(tmp_path / "split" / "mock")
+    assert split_ds["features"].shape[0] == 6
 
     r = runner.invoke(main, ["evaluate-tracking-accuracy", "--embeddings", str(emb)])
     assert r.exit_code == 0, r.output
@@ -331,9 +338,9 @@ def test_dynaclr_cli_mlp_and_compare(tmp_path):
         ["apply-mlp-embedder", "--embeddings", str(emb), "--model", str(tmp_path / "mlp")],
     )
     assert r.exit_code == 0, r.output
-    from viscy_tpu.training.callbacks.embedding_writer import _read_array
+    from viscy_tpu.training.callbacks.embedding_writer import read_embedding_dataset as _rds
 
-    assert _read_array(emb, "MLP").shape == (60, 16)
+    assert _rds(emb)["MLP"].shape == (60, 16)
     r = runner.invoke(main, ["compare-models", "--embeddings", str(emb)])
     assert r.exit_code == 0, r.output
     assert "Model comparison" in r.output
@@ -450,7 +457,7 @@ def test_append_annotations_and_predictions(tmp_path):
     runner = CliRunner()
     r = runner.invoke(main, ["append-annotations", "--embeddings", str(emb), "--csv", str(csv)])
     assert r.exit_code == 0, r.output
-    idx = pd.read_parquet(emb / "index.parquet")
+    idx = _rds_idx(emb)
     assert idx["infection_state"].notna().all()
 
     r = runner.invoke(
@@ -465,7 +472,7 @@ def test_append_annotations_and_predictions(tmp_path):
          "--task", "infection_state"],
     )
     assert r.exit_code == 0, r.output
-    idx = pd.read_parquet(emb / "index.parquet")
+    idx = _rds_idx(emb)
     assert "predicted_infection_state" in idx.columns
     agree = (idx["predicted_infection_state"] == idx["infection_state"]).mean()
     assert agree > 0.9

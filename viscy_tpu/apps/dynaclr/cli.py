@@ -15,6 +15,7 @@ from pathlib import Path
 
 import click
 import numpy as np
+import pandas as pd
 
 _logger = logging.getLogger("viscy_tpu")
 
@@ -206,9 +207,11 @@ def split_embeddings(embeddings: str, column: str, output_dir: str) -> None:
 
     ds = _load_embeddings(embeddings)
     out_dir = Path(output_dir)
-    for value, rows in ds["index"].groupby(column).groups.items():
-        rows = np.asarray(rows)
-        sub_index = ds["index"].loc[rows].reset_index(drop=True)
+    index = ds["index"]
+    values = index[column].to_numpy()
+    for value in pd.unique(values):
+        rows = np.flatnonzero(values == value)  # positional, index-label agnostic
+        sub_index = index.iloc[rows].reset_index(drop=True)
         write_embedding_dataset(
             out_dir / str(value),
             ds["features"][rows],
@@ -491,7 +494,7 @@ def check_evals(output_dirs):
         if manifest_path.exists():
             manifest = json.loads(manifest_path.read_text())
             emb = Path(manifest.get("embeddings_dir", d / "embeddings"))
-            status["embeddings"] = (emb / "index.parquet").exists()
+            status["embeddings"] = (emb / "index.parquet").exists() or (emb / "obs").exists()
             status["smoothness"] = (d / "smoothness" / "smoothness.json").exists()
             status["mmd"] = (d / "mmd" / "mmd.csv").exists()
             status["linear_classifiers"] = any((d / "linear_classifiers").glob("*")) if (

@@ -17,7 +17,7 @@ from pathlib import Path
 import numpy as np
 import pandas as pd
 
-__all__ = ["convert", "load_annotation"]
+__all__ = ["convert", "load_annotation", "load_annotation_anndata"]
 
 
 def convert(
@@ -69,7 +69,7 @@ def load_annotation(
     ``dataset`` is an embedding dict, the column is also added to
     ``dataset["index"]`` in place.
     """
-    index = dataset["index"] if isinstance(dataset, dict) else dataset
+    index = dataset if isinstance(dataset, pd.DataFrame) else dataset["index"]
     annotation = pd.read_csv(path)
     annotation["fov_name"] = annotation["fov_name"].astype(str).str.strip("/")
     obs_fov = index["fov_name"].astype(str).str.strip("/")
@@ -149,3 +149,14 @@ def _spatial_nearest_select(
     out = pd.Series(pd.NA, index=np.arange(n), name=value_col, dtype="object")
     out.loc[best["_emb_idx"].to_numpy()] = best[value_col].to_numpy()
     return out
+
+
+def load_annotation_anndata(adata, path: str | Path, name: str, **kwargs):
+    """Join an annotation CSV column onto an AnnData(-Lite) object's obs and
+    return the object (reference ``annotation.py`` ``load_annotation_anndata``).
+    Raises KeyError when the task column is absent from the CSV."""
+    cols = pd.read_csv(path, nrows=1).columns
+    if name not in cols:
+        raise KeyError(f"task {name!r} not in annotation CSV columns {list(cols)}")
+    load_annotation(adata, path, name, **kwargs)
+    return adata
