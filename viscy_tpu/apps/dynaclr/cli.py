@@ -557,3 +557,44 @@ if __name__ == "__main__":
 
 
 
+
+
+@main.command("run-linear-classifiers")
+@click.option("--config", "-c", required=True, type=click.Path(exists=True))
+def run_linear_classifiers_cmd(config: str) -> None:
+    """Orchestrated per-(task, marker) probe training from a combined
+    embedding store (reference ``run-linear-classifiers``)."""
+    import yaml
+
+    from viscy_tpu.apps.dynaclr.linear_classifiers.orchestrated import run_linear_classifiers
+
+    with open(config) as f:
+        cfg = yaml.safe_load(f)
+    results = run_linear_classifiers(
+        Path(cfg["embeddings_path"]), cfg, Path(cfg.get("output_dir", "lc_out"))
+    )
+    click.echo(results.to_string() if not results.empty else "no classifiers trained")
+
+
+@main.command("cross-validate-datasets")
+@click.option("--config", "-c", required=True, type=click.Path(exists=True))
+@click.option("--task", default=None, help="override the task from the config")
+@click.option("--report", is_flag=True, default=False)
+def cross_validate_datasets_cmd(config: str, task: str | None, report: bool) -> None:
+    """Rotating leave-one-dataset-out CV with impact analysis
+    (reference ``cross-validate``)."""
+    import yaml
+
+    from viscy_tpu.apps.dynaclr.linear_classifiers.cross_validation import cross_validate
+
+    with open(config) as f:
+        cfg = yaml.safe_load(f)
+    if task:
+        cfg["task"] = task
+    if report:
+        cfg["report"] = True
+    results, summary = cross_validate(cfg)
+    if summary.empty:
+        click.echo("no cross-validation results")
+        return
+    click.echo(summary.to_string())
