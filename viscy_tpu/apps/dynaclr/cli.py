@@ -598,3 +598,43 @@ def cross_validate_datasets_cmd(config: str, task: str | None, report: bool) -> 
         click.echo("no cross-validation results")
         return
     click.echo(summary.to_string())
+
+
+@main.command("mmd-analysis")
+@click.option("--config", "-c", required=True, type=click.Path(exists=True))
+@click.option("--mode", default="per_experiment", type=click.Choice(["per_experiment", "combined", "pooled"]))
+def mmd_analysis_cmd(config: str, mode: str) -> None:
+    """Full MMD perturbation-effect suite: per-experiment comparisons,
+    cross-experiment batch effects, or pooled analysis (reference ``mmd``)."""
+    import yaml
+
+    from viscy_tpu.apps.dynaclr.mmd_suite import (
+        MMDCombinedConfig,
+        MMDEvalConfig,
+        MMDPooledConfig,
+        run_mmd_analysis,
+        run_mmd_combined,
+        run_mmd_pooled,
+        save_mmd_plots,
+    )
+    from viscy_tpu.training.callbacks.embedding_writer import read_embedding_dataset
+
+    with open(config) as f:
+        raw = yaml.safe_load(f)
+    if mode == "per_experiment":
+        cfg = MMDEvalConfig(**raw)
+        adata = read_embedding_dataset(cfg.input_path)
+        df = run_mmd_analysis(adata, cfg)
+    elif mode == "combined":
+        cfg = MMDCombinedConfig(**raw)
+        df = run_mmd_combined(cfg)
+    else:
+        cfg = MMDPooledConfig(**raw)
+        df = run_mmd_pooled(cfg)
+    out_dir = Path(cfg.output_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    csv = out_dir / f"mmd_{mode}.csv"
+    df.to_csv(csv, index=False)
+    if cfg.save_plots and not df.empty:
+        save_mmd_plots(df, out_dir, mode=mode)
+    click.echo(f"wrote {len(df)} rows to {csv}")
