@@ -638,3 +638,75 @@ def mmd_analysis_cmd(config: str, mode: str) -> None:
     if cfg.save_plots and not df.empty:
         save_mmd_plots(df, out_dir, mode=mode)
     click.echo(f"wrote {len(df)} rows to {csv}")
+
+
+@main.command("build-pseudotime-template")
+@click.option("--embeddings", required=True, type=click.Path(exists=True))
+@click.option("--tracks-csv", required=True, type=click.Path(exists=True))
+@click.option("--output", required=True, type=click.Path())
+@click.option("--dataset-id", default="ds")
+@click.option("--frame-interval-minutes", default=30.0, type=float)
+@click.option("--pca-components", default=20, type=int)
+@click.option("--infection-col", default="infection_state")
+@click.option("--propagate-columns", default=None, help="comma-separated obs columns")
+def build_pseudotime_template_cmd(
+    embeddings, tracks_csv, output, dataset_id, frame_interval_minutes, pca_components,
+    infection_col, propagate_columns,
+) -> None:
+    """Build a DTW pseudotime template: lineage-anchor tracks, DBA-average
+    their trajectories, persist the template zarr (reference pseudotime)."""
+    from viscy_tpu.apps.dynaclr.pseudotime.alignment import align_tracks
+    from viscy_tpu.apps.dynaclr.pseudotime.dtw_alignment import build_template
+    from viscy_tpu.apps.dynaclr.pseudotime.io import save_template_zarr
+
+    adata = _load_embeddings(embeddings)
+    tracks = pd.read_csv(tracks_csv)
+    aligned = align_tracks(tracks, frame_interval_minutes, infection_col=infection_col)
+    template = build_template(
+        {dataset_id: adata},
+        {dataset_id: aligned},
+        pca_n_components=pca_components,
+        propagate_columns=propagate_columns.split(",") if propagate_columns else None,
+    )
+    save_template_zarr(output, template)
+    click.echo(
+        f"template: {template.template.shape} from {template.n_input_tracks} tracks -> {output}"
+    )
+
+
+@main.command("align-pseudotime")
+@click.option("--embeddings", required=True, type=click.Path(exists=True))
+@click.option("--tracks-csv", required=True, type=click.Path(exists=True))
+@click.option("--template", "template_path", required=True, type=click.Path(exists=True))
+@click.option("--flavor", default="default")
+@click.option("--dataset-id", default="ds")
+@click.option("--output", required=True, type=click.Path())
+def align_pseudotime_cmd(embeddings, tracks_csv, template_path, flavor, dataset_id, output) -> None:
+    """Subsequence-DTW align tracks to a saved template; writes the long-form
+    alignment parquet with pseudotime + gating signals."""
+    from viscy_tpu.apps.dynaclr.pseudotime.dtw_alignment import (
+        alignment_results_to_dataframe,
+        dtw_align_tracks,
+    )
+    from viscy_tpu.apps.dynaclr.pseudotime.io import load_template_flavor
+
+    adata = _load_embeddings(embeddings)
+    tracks = pd.read_csv(tracks_csv)
+    template, _ = load_template_flavor(template_path, flavor)
+    results = dtw_align_tracks(adata, tracks, template, dataset_id)
+    df = alignment_results_to_dataframe(results)
+    df.to_parquet(output)
+    click.echo(f"aligned {len(results)} tracks -> {output} ({len(df)} rows)")
+
+
+@main.command("evaluate-pseudotime")
+@click.option("--alignment", "alignment_path", required=True, type=click.Path(exists=True))
+@click.option("--annotation-col", default="infection_state")
+@click.option("--positive-value", default="infected")
+def evaluate_pseudotime_cmd(alignment_path, annotation_col, positive_value) -> None:
+    """Score pseudotime against annotations (AUC, AP, onset concordance)."""
+    from viscy_tpu.apps.dynaclr.pseudotime.evaluation import evaluate_embedding
+
+    df = pd.read_parquet(alignment_path)
+    scores = evaluate_embedding(df, annotation_col=annotation_col, positive_value=positive_value)
+    click.echo(json.dumps(scores, indent=2))
