@@ -150,11 +150,48 @@ def mmd(embeddings: str, group_column: str, group_a: str, group_b: str, permutat
 
 
 @main.command("evaluate-tracking-accuracy")
-@click.option("--embeddings", required=True, type=click.Path(exists=True))
+@click.option(
+    "--config",
+    "-c",
+    "config_path",
+    default=None,
+    type=click.Path(exists=True),
+    help="CTC benchmark config YAML (full ILP tracking + CTC metrics)",
+)
+@click.option(
+    "--embeddings",
+    default=None,
+    type=click.Path(exists=True),
+    help="embedding store for the quick greedy-linking accuracy check",
+)
 @click.option("--spatial-gate", default=50.0, type=float)
-def evaluate_tracking_accuracy(embeddings: str, spatial_gate: float) -> None:
-    """Embedding-based track linking accuracy vs ground-truth track ids
-    (reference ``evaluate-tracking-accuracy``)."""
+def evaluate_tracking_accuracy(
+    config_path: str | None, embeddings: str | None, spatial_gate: float
+) -> None:
+    """CTC tracking-accuracy benchmark (reference ``evaluate-tracking-accuracy``).
+
+    With ``-c``: full candidate-graph + ILP tracking on CTC datasets scored
+    by DET/TRA/LNK/BIO/CHOTA. With ``--embeddings``: the quick greedy
+    embedding-linking accuracy against ground-truth track ids.
+    """
+    if (config_path is None) == (embeddings is None):
+        raise click.UsageError("pass exactly one of --config or --embeddings")
+    if config_path is not None:
+        from viscy_tpu.apps.dynaclr.tracking_benchmark import (
+            TrackingAccuracyConfig,
+            run_tracking_accuracy,
+        )
+        from viscy_tpu.training.cli_utils import load_config
+
+        cfg = TrackingAccuracyConfig(**load_config(config_path))
+        df = run_tracking_accuracy(cfg)
+        if df.empty:
+            click.echo("No results produced.", err=True)
+        else:
+            click.echo(df.to_string(index=False))
+            click.echo(f"\nResults written to {Path(cfg.output_dir) / 'results.csv'}")
+        return
+
     from viscy_tpu.apps.dynaclr.tracking import link_by_embedding, tracking_accuracy
 
     ds = _load_embeddings(embeddings)
