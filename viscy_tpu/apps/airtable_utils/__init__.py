@@ -7,7 +7,35 @@ Airtable bases (gated — this build environment has no egress), and the
 into a training ``collection.yml``.
 """
 
-from viscy_tpu.apps.airtable_utils.database import AirtableClient, ExperimentRegistry
+from viscy_tpu.apps.airtable_utils.database import (
+    AirtableClient,
+    AirtableDatasets,
+    ExperimentRegistry,
+    MarkerRegistryEntry,
+)
 from viscy_tpu.apps.airtable_utils.prepare import PrepareConfig, run_prepare
+from viscy_tpu.apps.airtable_utils.schemas import (
+    BiologicalAnnotation,
+    ChannelAnnotationEntry,
+    DatasetRecord,
+    Perturbation,
+    WellExperimentMetadata,
+    parse_channel_fields,
+    parse_position_name,
+)
 
-__all__ = ["ExperimentRegistry", "AirtableClient", "PrepareConfig", "run_prepare"]
+__all__ = [
+    "ExperimentRegistry",
+    "AirtableClient",
+    "AirtableDatasets",
+    "MarkerRegistryEntry",
+    "PrepareConfig",
+    "run_prepare",
+    "BiologicalAnnotation",
+    "ChannelAnnotationEntry",
+    "DatasetRecord",
+    "Perturbation",
+    "WellExperimentMetadata",
+    "parse_channel_fields",
+    "parse_position_name",
+]
