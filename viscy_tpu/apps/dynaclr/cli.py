@@ -200,6 +200,64 @@ def evaluate_tracking_accuracy(
     click.echo(json.dumps(res, indent=2))
 
 
+@main.command("visualize-embeddings")
+@click.option("--embeddings", required=True, type=click.Path(exists=True))
+@click.option("--data-path", default=None, type=click.Path(exists=True))
+@click.option("--tracks-path", default=None, type=click.Path(exists=True))
+@click.option("--channels", default=None, help="comma-separated channels to display")
+@click.option("--fov", "fovs", multiple=True, help="FOV name(s) to include (default: all)")
+@click.option("--output-dir", required=True, type=click.Path())
+@click.option("--z-range", default="0,1")
+@click.option("--patch-size", default=128, type=int)
+@click.option("--arrows/--no-arrows", default=True)
+def visualize_embeddings(
+    embeddings: str,
+    data_path: str | None,
+    tracks_path: str | None,
+    channels: str | None,
+    fovs: tuple[str, ...],
+    output_dir: str,
+    z_range: str,
+    patch_size: int,
+    arrows: bool,
+) -> None:
+    """Render embedding-space figures (track-/time-colored scatter, image
+    strips when a plate is given) — the headless counterpart of the
+    reference's interactive ``EmbeddingVisualizationApp``."""
+    from viscy_tpu.evaluation.visualization import EmbeddingVisualizationApp
+
+    ds = _load_embeddings(embeddings)
+    index = ds["index"]
+    fov_col = "fov_name" if "fov_name" in index.columns else "fov"
+    fov_tracks = {f: "all" for f in (fovs or index[fov_col].unique().tolist())}
+    zr = tuple(int(v) for v in z_range.split(","))
+    app = EmbeddingVisualizationApp(
+        features_path=embeddings,
+        data_path=data_path,
+        tracks_path=tracks_path,
+        channels_to_display=channels.split(",") if channels else None,
+        fov_tracks=fov_tracks,
+        z_range=zr,
+        yx_patch_size=(patch_size, patch_size),
+        output_dir=output_dir,
+    )
+    out = app.get_output_dir()
+    app.create_track_colored_figure(show_arrows=arrows).savefig(
+        out / "embedding_tracks.png", dpi=150
+    )
+    app.create_time_colored_figure(show_arrows=arrows).savefig(
+        out / "embedding_time.png", dpi=150
+    )
+    if data_path and tracks_path and channels:
+        app.preload_images()
+        app.trajectory_image_strip(app.filtered_features_df).savefig(
+            out / "trajectory_strips.png", dpi=150
+        )
+    (out / "summary.txt").write_text(app.output_info_summary())
+    click.echo(app.output_info_summary())
+    click.echo(f"Figures written to {out}")
+
+
 @main.command("append-obs")
 @click.option("--embeddings", required=True, type=click.Path(exists=True))
 @click.option("--csv", "csv_path", required=True, type=click.Path(exists=True))
