@@ -8,6 +8,11 @@ gloo test (``viscy-data/tests/test_combined_ddp.py``).
 
 import os
 import sys
+from pathlib import Path
+
+# run as a bare script: make the repo root importable regardless of the
+# parent process's PYTHONPATH
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
 def main() -> None:

@@ -59,3 +59,59 @@ def small_hcs_dataset(tmp_path_factory) -> Path:
     return build_hcs_plate(
         path, DEFAULT_CHANNELS, zyx_shape=(12, 32, 32), dtype=np.uint16, max_value=1
     )
+
+
+# ---------------------------------------------------------------------------
+# Test tiers: the fast tier (`pytest -m "not slow"`) finishes in <5 min on a
+# single-core host with a cold XLA cache; the full matrix runs everything.
+# Durations measured on this host (see docs/STATUS.md round-2 section).
+# ---------------------------------------------------------------------------
+
+_SLOW_TESTS = {
+    "test_apps.py::test_dynacell_gan_engine",
+    "test_apps.py::test_dynacell_flow_matching_engine",
+    "test_checkpoint.py::test_checkpoint_save_and_resume[zarr_v2]",
+    "test_checkpoint.py::test_encoder_only_transfer[zarr_v2]",
+    "test_cli.py::test_cli_fit_from_config[zarr_v2]",
+    "test_convert.py::test_fcmae_conversion_roundtrip",
+    "test_dynacell_eval.py::test_celldiff_wrapper_loss_and_generation",
+    "test_generative_models.py::test_dynacell_gan_modernization_knobs",
+    "test_generative_models.py::test_beta_vae_shapes_and_loss",
+    "test_generative_models.py::test_unet_vit3d_shape",
+    "test_generative_models.py::test_celldiff_flow_matching_and_sampling",
+    "test_generative_models.py::test_multiscale_gan_losses",
+    "test_integration.py::test_fit_with_fg_mask_spotlight",
+    "test_integration.py::test_predict_writes_hcs_zarr[zarr_v2]",
+    "test_integration.py::test_fit_fcmae_supervised[zarr_v2]",
+    "test_integration.py::test_fit_fcmae_pretraining[zarr_v2]",
+    "test_models.py::test_contrastive_module_with_aux_heads",
+    "test_models.py::test_dinov2_hf_conversion_numeric_parity",
+    "test_models.py::test_unet2d_shape",
+    "test_models.py::test_fcmae_pretrain_mask",
+    "test_models.py::test_unext2_out_stack_depth",
+    "test_models.py::test_fcmae_finetune_shape",
+    "test_models.py::test_unet25d_shape",
+    "test_models.py::test_unext2_3d_shape",
+    "test_models.py::test_unext2_2d_shape",
+    "test_models.py::test_beta_vae_conv_shapes_and_engine",
+    "test_models.py::test_cross_modal_head_masks_nan_targets",
+    "test_models.py::test_foundation_wrapper_load_backbone",
+    "test_models.py::test_contrastive_encoder_shapes",
+    "test_multi_experiment.py::test_joint_encoder_module",
+    "test_multihost.py::test_two_process_dp_matches_single_process",
+    "test_ops.py::test_ms_ssim_range_and_clamp",
+    "test_parallel.py::test_fsdp_matches_replicated",
+    "test_parallel.py::test_tp_model_axis",
+    "test_parallel.py::test_dp_matches_single_device",
+    "test_prediction_extras.py::test_rotation_tta_invariance_shapes",
+    "test_transforms.py::test_affine_crop_fusion_matches_unfused",
+    "test_triplet.py::test_contrastive_fit[triplet]",
+    "test_triplet.py::test_contrastive_fit[ntxent]",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        nodeid = f"{Path(str(item.fspath)).name}::{item.name}"
+        if nodeid in _SLOW_TESTS:
+            item.add_marker(pytest.mark.slow)

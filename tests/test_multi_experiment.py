@@ -346,7 +346,7 @@ def test_dynaclr_cli_mlp_and_compare(tmp_path):
     assert "Model comparison" in r.output
     r = runner.invoke(
         main,
-        ["run-linear-classifiers", "--embeddings", str(emb), "--label-columns", "state", "--splits", "3"],
+        ["probe-classifiers", "--embeddings", str(emb), "--label-columns", "state", "--splits", "3"],
     )
     assert r.exit_code == 0, r.output
     # mmd csv -> heatmap

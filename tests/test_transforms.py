@@ -300,3 +300,56 @@ def test_affine_crop_fusion_matches_unfused():
     for k in ("source", "target"):
         np.testing.assert_allclose(np.asarray(got[k]), np.asarray(want[k]), atol=1e-5)
         assert got[k].shape[-3:] == tuple(roi)
+
+
+def test_array_variants_match_dict_versions():
+    """Array adapters share the dict transforms' traced path exactly."""
+    key = jax.random.PRNGKey(3)
+    x = jnp.asarray(np.random.default_rng(0).random((4, 1, 3, 16, 16), np.float32))
+    pairs = [
+        (T.BatchedRandFlip(prob=1.0, spatial_axes=[0, 1, 2]),
+         T.BatchedRandFlipd(keys=["img"], prob=1.0, spatial_axes=[0, 1, 2])),
+        (T.BatchedRandGaussianNoise(prob=1.0, std=0.1),
+         T.BatchedRandGaussianNoised(keys=["img"], prob=1.0, std=0.1)),
+        (T.BatchedCenterSpatialCrop(roi_size=[2, 8, 8]),
+         T.BatchedCenterSpatialCropd(keys=["img"], roi_size=[2, 8, 8])),
+        (T.BatchedRandScaleIntensity(factors=0.5, prob=1.0),
+         T.BatchedRandScaleIntensityd(keys=["img"], factors=0.5, prob=1.0)),
+    ]
+    for arr_t, dict_t in pairs:
+        a = arr_t(x, key) if arr_t.is_random else arr_t(x)
+        d = dict_t({"img": x}, key)["img"]
+        np.testing.assert_allclose(np.asarray(a), np.asarray(d), rtol=1e-6)
+
+
+def test_decollate_array():
+    x = jnp.zeros((3, 1, 2, 4, 4))
+    parts = T.Decollate()(x)
+    assert len(parts) == 3
+    assert parts[0].shape == (1, 2, 4, 4)
+
+
+def test_rand_invert_intensityd_per_call():
+    x = jnp.ones((2, 1, 2, 4, 4))
+    t = T.RandInvertIntensityd(keys=["a", "b"], prob=1.0)
+    out = t({"a": x, "b": 2 * x}, jax.random.PRNGKey(0))
+    np.testing.assert_allclose(np.asarray(out["a"]), -1.0)
+    np.testing.assert_allclose(np.asarray(out["b"]), -2.0)
+    t0 = T.RandInvertIntensityd(keys=["a"], prob=0.0)
+    out0 = t0({"a": x}, jax.random.PRNGKey(0))
+    np.testing.assert_allclose(np.asarray(out0["a"]), 1.0)
+
+
+def test_rand_gaussian_noise_tensor_variants():
+    x = jnp.zeros((2, 1, 2, 8, 8))
+    td = T.RandGaussianNoiseTensord(keys=["img"], prob=1.0, std=0.5, sample_std=False)
+    out = td({"img": x}, jax.random.PRNGKey(1))["img"]
+    assert float(jnp.std(out)) > 0.1  # noise applied to the whole call
+    ta = T.RandGaussianNoiseTensor(prob=1.0, std=0.5, sample_std=False)
+    out_a = ta(x, jax.random.PRNGKey(1))
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out), rtol=1e-6)
+    # prob=0 is identity
+    t0 = T.RandGaussianNoiseTensord(keys=["img"], prob=0.0, std=0.5)
+    np.testing.assert_allclose(
+        np.asarray(t0({"img": x}, jax.random.PRNGKey(1))["img"]), 0.0
+    )

@@ -444,13 +444,14 @@ def apply_mlp_embedder_cmd(embeddings, model_path, key):
     click.echo(f"Wrote {key} {reps.shape} into {embeddings}")
 
 
-@main.command("run-linear-classifiers")
+@main.command("probe-classifiers")
 @click.option("--embeddings", required=True, type=click.Path(exists=True))
 @click.option("--label-columns", required=True, help="comma-separated")
 @click.option("--splits", default=5)
-def run_linear_classifiers(embeddings, label_columns, splits):
-    """Cross-validated linear probes over several label columns
-    (reference ``run-linear-classifiers``)."""
+def probe_classifiers(embeddings, label_columns, splits):
+    """Quick cross-validated linear probes over label columns (the
+    config-driven orchestrated pipeline is ``run-linear-classifiers``,
+    matching the reference name)."""
     from viscy_tpu.evaluation.linear_classifier import cross_validate_classifier
 
     ds = _load_embeddings(embeddings)

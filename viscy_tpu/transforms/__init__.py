@@ -24,6 +24,9 @@ from viscy_tpu.transforms.intensity import (
     BatchedRandGaussianSmoothd,
     BatchedRandHistogramShiftd,
     BatchedRandInvertIntensityd,
+    RandGaussianNoiseTensor,
+    RandGaussianNoiseTensord,
+    RandInvertIntensityd,
     BatchedRandLocalPixelShufflingd,
     BatchedRandScaleIntensityd,
     BatchedRandSharpend,
@@ -68,6 +71,17 @@ def __getattr__(name: str):
 
     return getattr(host_transforms, target)
 
+from viscy_tpu.transforms.array import (
+    BatchedCenterSpatialCrop,
+    BatchedRandAdjustContrast,
+    BatchedRandFlip,
+    BatchedRandGaussianNoise,
+    BatchedRandGaussianSmooth,
+    BatchedRandScaleIntensity,
+    BatchedRandSpatialCrop,
+    BatchedScaleIntensityRangePercentiles,
+    Decollate,
+)
 __all__ = [
     "Compose",
     "MapTransform",
@@ -83,6 +97,18 @@ __all__ = [
     "BatchedRandGaussianSmoothd",
     "BatchedRandHistogramShiftd",
     "BatchedRandInvertIntensityd",
+    "RandInvertIntensityd",
+    "RandGaussianNoiseTensor",
+    "RandGaussianNoiseTensord",
+    "BatchedCenterSpatialCrop",
+    "BatchedRandAdjustContrast",
+    "BatchedRandFlip",
+    "BatchedRandGaussianNoise",
+    "BatchedRandGaussianSmooth",
+    "BatchedRandScaleIntensity",
+    "BatchedRandSpatialCrop",
+    "BatchedScaleIntensityRangePercentiles",
+    "Decollate",
     "BatchedRandLocalPixelShufflingd",
     "BatchedRandScaleIntensityd",
     "BatchedRandSharpend",

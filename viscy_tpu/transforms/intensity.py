@@ -361,6 +361,90 @@ class BatchedRandInvertIntensityd(RandTransform):
         return data
 
 
+class RandInvertIntensityd(RandTransform):
+    """Per-call random intensity inversion (``_invert_intensity.py:80``):
+    one Bernoulli(prob) draw flips the sign of every key's tensor.
+
+    Unlike :class:`BatchedRandInvertIntensityd` the decision is shared by
+    the whole sample (the reference's non-batched per-sample wrapper),
+    so it also works on unbatched ``(C, Z, Y, X)`` arrays.
+    """
+
+    is_spatial = False
+
+    def __init__(
+        self,
+        keys: str | Iterable[str],
+        prob: float = 0.1,
+        allow_missing_keys: bool = False,
+    ) -> None:
+        super().__init__(keys, prob, allow_missing_keys)
+
+    def __call__(self, data: dict, key: Array = None) -> dict:
+        data = dict(data)
+        do = jax.random.uniform(key, ()) < self.prob
+        sign = jnp.where(do, -1.0, 1.0)
+        for k in self.key_iterator(data):
+            data[k] = data[k] * sign.astype(data[k].dtype)
+        return data
+
+
+class RandGaussianNoiseTensord(RandTransform):
+    """Per-call additive Gaussian noise generated on device
+    (``_noise.py:71`` ``RandGaussianNoiseTensord``): one Bernoulli(prob)
+    draw for the whole call, std sampled U(0, std) when ``sample_std``.
+    Works on batched and unbatched arrays alike."""
+
+    is_spatial = False
+
+    def __init__(
+        self,
+        keys: str | Iterable[str],
+        prob: float = 0.1,
+        mean: float = 0.0,
+        std: float = 0.1,
+        sample_std: bool = True,
+        allow_missing_keys: bool = False,
+        dtype=None,  # accepted for reference-config compatibility
+    ) -> None:
+        super().__init__(keys, prob, allow_missing_keys)
+        self.mean = mean
+        self.std = std
+        self.sample_std = sample_std
+
+    def __call__(self, data: dict, key: Array = None) -> dict:
+        data = dict(data)
+        k_do, k_std, k_noise = jax.random.split(key, 3)
+        do = jax.random.uniform(k_do, ()) < self.prob
+        if self.sample_std:
+            std = jax.random.uniform(k_std, (), minval=0.0, maxval=self.std)
+        else:
+            std = jnp.asarray(self.std)
+        for i, k in enumerate(self.key_iterator(data)):
+            x = data[k]
+            noise = jax.random.normal(jax.random.fold_in(k_noise, i), x.shape, x.dtype)
+            new = x + jnp.asarray(self.mean, x.dtype) + noise * std.astype(x.dtype)
+            data[k] = jnp.where(do, new, x)
+        return data
+
+
+class RandGaussianNoiseTensor:
+    """Array variant of :class:`RandGaussianNoiseTensord`
+    (``_noise.py:27``): call with the bare array."""
+
+    is_random = True
+    is_spatial = False
+
+    def __init__(self, prob: float = 0.1, mean: float = 0.0, std: float = 0.1,
+                 sample_std: bool = True, dtype=None) -> None:
+        self._inner = RandGaussianNoiseTensord(
+            "img", prob=prob, mean=mean, std=std, sample_std=sample_std
+        )
+
+    def __call__(self, img: Array, key: Array = None) -> Array:
+        return self._inner({"img": img}, key)["img"]
+
+
 class BatchedRandSharpend(RandTransform):
     """Random unsharp masking: x + alpha * (x - blur(x)) (``_sharpen.py:16``)."""
 
