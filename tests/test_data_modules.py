@@ -1,6 +1,7 @@
 """Tests: cached/mmap datamodules, samplers, channel dropout, loaders."""
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pandas as pd
 import pytest
@@ -182,3 +183,56 @@ def test_hcs_caching_pushdown_native(preprocessed_hcs_dataset):
     dm.set_epoch(0)
     b2 = next(iter(dm.train_dataloader()))
     np.testing.assert_allclose(b1["source"], b2["source"])
+
+
+def test_fg_mask_device_spatial_cotransform(preprocessed_hcs_dataset):
+    """Spatial device transforms must move fg_mask identically to target
+    (reference foreground_masks.py is_spatial patching protocol)."""
+    import jax
+
+    from viscy_tpu.data import HCSDataModule
+    from viscy_tpu.transforms import BatchedRandFlipd, BatchedRandGaussianNoised
+
+    flip = BatchedRandFlipd(keys=["source", "target"], prob=1.0)
+    noise = BatchedRandGaussianNoised(keys=["source"], prob=1.0, std=0.1)
+    dm = HCSDataModule(
+        preprocessed_hcs_dataset,
+        source_channel="Phase",
+        target_channel="GFP",
+        z_window_size=4,
+        batch_size=2,
+        num_workers=0,
+        yx_patch_size=(16, 16),
+        fg_mask_key="fg",
+        augmentations=[flip, noise],
+    )
+    # spatial transform patched, intensity transform untouched
+    assert flip.keys == ("source", "target", "fg_mask")
+    assert flip.allow_missing_keys
+    assert noise.keys == ("source",)
+
+    rng = np.random.default_rng(0)
+    target = rng.random((2, 1, 4, 16, 16)).astype(np.float32)
+    batch = {
+        "source": rng.random((2, 1, 4, 16, 16)).astype(np.float32),
+        "target": target,
+        "fg_mask": target.copy(),  # identical content -> must stay identical
+    }
+    out = dm.device_transform(
+        {k: jnp.asarray(v) for k, v in batch.items()}, jax.random.PRNGKey(0)
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["fg_mask"]), np.asarray(out["target"]), rtol=1e-6
+    )
+    # the flip actually happened
+    assert not np.allclose(np.asarray(out["target"]), target)
+
+    # batches without a mask still pass (allow_missing_keys)
+    out2 = dm.device_transform(
+        {
+            "source": jnp.asarray(batch["source"]),
+            "target": jnp.asarray(batch["target"]),
+        },
+        jax.random.PRNGKey(0),
+    )
+    assert "fg_mask" not in out2

@@ -137,6 +137,13 @@ class HCSDataModule(DataModule):
         self._val_device_augmentations = list(val_augmentations or []) + list(
             val_gpu_augmentations or []
         )
+        if self.fg_mask_key:
+            # device-side spatial co-alignment: spatial transforms that
+            # touch source/target must move the mask identically, or
+            # Spotlight losses see misaligned masks (the reference's
+            # ``is_spatial`` patching protocol, foreground_masks.py:199-227)
+            _patch_spatial_transforms_for_mask(self._device_augmentations)
+            _patch_spatial_transforms_for_mask(self._val_device_augmentations)
         self._device_compose = (
             Compose(self._device_augmentations) if self._device_augmentations else None
         )
@@ -402,6 +409,28 @@ class HCSDataModule(DataModule):
             if "fg_mask" in batch:
                 batch["fg_mask"] = batch["fg_mask"][:, :, z_index : z_index + 1]
         return batch
+
+
+def _patch_spatial_transforms_for_mask(
+    transforms: list, mask_key: str = "fg_mask"
+) -> None:
+    """Append ``fg_mask`` to spatial device transforms' key lists.
+
+    Mirrors reference ``foreground_masks.patch_spatial_transforms``
+    (``:199-227``): only transforms flagged ``is_spatial`` that already
+    operate on source/target are patched; intensity transforms never are.
+    Idempotent; ``allow_missing_keys`` is set so batches without a mask
+    (e.g. predict) pass through.
+    """
+    for t in transforms:
+        keys = getattr(t, "keys", ())
+        if (
+            getattr(t, "is_spatial", False)
+            and ("target" in keys or "source" in keys)
+            and mask_key not in keys
+        ):
+            t.keys = tuple(keys) + (mask_key,)
+            t.allow_missing_keys = True
 
 
 class _HostCompose:
