@@ -46,16 +46,31 @@ class CELLDiff3DVS:
     def __init__(
         self,
         net: CELLDiffNet | dict | None = None,
-        prediction: Literal["velocity", "noise"] = "velocity",
+        prediction: Literal["velocity", "noise", "score", "denoised"] = "velocity",
         t_sampler: Literal["uniform", "logit-normal"] = "uniform",
         sampler: Literal["euler", "heun"] = "euler",
+        path_type: str = "Linear",
+        loss_weight: str | None = None,
+        train_eps: float | None = None,
+        sample_eps: float | None = None,
     ) -> None:
+        from viscy_tpu.models.celldiff import create_transport
+
         if net is None:
             net = CELLDiffNet()
         elif isinstance(net, dict):
             net = CELLDiffNet(**{k: tuple(v) if isinstance(v, list) else v for k, v in net.items()})
         self.net = net
-        self.transport = Transport(prediction=prediction, t_sampler=t_sampler)
+        self.path_type = path_type
+        self.prediction = prediction
+        self.transport = create_transport(
+            path_type=path_type,
+            prediction=prediction,
+            loss_weight=loss_weight,
+            train_eps=train_eps,
+            sample_eps=sample_eps,
+            t_sampler=t_sampler,
+        )
         self._sampler = euler_sampler if sampler == "euler" else heun_sampler
 
     def init(self, rng: Array, phase: Array, target: Array) -> dict:

@@ -89,8 +89,14 @@ class DynacellFlowMatching(TrainModule):
                 model_config[k] = tuple(v)
         self.model = CELLDiffNet(**model_config)
         transport_config = dict(transport_config or {})
-        self.transport = Transport(
+        from viscy_tpu.models.celldiff import create_transport
+
+        self.transport = create_transport(
+            path_type=transport_config.get("path_type", "Linear"),
             prediction=transport_config.get("prediction", "velocity"),
+            loss_weight=transport_config.get("loss_weight"),
+            train_eps=transport_config.get("train_eps"),
+            sample_eps=transport_config.get("sample_eps"),
             t_sampler=transport_config.get("t_sampler", "uniform"),
         )
         self.lr = lr

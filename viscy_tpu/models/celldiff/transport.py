@@ -1,64 +1,537 @@
-"""Flow-matching transport: paths, training losses, ODE/SDE samplers
-(reference ``celldiff/modules/transport/{transport.py:569, path.py:397,
-integrators.py:207}``), rebuilt functionally for XLA: samplers are
-``lax.scan`` loops over the jitted velocity network — compiled once,
-static step counts.
+"""Flow-matching transport: paths, training losses, ODE/SDE samplers.
+
+JAX rebuild of the reference transport stack
+(``celldiff/modules/transport/{transport.py:569, path.py:397,
+integrators.py:207}``), functionally re-designed for XLA: every sampler is
+a ``lax.scan`` over the jitted network with a static step count (the
+reference's adaptive ``dopri5`` is replaced by fixed-step RK4 — adaptive
+step control is data-dependent control flow XLA cannot compile; the
+likelihood path keeps the Hutchinson divergence estimator, computed with
+forward-mode ``jax.jvp`` instead of torch autograd).
+
+Three layers:
+
+- :class:`Transport` — path plan (linear / GVP / VP), model prediction
+  type (velocity / noise / score / denoised), loss weighting (none /
+  velocity / likelihood), interval handling, drift/score extraction.
+- :class:`Sampler` — ODE (euler/heun/rk4), SDE (Euler/Heun with the
+  reference's diffusion forms and Mean/Tweedie/Euler last steps), and
+  ODE likelihood evaluation.
+- module-level ``euler_sampler`` / ``heun_sampler`` / ``sde_sampler`` —
+  the compact rectified-flow fast path used by the dynacell engines.
 """
 
 from __future__ import annotations
 
+import math
 from typing import Callable, Literal
 
 import jax
 import jax.numpy as jnp
 
+from viscy_tpu.models.celldiff.paths import (
+    GVPCPlan,
+    ICPlan,
+    VPCPlan,
+    expand_t_like_x,
+)
+
 Array = jax.Array
+
+ModelType = Literal["velocity", "noise", "score", "denoised"]
+PathType = Literal["linear", "gvp", "vp"]
+WeightType = Literal["none", "velocity", "likelihood"]
+
+_PATHS = {"linear": ICPlan, "gvp": GVPCPlan, "vp": VPCPlan}
+
+__all__ = [
+    "Transport",
+    "Sampler",
+    "euler_sampler",
+    "heun_sampler",
+    "sde_sampler",
+    "ModelType",
+    "PathType",
+    "WeightType",
+]
+
+
+def _mean_flat(x: Array) -> Array:
+    """Mean over all non-batch dims (reference ``utils.py:mean_flat``)."""
+    return jnp.mean(x.astype(jnp.float32), axis=tuple(range(1, x.ndim)))
 
 
 class Transport:
-    """Linear (rectified-flow) interpolant transport.
+    """Flow-matching transport (reference ``transport.py:44-317``).
 
-    Path: ``x_t = (1 - t) * x0 + t * x1`` with ``x0 ~ N(0, I)`` noise and
-    ``x1`` data; velocity target ``v = x1 - x0``. ``prediction`` may be
-    "velocity" or "noise".
+    Parameters
+    ----------
+    prediction : {"velocity", "noise", "score", "denoised"}
+        What the model predicts (the reference's ``ModelType``).
+    t_sampler : {"uniform", "logit-normal"}
+        Training-time distribution.
+    path_type : {"linear", "gvp", "vp"}
+        Coupling plan (reference ``PathType``).
+    loss_type : {"none", "velocity", "likelihood"}
+        Loss weighting for score/noise models (reference ``WeightType``).
+    train_eps, sample_eps : float
+        Interval-stability epsilons.
     """
 
     def __init__(
         self,
-        prediction: Literal["velocity", "noise"] = "velocity",
+        prediction: ModelType = "velocity",
         t_sampler: Literal["uniform", "logit-normal"] = "uniform",
+        path_type: PathType = "linear",
+        loss_type: WeightType = "none",
+        train_eps: float = 0.0,
+        sample_eps: float = 0.0,
+        **path_kwargs,
     ) -> None:
+        if prediction not in ("velocity", "noise", "score", "denoised"):
+            raise ValueError(f"unknown prediction type {prediction!r}")
         self.prediction = prediction
         self.t_sampler = t_sampler
+        self.path_type = path_type
+        self.loss_type = loss_type
+        self.path_sampler = _PATHS[path_type](**path_kwargs)
+        self.train_eps = train_eps
+        self.sample_eps = sample_eps
 
-    def sample_t(self, key: Array, batch: int) -> Array:
-        if self.t_sampler == "logit-normal":
-            return jax.nn.sigmoid(jax.random.normal(key, (batch,)))
-        return jax.random.uniform(key, (batch,))
-
-    def interpolate(self, x0: Array, x1: Array, t: Array) -> tuple[Array, Array]:
-        """Return (x_t, target)."""
-        tb = t.reshape((-1,) + (1,) * (x1.ndim - 1))
-        xt = (1 - tb) * x0 + tb * x1
-        if self.prediction == "velocity":
-            target = x1 - x0
-        else:
-            target = x0
-        return xt, target
-
-    def training_loss(
+    # -- intervals (reference transport.py:103-156) -------------------------
+    def check_interval(
         self,
-        velocity_fn: Callable[[Array, Array], Array],
-        x1: Array,
-        key: Array,
-    ) -> Array:
-        """Flow-matching MSE: ``E_t || v_theta(x_t, t) - (x1 - x0) ||^2``."""
+        train_eps: float,
+        sample_eps: float,
+        *,
+        diffusion_form: str = "SBDM",
+        sde: bool = False,
+        reverse: bool = False,
+        is_eval: bool = False,
+        last_step_size: float = 0.0,
+    ) -> tuple[float, float]:
+        """Integration interval [t0, t1] for the configured path/model."""
+        t0, t1 = 0.0, 1.0
+        eps = train_eps if not is_eval else sample_eps
+        if isinstance(self.path_sampler, VPCPlan):
+            t1 = 1 - eps if (not sde or last_step_size == 0) else 1 - last_step_size
+        elif isinstance(self.path_sampler, (ICPlan, GVPCPlan)) and (
+            self.prediction != "velocity" or sde
+        ):
+            t0 = (
+                eps
+                if (diffusion_form == "SBDM" and sde) or self.prediction != "velocity"
+                else 0.0
+            )
+            t1 = 1 - eps if (not sde or last_step_size == 0) else 1 - last_step_size
+        if reverse:
+            t0, t1 = 1 - t1, 1 - t0
+        return t0, t1
+
+    # -- training ------------------------------------------------------------
+    def sample_t(self, key: Array, batch: int) -> Array:
+        t0, t1 = self.check_interval(self.train_eps, self.sample_eps)
+        if self.t_sampler == "logit-normal":
+            u = jax.nn.sigmoid(jax.random.normal(key, (batch,)))
+        else:
+            u = jax.random.uniform(key, (batch,))
+        return u * (t1 - t0) + t0
+
+    def sample(self, key: Array, x1: Array) -> tuple[Array, Array, Array]:
+        """Draw (t, x0, x1) for training (reference ``transport.py:158-179``)."""
         k_noise, k_t = jax.random.split(key)
         x0 = jax.random.normal(k_noise, x1.shape, x1.dtype)
         t = self.sample_t(k_t, x1.shape[0])
-        xt, target = self.interpolate(x0, x1, t)
-        pred = velocity_fn(xt, t)
-        return jnp.mean(jnp.square(pred.astype(jnp.float32) - target.astype(jnp.float32)))
+        return t, x0, x1
+
+    def interpolate(self, x0: Array, x1: Array, t: Array) -> tuple[Array, Array]:
+        """Return (x_t, prediction target) for the configured model type."""
+        _, xt, ut = self.path_sampler.plan(t, x0, x1)
+        if self.prediction == "velocity":
+            target = ut
+        elif self.prediction == "noise":
+            target = x0
+        elif self.prediction == "denoised":
+            target = x1
+        else:  # score target: -x0 / sigma_t
+            sigma_t, _ = self.path_sampler.compute_sigma_t(expand_t_like_x(t, x1))
+            target = -x0 / jnp.clip(sigma_t, 1e-7)
+        return xt, target
+
+    def training_losses(
+        self,
+        model_output: Array,
+        x0: Array,
+        x1: Array,
+        xt: Array,
+        ut: Array,
+        t: Array,
+    ) -> dict[str, Array]:
+        """Weighted per-sample losses (reference ``transport.py:181-235``)."""
+        terms: dict[str, Array] = {"pred": model_output}
+        if self.prediction == "velocity":
+            terms["loss"] = _mean_flat((model_output - ut) ** 2)
+        elif self.prediction == "denoised":
+            terms["loss"] = _mean_flat((model_output - x1) ** 2)
+        else:
+            _, drift_var = self.path_sampler.compute_drift(xt, t)
+            sigma_t, _ = self.path_sampler.compute_sigma_t(expand_t_like_x(t, xt))
+            if self.loss_type == "velocity":
+                weight = (drift_var / sigma_t) ** 2
+            elif self.loss_type == "likelihood":
+                weight = drift_var / (sigma_t**2)
+            elif self.loss_type == "none":
+                weight = jnp.asarray(1.0)
+            else:
+                raise NotImplementedError(f"Loss type {self.loss_type} not implemented")
+            if self.prediction == "noise":
+                terms["loss"] = _mean_flat(weight * (model_output - x0) ** 2)
+            else:
+                terms["loss"] = _mean_flat(weight * (model_output * sigma_t + x0) ** 2)
+        return terms
+
+    def training_loss(
+        self,
+        model_fn: Callable[[Array, Array], Array],
+        x1: Array,
+        key: Array,
+    ) -> Array:
+        """Scalar flow-matching loss (the compact engine-facing API)."""
+        t, x0, x1 = self.sample(key, x1)
+        _, xt, ut = self.path_sampler.plan(t, x0, x1)
+        pred = model_fn(xt, t)
+        return jnp.mean(
+            self.training_losses(pred.astype(jnp.float32), x0, x1, xt, ut, t)["loss"]
+        )
+
+    def prior_logp(self, z: Array) -> Array:
+        """Standard-normal log prob per sample (reference ``:83-101``)."""
+        n_dims = math.prod(z.shape[1:])
+        flat = z.reshape(z.shape[0], -1).astype(jnp.float32)
+        return -n_dims / 2.0 * math.log(2 * math.pi) - jnp.sum(flat**2, axis=1) / 2.0
+
+    # -- drift / score extraction (reference transport.py:237-317) -----------
+    def get_drift(self) -> Callable:
+        """ODE drift ``f(x, t, model_fn) -> dx/dt`` for the model type."""
+        ps = self.path_sampler
+
+        def velocity_ode(x, t, model_fn):
+            return model_fn(x, t)
+
+        def score_ode(x, t, model_fn):
+            drift_mean, drift_var = ps.compute_drift(x, t)
+            return -drift_mean + drift_var * model_fn(x, t)
+
+        def noise_ode(x, t, model_fn):
+            drift_mean, drift_var = ps.compute_drift(x, t)
+            sigma_t, _ = ps.compute_sigma_t(expand_t_like_x(t, x))
+            score = model_fn(x, t) / -sigma_t
+            return -drift_mean + drift_var * score
+
+        def denoised_ode(x, t, model_fn):
+            drift_mean, drift_var = ps.compute_drift(x, t)
+            score = ps.get_score_from_denoised(model_fn(x, t), x, t)
+            return -drift_mean + drift_var * score
+
+        return {
+            "velocity": velocity_ode,
+            "score": score_ode,
+            "noise": noise_ode,
+            "denoised": denoised_ode,
+        }[self.prediction]
+
+    def get_score(self) -> Callable:
+        """Score ``s(x, t, model_fn)`` for the model type."""
+        ps = self.path_sampler
+
+        def _noise(x, t, model_fn):
+            sigma_t = ps.compute_sigma_t(expand_t_like_x(t, x))[0]
+            return model_fn(x, t) / -sigma_t
+
+        def _score(x, t, model_fn):
+            return model_fn(x, t)
+
+        def _velocity(x, t, model_fn):
+            return ps.get_score_from_velocity(model_fn(x, t), x, t)
+
+        def _denoised(x, t, model_fn):
+            return ps.get_score_from_denoised(model_fn(x, t), x, t)
+
+        return {
+            "noise": _noise,
+            "score": _score,
+            "velocity": _velocity,
+            "denoised": _denoised,
+        }[self.prediction]
+
+
+class Sampler:
+    """ODE/SDE sampling + likelihood for a :class:`Transport`
+    (reference ``transport.py:319-569``)."""
+
+    def __init__(self, transport: Transport) -> None:
+        self.transport = transport
+        self.drift = transport.get_drift()
+        self.score = transport.get_score()
+
+    # -- ODE ------------------------------------------------------------------
+    def sample_ode(
+        self,
+        *,
+        sampling_method: str = "euler",
+        num_steps: int = 50,
+        reverse: bool = False,
+    ) -> Callable:
+        """Fixed-step ODE sampler ``f(init, model_fn) -> x``.
+
+        ``sampling_method``: "euler", "heun", or "rk4" ("dopri5" maps to
+        rk4 — adaptive stepping is data-dependent control flow).
+        """
+        method = {"dopri5": "rk4"}.get(sampling_method, sampling_method)
+        base_drift = self.drift
+        if reverse:
+            def drift(x, t, model_fn):
+                return base_drift(x, jnp.ones_like(t) * (1 - t), model_fn)
+        else:
+            drift = base_drift
+
+        t0, t1 = self.transport.check_interval(
+            self.transport.train_eps,
+            self.transport.sample_eps,
+            sde=False,
+            is_eval=True,
+            reverse=reverse,
+            last_step_size=0.0,
+        )
+        dt = (t1 - t0) / num_steps
+
+        def _sample(init: Array, model_fn: Callable[[Array, Array], Array]) -> Array:
+            def tvec(x, s):
+                return jnp.full((x.shape[0],), t0 + s * dt, init.dtype)
+
+            def euler_step(x, i):
+                return x + dt * drift(x, tvec(x, i), model_fn), None
+
+            def heun_step(x, i):
+                v1 = drift(x, tvec(x, i), model_fn)
+                v2 = drift(x + dt * v1, tvec(x, i + 1), model_fn)
+                return x + dt * 0.5 * (v1 + v2), None
+
+            def rk4_step(x, i):
+                k1 = drift(x, tvec(x, i), model_fn)
+                k2 = drift(x + 0.5 * dt * k1, tvec(x, i + 0.5), model_fn)
+                k3 = drift(x + 0.5 * dt * k2, tvec(x, i + 0.5), model_fn)
+                k4 = drift(x + dt * k3, tvec(x, i + 1), model_fn)
+                return x + dt / 6.0 * (k1 + 2 * k2 + 2 * k3 + k4), None
+
+            step = {"euler": euler_step, "heun": heun_step, "rk4": rk4_step}[method]
+            out, _ = jax.lax.scan(step, init, jnp.arange(num_steps, dtype=init.dtype))
+            return out
+
+        return _sample
+
+    # -- SDE ------------------------------------------------------------------
+    def _sde_drift_diffusion(self, diffusion_form: str, diffusion_norm: float):
+        def diffusion_fn(x, t):
+            return self.transport.path_sampler.compute_diffusion(
+                x, t, form=diffusion_form, norm=diffusion_norm
+            )
+
+        def sde_drift(x, t, model_fn):
+            return self.drift(x, t, model_fn) + diffusion_fn(x, t) * self.score(
+                x, t, model_fn
+            )
+
+        return sde_drift, diffusion_fn
+
+    def _last_step_fn(self, sde_drift, last_step: str | None, last_step_size: float):
+        """Final SDE step (reference ``transport.py:349-374``)."""
+        if last_step is None:
+            return lambda x, t, model_fn: x
+        if last_step == "Mean":
+            return lambda x, t, model_fn: x + sde_drift(x, t, model_fn) * last_step_size
+        if last_step == "Tweedie":
+            ps = self.transport.path_sampler
+
+            def _tweedie(x, t, model_fn):
+                alpha_t = expand_t_like_x(ps.compute_alpha_t(t)[0], x)
+                sigma_t = expand_t_like_x(ps.compute_sigma_t(t)[0], x)
+                return x / alpha_t + (sigma_t**2) / alpha_t * self.score(x, t, model_fn)
+
+            return _tweedie
+        if last_step == "Euler":
+            return lambda x, t, model_fn: x + self.drift(x, t, model_fn) * last_step_size
+        raise NotImplementedError(f"Last step type {last_step!r} not implemented")
+
+    def sample_sde(
+        self,
+        *,
+        sampling_method: str = "Euler",
+        diffusion_form: str = "SBDM",
+        diffusion_norm: float = 1.0,
+        last_step: str | None = "Mean",
+        last_step_size: float = 0.04,
+        num_steps: int = 250,
+    ) -> Callable:
+        """SDE sampler ``f(init, model_fn, key) -> x``
+        (reference ``transport.py:376-441``)."""
+        if last_step is None:
+            last_step_size = 0.0
+        sde_drift, sde_diffusion = self._sde_drift_diffusion(
+            diffusion_form, diffusion_norm
+        )
+        t0, t1 = self.transport.check_interval(
+            self.transport.train_eps,
+            self.transport.sample_eps,
+            diffusion_form=diffusion_form,
+            sde=True,
+            is_eval=True,
+            reverse=False,
+            last_step_size=last_step_size,
+        )
+        dt = (t1 - t0) / num_steps
+        last_step_fn = self._last_step_fn(sde_drift, last_step, last_step_size)
+
+        def _sample(init: Array, model_fn: Callable, key: Array) -> Array:
+            def tvec(x, s):
+                return jnp.full((x.shape[0],), t0 + s * dt, init.dtype)
+
+            def euler_step(carry, i):
+                x, k = carry
+                k, sub = jax.random.split(k)
+                t = tvec(x, i)
+                w = jnp.asarray(sde_diffusion(x, t))
+                noise = jax.random.normal(sub, x.shape, x.dtype)
+                x = (
+                    x
+                    + sde_drift(x, t, model_fn) * dt
+                    + jnp.sqrt(2 * jnp.maximum(w, 0.0) * dt) * noise
+                )
+                return (x, k), None
+
+            def heun_step(carry, i):
+                x, k = carry
+                k, sub = jax.random.split(k)
+                t = tvec(x, i)
+                w_cur = jnp.asarray(sde_diffusion(x, t))
+                noise = jax.random.normal(sub, x.shape, x.dtype)
+                xhat = x + jnp.sqrt(2 * jnp.maximum(w_cur, 0.0) * dt) * noise
+                k1 = sde_drift(xhat, t, model_fn)
+                xp = xhat + dt * k1
+                k2 = sde_drift(xp, tvec(x, i + 1), model_fn)
+                return (xhat + 0.5 * dt * (k1 + k2), k), None
+
+            step = {"Euler": euler_step, "Heun": heun_step}[sampling_method]
+            (x, _), _ = jax.lax.scan(
+                step, (init, key), jnp.arange(num_steps, dtype=init.dtype)
+            )
+            ts = jnp.full((init.shape[0],), t1, init.dtype)
+            return last_step_fn(x, ts, model_fn)
+
+        return _sample
+
+    # -- likelihood ------------------------------------------------------------
+    def sample_ode_likelihood(
+        self,
+        *,
+        sampling_method: str = "euler",
+        num_steps: int = 50,
+    ) -> Callable:
+        """Exact-ODE log-likelihood ``f(x, model_fn, key) -> (logp, z)``.
+
+        Integrates the probability-flow ODE data->noise with the Hutchinson
+        divergence estimator (reference ``transport.py:503-569``); the
+        vector-Jacobian product of the torch implementation becomes a
+        forward-mode ``jax.jvp`` (one extra network evaluation per step,
+        fully traceable).
+        """
+        base_drift = self.drift
+        t0, t1 = self.transport.check_interval(
+            self.transport.train_eps,
+            self.transport.sample_eps,
+            sde=False,
+            is_eval=True,
+            reverse=False,
+            last_step_size=0.0,
+        )
+        dt = (t1 - t0) / num_steps
+
+        def _sample(x: Array, model_fn: Callable, key: Array) -> tuple[Array, Array]:
+            def step(carry, i):
+                z, logp, k = carry
+                k, sub = jax.random.split(k)
+                # Rademacher probe
+                eps = (
+                    jax.random.randint(sub, z.shape, 0, 2).astype(z.dtype) * 2 - 1
+                )
+                t = jnp.full((z.shape[0],), t0 + i * dt, z.dtype)
+                t_rev = jnp.ones_like(t) * (1 - t)
+
+                def f(zz):
+                    return base_drift(zz, t_rev, model_fn)
+
+                drift_val, jvp_val = jax.jvp(f, (z,), (eps,))
+                div_est = jnp.sum(
+                    jvp_val * eps, axis=tuple(range(1, z.ndim))
+                )
+                z = z + dt * (-drift_val)
+                logp = logp + dt * div_est
+                return (z, logp, k), None
+
+            init_logp = jnp.zeros((x.shape[0],), jnp.float32)
+            (z, delta_logp, _), _ = jax.lax.scan(
+                step, (x, init_logp, key), jnp.arange(num_steps, dtype=x.dtype)
+            )
+            prior_logp = self.transport.prior_logp(z)
+            return prior_logp - delta_logp, z
+
+        return _sample
+
+
+def create_transport(
+    path_type: str = "Linear",
+    prediction: str = "velocity",
+    loss_weight: str | None = None,
+    train_eps: float | None = None,
+    sample_eps: float | None = None,
+    t_sampler: str = "uniform",
+) -> Transport:
+    """Configured :class:`Transport` factory (reference
+    ``transport/__init__.py:28-101``): same path/prediction/loss-weight
+    vocabulary and epsilon auto-defaults as the reference."""
+    path_map = {"Linear": "linear", "GVP": "gvp", "VP": "vp"}
+    if path_type not in path_map:
+        raise ValueError(f"Unknown path_type {path_type!r}, expected one of {set(path_map)}")
+    if prediction not in ("velocity", "noise", "score", "denoised"):
+        raise ValueError(f"Unknown prediction {prediction!r}")
+    loss_map: dict = {None: "none", "velocity": "velocity", "likelihood": "likelihood"}
+    if loss_weight not in loss_map:
+        raise ValueError(f"Unknown loss_weight {loss_weight!r}, expected one of {set(loss_map)}")
+
+    resolved = path_map[path_type]
+    if resolved == "vp":
+        train_eps = 1e-5 if train_eps is None else train_eps
+        sample_eps = 1e-3 if sample_eps is None else sample_eps
+    elif prediction != "velocity":
+        train_eps = 1e-3 if train_eps is None else train_eps
+        sample_eps = 1e-3 if sample_eps is None else sample_eps
+    else:  # velocity + [GVP, Linear] is stable everywhere
+        train_eps = 0.0 if train_eps is None else train_eps
+        sample_eps = 0.0 if sample_eps is None else sample_eps
+
+    return Transport(
+        prediction=prediction,
+        t_sampler=t_sampler,
+        path_type=resolved,
+        loss_type=loss_map[loss_weight],
+        train_eps=train_eps,
+        sample_eps=sample_eps,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Compact rectified-flow fast path (used by the dynacell engines)
+# ---------------------------------------------------------------------------
 
 
 def euler_sampler(
