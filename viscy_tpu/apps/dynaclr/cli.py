@@ -464,15 +464,87 @@ def probe_classifiers(embeddings, label_columns, splits):
     click.echo(json.dumps(results, indent=2, default=float))
 
 
+@main.command("evaluate-smoothness")
+@click.option("--config", "-c", "config_path", required=True, type=click.Path(exists=True))
+def evaluate_smoothness_cmd(config_path: str) -> None:
+    """Config-driven temporal-smoothness evaluation across models
+    (reference ``evaluate-smoothness``): per-group CSVs, plots, combined
+    markdown comparison."""
+    from viscy_tpu.apps.dynaclr.smoothness_benchmark import (
+        SmoothnessEvalConfig,
+        evaluate_smoothness,
+        format_comparison_summary,
+    )
+    from viscy_tpu.training.cli_utils import format_markdown_table, load_config
+
+    raw = load_config(config_path)
+    cfg = SmoothnessEvalConfig(
+        **raw.pop("evaluation", {}), models=raw.get("models", [])
+    )
+    results = evaluate_smoothness(cfg)
+    if not results:
+        click.echo("No models were successfully processed.", err=True)
+        return
+    columns = [
+        "smoothness_score",
+        "dynamic_range",
+        "adjacent_frame_mean",
+        "adjacent_frame_peak",
+        "random_frame_mean",
+        "random_frame_peak",
+    ]
+    rows = [
+        {"model": label, **{c: metrics.get(c) for c in columns}}
+        for label, metrics in results.items()
+    ]
+    click.echo(format_markdown_table(rows, title="Temporal smoothness evaluation"))
+    click.echo(format_comparison_summary(results, "smoothness_score", lower_is_better=True))
+    click.echo(format_comparison_summary(results, "dynamic_range", lower_is_better=False))
+    click.echo(f"Results saved to: {cfg.output_dir}")
+
+
 @main.command("compare-models")
-@click.option("--embeddings", "embedding_dirs", multiple=True, required=True, type=click.Path(exists=True))
+@click.option("--embeddings", "embedding_dirs", multiple=True, type=click.Path(exists=True))
+@click.option(
+    "--config",
+    "-c",
+    "config_path",
+    default=None,
+    type=click.Path(exists=True),
+    help="compare previously saved result CSVs (reference compare-models mode)",
+)
 @click.option("--distance-metric", default="cosine")
 @click.option("--output", default=None, type=click.Path())
-def compare_models(embedding_dirs, distance_metric, output):
-    """Smoothness/dynamic-range comparison across embedding datasets
-    (reference ``compare-models``)."""
-    from viscy_tpu.evaluation.smoothness import compute_embeddings_smoothness
+def compare_models(embedding_dirs, config_path, distance_metric, output):
+    """Model comparison: live smoothness over embedding stores
+    (``--embeddings``) or previously saved result files (``-c``,
+    reference ``compare-models``)."""
     from viscy_tpu.training.cli_utils import format_markdown_table
+
+    if config_path is not None:
+        from viscy_tpu.apps.dynaclr.smoothness_benchmark import (
+            CompareModelsConfig,
+            compare_result_files,
+        )
+        from viscy_tpu.training.cli_utils import load_config
+
+        raw = load_config(config_path)
+        cfg = CompareModelsConfig(
+            result_files=raw.get("result_files", []), **raw.get("comparison", {})
+        )
+        combined = compare_result_files(cfg)
+        if combined.empty:
+            click.echo("No valid result files were loaded", err=True)
+            return
+        click.echo("Model comparison")
+        click.echo(combined.to_markdown())
+        if cfg.output_path:
+            click.echo(f"Results saved to: {cfg.output_path}")
+        return
+
+    if not embedding_dirs:
+        raise click.UsageError("pass --embeddings stores or a -c results config")
+    from viscy_tpu.evaluation.smoothness import compute_embeddings_smoothness
 
     rows = []
     for d in embedding_dirs:
@@ -806,3 +878,9 @@ def evaluate_pseudotime_cmd(alignment_path, annotation_col, positive_value) -> N
     df = pd.read_parquet(alignment_path)
     scores = evaluate_embedding(df, annotation_col=annotation_col, positive_value=positive_value)
     click.echo(json.dumps(scores, indent=2))
+
+
+# exact-name aliases for the reference CLI surface
+# (train-classifier/apply-classifier predate the reference naming)
+main.add_command(main.commands["train-classifier"], name="train-linear-classifier")
+main.add_command(main.commands["apply-classifier"], name="apply-linear-classifier")

@@ -27,12 +27,20 @@ def compute_embeddings_smoothness(
     features: np.ndarray,
     index: pd.DataFrame,
     distance_metric: str = "cosine",
-) -> dict:
+    return_distributions: bool = False,
+):
     """Peak and dynamic range of per-track step displacements.
 
     Groups samples by (fov_name, track_id), sorts by t, computes
-    consecutive-step distances, and reports the displacement-distribution
-    peak plus the dynamic range against random-pair distances.
+    consecutive-step (adjacent-frame) distances, and compares their
+    distribution against random-pair distances. Stats carry the
+    reference's names (``smoothness.py:159-183``): ``smoothness_score``
+    (mean adjacent / mean random — lower is better), ``dynamic_range``
+    (random peak − adjacent peak — higher is better), plus
+    mean/std/median/peak per distribution and the legacy aliases.
+
+    With ``return_distributions`` the raw distance arrays come back too,
+    as ``(stats, {"adjacent_frame_distribution", "random_frame_distribution"})``.
     """
     from scipy.spatial.distance import cdist
 
@@ -49,7 +57,13 @@ def compute_embeddings_smoothness(
         displacements.extend(np.diagonal(d).tolist())
     displacements = np.asarray(displacements)
     if len(displacements) == 0:
-        return {"smoothness_peak": np.nan, "dynamic_range": np.nan, "n_steps": 0}
+        stats = {"smoothness_peak": np.nan, "dynamic_range": np.nan, "n_steps": 0}
+        if return_distributions:
+            return stats, {
+                "adjacent_frame_distribution": displacements,
+                "random_frame_distribution": np.asarray([]),
+            }
+        return stats
     rng = np.random.default_rng(0)
     n = min(2000, len(features))
     idx = rng.choice(len(features), (n, 2))
@@ -61,10 +75,26 @@ def compute_embeddings_smoothness(
     )
     peak = find_distribution_peak(displacements)
     random_peak = find_distribution_peak(random_d)
-    return {
+    stats = {
+        "adjacent_frame_mean": float(displacements.mean()),
+        "adjacent_frame_std": float(displacements.std()),
+        "adjacent_frame_median": float(np.median(displacements)),
+        "adjacent_frame_peak": peak,
+        "random_frame_mean": float(random_d.mean()),
+        "random_frame_std": float(random_d.std()),
+        "random_frame_median": float(np.median(random_d)),
+        "random_frame_peak": random_peak,
+        "smoothness_score": float(displacements.mean() / random_d.mean()),
+        "dynamic_range": random_peak - peak,
+        # legacy aliases (round-1 API)
         "smoothness_peak": peak,
         "random_peak": random_peak,
-        "dynamic_range": random_peak - peak,
         "n_steps": int(len(displacements)),
         "mean_displacement": float(displacements.mean()),
     }
+    if return_distributions:
+        return stats, {
+            "adjacent_frame_distribution": displacements,
+            "random_frame_distribution": random_d,
+        }
+    return stats
