@@ -151,3 +151,81 @@ evaluation:
         assert "train-linear-classifier" in main.commands
         assert "apply-linear-classifier" in main.commands
         assert main.commands["train-linear-classifier"] is main.commands["train-classifier"]
+
+
+class TestPlotEmbeddings:
+    """plot-embeddings (reference ``dynaclr/evaluation/plot_embeddings.py``)."""
+
+    @pytest.fixture()
+    def anndata_store(self, tmp_path):
+        from viscy_tpu.evaluation.anndata_lite import AnnDataLite, write_anndata_zarr
+
+        rng = np.random.default_rng(0)
+        n = 60
+        obs = pd.DataFrame(
+            {
+                "perturbation": ["mock"] * 30 + ["infected"] * 30,
+                "hours_post_perturbation": rng.uniform(0, 24, n),
+                "marker": ["nuc", "mem"] * 30,
+            }
+        )
+        adata = AnnDataLite(
+            X=rng.normal(size=(n, 8)).astype(np.float32),
+            obs=obs,
+            obsm={
+                "X_pca": rng.normal(size=(n, 8)).astype(np.float32),
+                "X_phate": rng.normal(size=(n, 2)).astype(np.float32),
+            },
+        )
+        path = tmp_path / "adata.zarr"
+        write_anndata_zarr(path, adata)
+        return path
+
+    def test_config_validation(self):
+        from viscy_tpu.apps.dynaclr.plot_embeddings import PlotEmbeddingsConfig
+
+        with pytest.raises(ValueError, match="Either input_path"):
+            PlotEmbeddingsConfig(output_dir="/tmp/x")
+        with pytest.raises(ValueError, match="not both"):
+            PlotEmbeddingsConfig(input_path="a", input_paths=["b"], output_dir="/tmp/x")
+
+    def test_plot_single_store(self, anndata_store, tmp_path):
+        from viscy_tpu.apps.dynaclr.plot_embeddings import (
+            PlotEmbeddingsConfig,
+            plot_embeddings,
+        )
+
+        cfg = PlotEmbeddingsConfig(
+            input_path=str(anndata_store),
+            output_dir=str(tmp_path / "plots"),
+            embedding_keys=["X_pca", "X_phate", "X_missing"],
+            color_by=["perturbation", "hours_post_perturbation", "nonexistent"],
+            pairplot_components=4,
+            format="png",
+        )
+        written = plot_embeddings(cfg)
+        names = {p.name for p in written}
+        # pairplots per valid coloring for the 8-dim PCA
+        assert "pairplot_X_pca_perturbation.png" in names
+        assert "pairplot_X_pca_hours_post_perturbation.png" in names
+        # one scatter panel for the 2-dim PHATE
+        assert "scatter_X_phate.png" in names
+
+    def test_plot_concatenated_stores_cli(self, anndata_store, tmp_path):
+        from click.testing import CliRunner
+
+        from viscy_tpu.apps.dynaclr.cli import main
+
+        cfg = tmp_path / "plot.yml"
+        cfg.write_text(
+            f"""
+input_paths: ["{anndata_store}", "{anndata_store}"]
+output_dir: {tmp_path / "plots2"}
+embedding_keys: [X_phate]
+color_by: [marker]
+format: png
+"""
+        )
+        r = CliRunner().invoke(main, ["plot-embeddings", "-c", str(cfg)])
+        assert r.exit_code == 0, r.output
+        assert (tmp_path / "plots2" / "scatter_X_phate.png").exists()

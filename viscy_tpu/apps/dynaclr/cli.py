@@ -200,6 +200,24 @@ def evaluate_tracking_accuracy(
     click.echo(json.dumps(res, indent=2))
 
 
+@main.command("plot-embeddings")
+@click.option("--config", "-c", "config_path", required=True, type=click.Path(exists=True))
+def plot_embeddings_cmd(config_path: str) -> None:
+    """Pairplots (PCA) and scatter plots (PHATE/UMAP) from an AnnData
+    store (reference ``plot-embeddings``)."""
+    from viscy_tpu.apps.dynaclr.plot_embeddings import (
+        PlotEmbeddingsConfig,
+        plot_embeddings,
+    )
+    from viscy_tpu.training.cli_utils import load_config
+
+    cfg = PlotEmbeddingsConfig(**load_config(config_path))
+    written = plot_embeddings(cfg)
+    for p in written:
+        click.echo(f"  Saved {p.name}")
+    click.echo(f"Wrote {len(written)} figures to {cfg.output_dir}")
+
+
 @main.command("visualize-embeddings")
 @click.option("--embeddings", required=True, type=click.Path(exists=True))
 @click.option("--data-path", default=None, type=click.Path(exists=True))

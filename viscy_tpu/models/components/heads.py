@@ -129,6 +129,16 @@ class MLP(nn.Module):
     """Configurable MLP (reference ``heads.py:470``): projection mode
     (hidden layers + final linear+norm) or classification mode (backbone +
     linear/cosine head, with ``encode`` for normalized penultimate reps).
+
+    BatchNorm-under-DP semantics (SURVEY §7 hard-parts): the reference's
+    torch BN is per-replica (per-GPU stats under DDP). Here the train step
+    is a single jit over the sharded global batch, so ``nn.BatchNorm``
+    reduces over the *global* batch axis — GSPMD inserts the cross-chip
+    collectives. This is deliberate: stats are batch-size-consistent at
+    any device count (our 1-vs-8-device DP exactness test depends on it),
+    and converted checkpoints are unaffected (running stats transfer
+    verbatim; only training dynamics at large replica counts differ from
+    per-replica torch BN).
     """
 
     in_dims: int
