@@ -549,3 +549,59 @@ class TestTablesAndCLI:
         assert out.returncode == 0
         for sub in ("evaluate", "evaluate-grouped", "cross-condition-probe", "report", "fit"):
             assert sub in out.stdout
+
+
+class TestPrecomputeGT:
+    plates = TestPipeline.plates  # reuse the fixture, not the tests
+    _config = TestPipeline._config
+
+    def test_precompute_fills_cache_then_evaluate_hits_it(self, plates, tmp_path):
+        from viscy_tpu.apps.dynacell.eval.pipeline import (
+            evaluate_model,
+            precompute_gt_artifacts,
+        )
+
+        cfg = self._config(plates, tmp_path)
+        cfg["build"] = {
+            "masks": True,
+            "instances": True,
+            "cp_features": True,
+            "deep_features": True,
+        }
+        counts = precompute_gt_artifacts(cfg)
+        assert counts["masks"] == 2  # two FOVs
+        assert counts["instances"] == 2
+        assert counts["cp_features"] == 4  # 2 FOVs x 2 t
+        assert counts["deep_features"] == 8  # x 2 extractors
+        cache_dir = tmp_path / "cache_gt"
+        gt_artifacts = list(cache_dir.rglob("*.np*"))
+        assert gt_artifacts, "cache should hold GT artifacts"
+        mtimes = {p: p.stat().st_mtime_ns for p in gt_artifacts}
+
+        # evaluation reuses every precomputed GT artifact (no rewrites)
+        pixel, mask, feature = evaluate_model(cfg)
+        assert len(pixel) == 4
+        for p, old in mtimes.items():
+            assert p.stat().st_mtime_ns == old, f"{p} was recomputed"
+
+    def test_precompute_requires_cache_dir(self, plates, tmp_path):
+        from viscy_tpu.apps.dynacell.eval.pipeline import precompute_gt_artifacts
+
+        cfg = self._config(plates, tmp_path)
+        cfg["io"].pop("gt_cache_dir")
+        with pytest.raises(ValueError, match="gt_cache_dir"):
+            precompute_gt_artifacts(cfg)
+
+    def test_precompute_cli(self, plates, tmp_path):
+        import yaml
+        from click.testing import CliRunner
+
+        from viscy_tpu.apps.dynacell.__main__ import main
+
+        cfg = self._config(plates, tmp_path)
+        cfg["build"] = {"masks": True, "instances": False}
+        cfg_path = tmp_path / "pre.yml"
+        cfg_path.write_text(yaml.dump(cfg))
+        r = CliRunner().invoke(main, ["precompute-gt", "-c", str(cfg_path)])
+        assert r.exit_code == 0, r.output
+        assert '"masks": 2' in r.output

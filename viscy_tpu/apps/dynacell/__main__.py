@@ -51,6 +51,21 @@ def evaluate_grouped(config: str) -> None:
     click.echo(f"evaluated conditions: {[name for name, _ in results]}")
 
 
+@main.command("precompute-gt")
+@click.option("--config", "-c", required=True, type=click.Path(exists=True))
+def precompute_gt(config: str) -> None:
+    """Pre-fill the GT artifact cache so evaluate runs hit it
+    (reference ``precompute-gt``)."""
+    import json
+
+    from viscy_tpu.apps.dynacell.eval.pipeline import precompute_gt_artifacts
+
+    with open(config) as f:
+        cfg = yaml.safe_load(f)
+    counts = precompute_gt_artifacts(cfg)
+    click.echo(json.dumps(counts, indent=2))
+
+
 @main.command("cross-condition-probe")
 @click.option("--eval-dirs", "-d", multiple=True, required=True, type=click.Path(exists=True))
 @click.option("--out", "-o", required=True, type=click.Path())

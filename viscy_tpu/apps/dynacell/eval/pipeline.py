@@ -519,6 +519,105 @@ def _load_cached_final_metrics(config: dict):
     )
 
 
+def precompute_gt_artifacts(config: dict) -> dict[str, int]:
+    """Pre-fill the GT artifact cache without running the evaluation loop.
+
+    Mirrors reference ``precompute_cli.py:55-203``: iterates GT positions
+    and writes any missing artifacts toggled on in ``config["build"]``
+    (``masks``, ``instances``, ``cp_features``, ``deep_features``) to
+    ``io.gt_cache_dir`` so subsequent ``dynacell evaluate`` runs hit the
+    cache. Returns per-artifact counts.
+    """
+    io = dict(config.get("io") or {})
+    if not io.get("gt_cache_dir"):
+        raise ValueError("precompute-gt needs io.gt_cache_dir")
+    build = dict(
+        config.get("build")
+        or {"masks": True, "instances": True, "cp_features": False, "deep_features": False}
+    )
+    models = load_eval_models(config)
+    target_name = config.get("target_name", "nucleus")
+    spacing = config.get("spacing", [1.0, 1.0, 1.0])
+    backend = _cfg(config, "segmentation", "backend", default="native")
+    patch_size = int(_cfg(config, "feature_metrics", "patch_size", default=64))
+    cp_glcm = _cfg(config, "feature_metrics", "cp", "glcm", default=None)
+
+    gt_ctx = init_cache_context(
+        io["gt_cache_dir"],
+        source="gt",
+        plate_path=str(io.get("gt_path")),
+        channel_name=io.get("gt_channel_name"),
+        force=dict(config.get("force_recompute") or {}),
+        require_complete=False,
+    )
+    gt_plate = open_ome_zarr(io["gt_path"])
+    names = [n for n, _ in gt_plate.positions()]
+    include = io.get("include_fovs")
+    if include:
+        names = [n for n in names if n in set(include)]
+
+    counts = {"masks": 0, "instances": 0, "cp_features": 0, "deep_features": 0}
+    for pos_name in names:
+        target = _read_stack(gt_plate[pos_name], io.get("gt_channel_name"))
+        t_count = target.shape[0]
+        if build.get("masks"):
+            fov_masks(
+                gt_ctx,
+                "gt",
+                target_name,
+                pos_name,
+                lambda: np.stack(
+                    [segment(target[t], target_name, models.seg_model, backend=backend) for t in range(t_count)]
+                ),
+                backend=backend,
+            )
+            counts["masks"] += 1
+        gt_inst = None
+        if build.get("instances") or build.get("cp_features") or build.get("deep_features"):
+            gt_inst = fov_nucleus_instances(
+                gt_ctx,
+                "gt",
+                target_name,
+                pos_name,
+                lambda: np.stack(
+                    [
+                        segment_nucleus_instances(
+                            target[t], spacing, seg_model=models.seg_model, backend=backend
+                        )
+                        for t in range(t_count)
+                    ]
+                ),
+                backend=backend,
+            )
+            counts["instances"] += 1
+        for t in range(t_count):
+            if build.get("cp_features") and gt_inst is not None:
+                fov_cp_features(
+                    gt_ctx,
+                    "gt",
+                    pos_name,
+                    t,
+                    lambda: cp_regionprops(target[t], gt_inst[t], spacing, glcm_cfg=cp_glcm),
+                )
+                counts["cp_features"] += 1
+            if build.get("deep_features") and gt_inst is not None and models.extractors:
+                gt_crops = build_crops(target[t], gt_inst[t], patch_size)
+                for kind, extractor in models.extractors.items():
+                    fov_deep_features(
+                        gt_ctx,
+                        "gt",
+                        kind,
+                        pos_name,
+                        t,
+                        lambda: features_from_crops(gt_crops, extractor),
+                        params={"patch_size": patch_size},
+                    )
+                    counts["deep_features"] += 1
+        _logger.info(f"precompute-gt: {pos_name} done")
+    flush_manifest(gt_ctx)
+    return counts
+
+
 def evaluate_model(config: dict):
     """Evaluate + save one leaf config, honoring the final-metrics cache."""
     if _final_metrics_cache_valid(config):
