@@ -16,7 +16,11 @@ from typing import Iterable, Sequence
 import jax
 import jax.numpy as jnp
 
-from viscy_tpu.ops.warp import affine_grid_3d, compose_affine_3d, trilinear_sample
+from viscy_tpu.ops.warp import (
+    affine_grid_3d,
+    batched_trilinear_sample,
+    compose_affine_3d,
+)
 from viscy_tpu.transforms.base import RandTransform
 
 Array = jax.Array
@@ -193,12 +197,21 @@ class BatchedRandAffined(RandTransform):
                 (s - r) // 2 - (s - r) / 2.0 for r, s in zip(out_shape, spatial)
             )
         grids = affine_grid_3d(matrices, spatial, out_shape, out_offset=offset)
-        for k in self.key_iterator(data):
+        # warp every key in ONE call: trilinear_sample folds channels into
+        # its staged gather rows, so source/target/fg_mask share the same
+        # two row-gathers per point instead of paying them per key
+        keys = [k for k in self.key_iterator(data)]
+        splits = [data[k].shape[1] for k in keys]
+        stacked = jnp.concatenate([data[k] for k in keys], axis=1)
+        warped = batched_trilinear_sample(stacked, grids, self.padding_mode)
+        start = 0
+        for k, c in zip(keys, splits):
             x = data[k]
-            new = jax.vmap(lambda v, g: trilinear_sample(v, g, self.padding_mode))(x, grids)
+            new = warped[:, start : start + c]
+            start += c
             if self.crop_size is not None:
                 x = center_crop(x, out_shape)
-            data[k] = self._where(mask, new, x)
+            data[k] = self._where(mask, new.astype(x.dtype), x)
         return data
 
 
@@ -271,6 +284,6 @@ class BatchedRand3DElasticd(RandTransform):
         grids = base + field
         for k in self.key_iterator(data):
             v = data[k]
-            new = jax.vmap(lambda img, g: trilinear_sample(img, g, self.padding_mode))(v, grids)
+            new = batched_trilinear_sample(v, grids, self.padding_mode)
             data[k] = self._where(mask, new, v)
         return data
