@@ -1,0 +1,161 @@
+"""Pallas separable 3D affine warp vs the XLA trilinear reference.
+
+Interpret-mode tests (run on CPU): semantics of
+``viscy_tpu.ops.pallas.warp3d.affine_warp_3d_pallas`` against
+``batched_trilinear_sample``. The kernel's in-plane interpolation is
+two-pass separable linear — exact for axis-aligned affines and linear
+volumes, within interpolation error of trilinear otherwise (module
+docstring); z interpolation is exact.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from viscy_tpu.ops.pallas.warp3d import affine_warp_3d_pallas, estimate_kz
+from viscy_tpu.ops.warp import (
+    affine_grid_3d,
+    batched_trilinear_sample,
+    compose_affine_3d,
+)
+
+B, C = 3, 2
+IN = (8, 40, 40)
+OUT = (6, 32, 32)
+
+
+def _xla_ref(vol, mats, out_shape, offset=None, padding_mode="zeros"):
+    grids = affine_grid_3d(
+        mats.astype(jnp.float32), vol.shape[-3:], tuple(out_shape), out_offset=offset
+    )
+    return batched_trilinear_sample(vol, grids, padding_mode)
+
+
+@pytest.fixture(scope="module")
+def vol():
+    rng = np.random.default_rng(0)
+    return jnp.asarray(rng.random((B, C, *IN), np.float32))
+
+
+@pytest.fixture(scope="module")
+def smooth_vol():
+    from scipy.ndimage import gaussian_filter
+
+    rng = np.random.default_rng(1)
+    v = gaussian_filter(rng.random((B, C, *IN)).astype(np.float32), (0, 0, 1.5, 2, 2))
+    return jnp.asarray(v)
+
+
+def test_identity_exact(vol):
+    mats = compose_affine_3d(batch=B)
+    out = affine_warp_3d_pallas(vol, mats, OUT, kz=3, interpret=True)
+    ref = _xla_ref(vol, mats, OUT)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_axis_aligned_matches_trilinear(vol):
+    rng = np.random.default_rng(2)
+    scale = jnp.asarray(rng.uniform(0.7, 1.4, (B, 3)), jnp.float32)
+    trans = jnp.asarray(rng.uniform(-3, 3, (B, 3)), jnp.float32)
+    mats = compose_affine_3d(scale=scale, translate=trans)
+    out = affine_warp_3d_pallas(vol, mats, OUT, kz=5, interpret=True)
+    ref = _xla_ref(vol, mats, OUT)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_rotation_close_and_mask_exact(smooth_vol):
+    rng = np.random.default_rng(3)
+    rot = jnp.asarray(
+        np.stack([rng.uniform(-3.14, 3.14, B), np.zeros(B), np.zeros(B)], -1),
+        jnp.float32,
+    )
+    scale = jnp.asarray(rng.uniform(0.6, 1.5, (B, 3)), jnp.float32)
+    mats = compose_affine_3d(rotation=rot, scale=scale)
+    kz = estimate_kz([(-3.14, 3.14), (0, 0), (0, 0)], None, [(0.6, 1.5)] * 3, IN, OUT)
+    out = affine_warp_3d_pallas(smooth_vol, mats, OUT, kz=kz, interpret=True)
+    ref = _xla_ref(smooth_vol, mats, OUT)
+    d = np.abs(np.asarray(out) - np.asarray(ref))
+    rng_v = float(smooth_vol.max() - smooth_vol.min())
+    assert d.max() < 0.05 * rng_v
+    assert d.mean() < 0.005 * rng_v
+    # the zero-padding mask must agree exactly
+    np.testing.assert_array_equal(np.asarray(out) == 0, np.asarray(ref) == 0)
+
+
+def test_quadrant_swap_path(smooth_vol):
+    rot = jnp.asarray(
+        np.stack([np.full(B, np.pi / 2 + 0.05), np.zeros(B), np.zeros(B)], -1),
+        jnp.float32,
+    )
+    mats = compose_affine_3d(rotation=rot)
+    out = affine_warp_3d_pallas(smooth_vol, mats, OUT, kz=3, interpret=True)
+    ref = _xla_ref(smooth_vol, mats, OUT)
+    d = np.abs(np.asarray(out) - np.asarray(ref))
+    assert d.max() < 5e-3
+
+
+def test_fused_crop_offset(vol):
+    out_shape = (6, 31, 31)
+    mats = compose_affine_3d(batch=B)
+    off = tuple((s - r) // 2 - (s - r) / 2.0 for r, s in zip(out_shape, IN))
+    out = affine_warp_3d_pallas(vol, mats, out_shape, kz=3, out_offset=off, interpret=True)
+    ref = _xla_ref(vol, mats, out_shape, offset=off)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_non_square_rejected(vol):
+    mats = compose_affine_3d(batch=B)
+    with pytest.raises(ValueError):
+        affine_warp_3d_pallas(vol, mats, (6, 32, 24), kz=3, interpret=True)
+
+
+def test_estimate_kz_production():
+    # production VSCyto3D recipe: z-rotation + tiny scaled z-shears
+    zf = 20 / 600
+    kz = estimate_kz(
+        [(-3.14, 3.14), (0, 0), (0, 0)],
+        [(-0.05 * zf, 0.05 * zf)] * 2 + [(0.0, 0.0)] * 4,
+        [(0.7, 1.3), (0.5, 1.5), (0.5, 1.5)],
+        (20, 600, 600),
+        (15, 384, 384),
+    )
+    assert 2 <= kz <= 8
+    # an out-of-plane rotation config demands a deep slab (falls back)
+    kz_bad = estimate_kz(
+        [(0, 0), (-1.0, 1.0), (0, 0)], None, None, (20, 600, 600), (15, 384, 384)
+    )
+    assert kz_bad >= 9 or kz_bad == 20
+
+
+def test_transform_backend_pallas_matches_xla(smooth_vol):
+    from viscy_tpu.transforms.affine import BatchedRandAffined
+
+    kwargs = dict(
+        keys=["source", "target"],
+        prob=1.0,
+        rotate_range=[3.14, 0, 0],
+        shear_range=[0.0, 0.05, 0.05],
+        scale_range=[[0.7, 1.3], [0.5, 1.5], [0.5, 1.5]],
+        crop_size=[6, 32, 32],
+    )
+    t_xla = BatchedRandAffined(backend="xla", **kwargs)
+    t_pal = BatchedRandAffined(backend="pallas", **kwargs)
+    t_pal._pallas_interpret = True
+    data = {"source": smooth_vol[:, :1], "target": smooth_vol[:, 1:]}
+    key = jax.random.PRNGKey(7)
+    out_x = t_xla(dict(data), key)
+    out_p = t_pal(dict(data), key)
+    rng_v = float(smooth_vol.max() - smooth_vol.min())
+    for k in ("source", "target"):
+        d = np.abs(np.asarray(out_x[k]) - np.asarray(out_p[k]))
+        assert d.max() < 0.05 * rng_v, k
+
+
+def test_transform_auto_selects_xla_on_cpu(smooth_vol):
+    from viscy_tpu.transforms.affine import BatchedRandAffined
+
+    t = BatchedRandAffined(
+        keys=["source"], prob=1.0, rotate_range=[3.14, 0, 0], backend="auto"
+    )
+    assert t._select_pallas(IN, OUT, None) is None or jax.default_backend() == "tpu"

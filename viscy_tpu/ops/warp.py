@@ -192,8 +192,18 @@ def affine_grid_3d(
     xx = jnp.arange(Xo, dtype=dt) - (Xo - 1) / 2.0 + off[2]
     gz, gy, gx = jnp.meshgrid(zz, yy, xx, indexing="ij")
     grid = jnp.stack([gz, gy, gx], axis=0).reshape(3, -1)  # (3, N)
-    # p_in = A[:, :3] @ p_out + t, then shift back to corner-origin coords
-    pts = jnp.einsum("bij,jn->bin", matrices[:, :, :3], grid) + matrices[:, :, 3:4]
+    # p_in = A[:, :3] @ p_out + t, then shift back to corner-origin coords.
+    # HIGHEST precision: TPU matmuls default to bf16 inputs, which would
+    # put ~0.1-voxel error into the sampling coordinates at 600^3 scale.
+    pts = (
+        jnp.einsum(
+            "bij,jn->bin",
+            matrices[:, :, :3],
+            grid,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        + matrices[:, :, 3:4]
+    )
     center_in = jnp.array([(Zi - 1) / 2.0, (Yi - 1) / 2.0, (Xi - 1) / 2.0], dt)
     pts = pts + center_in[None, :, None]
     return pts.reshape(matrices.shape[0], 3, Zo, Yo, Xo)
@@ -255,12 +265,14 @@ def compose_affine_3d(
     eye = jnp.broadcast_to(jnp.eye(3, dtype=dtype), (batch, 3, 3))
     fwd = eye
 
+    P = jax.lax.Precision.HIGHEST  # 3x3 composes are free; bf16 default is not
+
     if shear is not None:
         sh = jnp.zeros((batch, 3, 3), dtype)
         sh = sh.at[:, 0, 1].set(shear[:, 0]).at[:, 0, 2].set(shear[:, 1])
         sh = sh.at[:, 1, 0].set(shear[:, 2]).at[:, 1, 2].set(shear[:, 3])
         sh = sh.at[:, 2, 0].set(shear[:, 4]).at[:, 2, 1].set(shear[:, 5])
-        fwd = jnp.matmul(eye + sh, fwd)
+        fwd = jnp.matmul(eye + sh, fwd, precision=P)
 
     if rotation is not None:
         az, ay, ax = rotation[:, 0], rotation[:, 1], rotation[:, 2]
@@ -279,14 +291,21 @@ def compose_affine_3d(
         rx = jnp.stack(
             [cx_, -sx_, zero, sx_, cx_, zero, zero, zero, one], -1
         ).reshape(batch, 3, 3)
-        fwd = jnp.matmul(rz, jnp.matmul(ry, jnp.matmul(rx, fwd)))
+        fwd = jnp.matmul(
+            rz, jnp.matmul(ry, jnp.matmul(rx, fwd, precision=P), precision=P), precision=P
+        )
 
     if scale is not None:
         fwd = fwd * scale[:, :, None]
 
     inv = jnp.linalg.inv(fwd.astype(jnp.float32)).astype(dtype)
     if translate is not None:
-        t = -jnp.einsum("bij,bj->bi", inv, translate.astype(dtype))
+        t = -jnp.einsum(
+            "bij,bj->bi",
+            inv,
+            translate.astype(dtype),
+            precision=jax.lax.Precision.HIGHEST,
+        )
     else:
         t = jnp.zeros((batch, 3), dtype)
     return jnp.concatenate([inv, t[:, :, None]], axis=2)

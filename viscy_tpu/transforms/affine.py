@@ -84,8 +84,18 @@ class BatchedRandAffined(RandTransform):
         safe_crop_coverage: float = 1.0,
         crop_size: Sequence[int] | None = None,
         allow_missing_keys: bool = False,
+        backend: str = "auto",
     ) -> None:
         super().__init__(keys, prob, allow_missing_keys)
+        # backend: "auto" picks the Pallas separable-warp kernel on TPU when
+        # the config supports it (square in-plane output, zeros/border
+        # padding, bounded z-slab), else the XLA trilinear gather;
+        # "xla"/"pallas" force a path (tests set _pallas_interpret on CPU)
+        if backend not in ("auto", "xla", "pallas"):
+            raise ValueError(f"unknown backend {backend!r}")
+        self.backend = backend
+        self._pallas_interpret = False
+        self._kz_cache: dict[tuple, int] = {}
         # crop_size fuses a downstream center crop into the warp: the sample
         # grid is generated only for the cropped output region, so the gather
         # touches (crop) voxels instead of the full volume — bit-identical to
@@ -173,6 +183,49 @@ class BatchedRandAffined(RandTransform):
         smin = self.safe_crop_coverage * jnp.einsum("bij,j->bi", jnp.abs(R), d) / h[None, :]
         return jnp.maximum(scale, smin)
 
+    def _shear_ranges_for_kz(self, spatial) -> list | None:
+        """Normalized 6-coefficient shear ranges, mirroring ``_sample_params``."""
+        if self._shear3 is not None:
+            s3 = list(self._shear3)
+            if self.scale_z_shear:
+                zf = spatial[0] / max(spatial[1], 1)
+                s3 = [s3[0] * zf, s3[1] * zf, s3[2]]
+            return [(-v, v) for v in s3] + [(0.0, 0.0)] * 3
+        if self.shear_range is not None:
+            return list(self.shear_range) + [(0.0, 0.0)] * 3
+        return None
+
+    def _select_pallas(self, spatial, out_shape, offset) -> int | None:
+        """Return the static z-slab depth if the Pallas kernel applies, else None."""
+        if self.backend == "xla":
+            return None
+        if self.padding_mode not in ("zeros", "border"):
+            return None
+        if out_shape[1] != out_shape[2]:
+            return None
+        if offset is not None and offset[1] != offset[2]:
+            return None
+        if self.backend == "auto":
+            if not self._pallas_interpret and jax.default_backend() != "tpu":
+                return None
+        cache_key = (tuple(spatial), tuple(out_shape))
+        if cache_key not in self._kz_cache:
+            from viscy_tpu.ops.pallas.warp3d import estimate_kz
+
+            self._kz_cache[cache_key] = estimate_kz(
+                self.rotate_range,
+                self._shear_ranges_for_kz(spatial),
+                self.scale_range,
+                tuple(spatial),
+                tuple(out_shape),
+            )
+        kz = self._kz_cache[cache_key]
+        # a deep slab means the config rotates volumes out of plane —
+        # the VMEM working set and accuracy argument break down; use XLA
+        if self.backend == "auto" and kz > 8:
+            return None
+        return kz
+
     def __call__(self, data: dict, key: Array = None) -> dict:
         data = dict(data)
         first = data[self.first_key(data)]
@@ -196,14 +249,27 @@ class BatchedRandAffined(RandTransform):
             offset = tuple(
                 (s - r) // 2 - (s - r) / 2.0 for r, s in zip(out_shape, spatial)
             )
-        grids = affine_grid_3d(matrices, spatial, out_shape, out_offset=offset)
-        # warp every key in ONE call: trilinear_sample folds channels into
-        # its staged gather rows, so source/target/fg_mask share the same
-        # two row-gathers per point instead of paying them per key
+        # warp every key in ONE call: both backends fold channels into the
+        # same gathers, so source/target/fg_mask share the memory traffic
         keys = [k for k in self.key_iterator(data)]
         splits = [data[k].shape[1] for k in keys]
         stacked = jnp.concatenate([data[k] for k in keys], axis=1)
-        warped = batched_trilinear_sample(stacked, grids, self.padding_mode)
+        kz = self._select_pallas(spatial, out_shape, offset)
+        if kz is not None:
+            from viscy_tpu.ops.pallas.warp3d import affine_warp_3d_pallas
+
+            warped = affine_warp_3d_pallas(
+                stacked,
+                matrices,
+                tuple(out_shape),
+                kz=kz,
+                out_offset=offset,
+                padding_mode=self.padding_mode,
+                interpret=self._pallas_interpret,
+            )
+        else:
+            grids = affine_grid_3d(matrices, spatial, out_shape, out_offset=offset)
+            warped = batched_trilinear_sample(stacked, grids, self.padding_mode)
         start = 0
         for k, c in zip(keys, splits):
             x = data[k]
