@@ -1,8 +1,8 @@
 """Pallas TPU kernels for hot ops.
 
-Currently empty — deliberately. Every candidate kernel was ablated against
-XLA's own fusion on the real chip (v5e) and lost or broke even, so the
-plain-XLA paths stay (measure, don't assume):
+Every candidate kernel is ablated against XLA's own fusion on the real
+chip (v5e); the plain-XLA path stays whenever it wins (measure, don't
+assume). Ablation records:
 
 - **Fused normalize+scale+noise** (``fused_normalize_aug``, removed
   round 2): at the production augmentation shape (16, 1, 15, 384, 384)
@@ -21,10 +21,15 @@ plain-XLA paths stay (measure, don't assume):
   ceiling), so the step is MXU-bound on the 1x1 convs and a Pallas block
   kernel has no meaningful headroom (round-1 ablation, docs/STATUS.md).
 
-The affine-warp augmentation is likewise served by an XLA gather-based
-fused output-space warp (``viscy_tpu/ops/warp.py``) rather than a Pallas
-kernel: the trilinear gather lowers to efficient dynamic-slice/gather
-sequences and runs off the critical path of the MXU-bound train step.
+The batched 3D affine warp is the exception that earned a kernel:
+XLA's gather pays one HBM transaction per element and every XLA
+reformulation plateaus at ~2 s for the production VSCyto3D batch,
+while :mod:`viscy_tpu.ops.pallas.warp3d` (separable 3-pass resampling
+over a VMEM z-slab with Mosaic lane-local dynamic gathers) runs the
+same batch in tens of milliseconds on v5e. ``BatchedRandAffined``
+selects it automatically on TPU (``backend="auto"``).
 """
 
-__all__: list[str] = []
+from viscy_tpu.ops.pallas.warp3d import affine_warp_3d_pallas, estimate_kz
+
+__all__ = ["affine_warp_3d_pallas", "estimate_kz"]

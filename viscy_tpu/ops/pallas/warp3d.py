@@ -16,14 +16,18 @@ channel) program):
 1. **z-slab DMA**: the affine image of one output z-slice spans a bounded
    z-range of the input (bound computed from the transform's parameter
    ranges at trace time -> static slab depth ``KZ``); the per-(b, zo) slab
-   start is scalar-prefetched and the slab ``(KZ, Y, X)`` is DMA'd HBM->VMEM.
-2. **Y pass**: ``t1[q, x] = plane[p*q + qc*x + r, x]`` — a 1-D linear
-   resample along Y per input column, applied to each slab plane on its
-   transpose (Y in lanes).
-3. **X pass**: ``w[yo, xo] = t1[yo, gx*xo + bx*yo + kx]`` — a 1-D linear
-   resample along X per output row.
-4. **Z interp**: hat-weighted sum of the ``KZ`` warped planes at
-   ``zin(yo, xo)`` (exact linear interpolation in z).
+   start is scalar-prefetched and the slab (in-plane pre-transposed, see
+   below) is DMA'd HBM->VMEM.
+2. **Z pass** (elementwise, no gather): hat-weighted blend of the ``KZ``
+   slab planes at ``zeta(y, x)`` — ``zin`` re-expressed on *input*
+   coordinates by composing with the inverse in-plane map — collapsing
+   the slab to one plane before any gather runs.
+3. **Y pass**: ``t1[q, x] = u[p*q + qc*x + r, x]`` — a 1-D linear
+   resample along Y per input column; the volume is stored (y, x)
+   transposed so this gathers along lanes straight out of the slab.
+4. **X pass**: ``out[yo, xo] = t1[yo, gx*xo + bx*yo + kx]`` — a 1-D
+   linear resample along X per output row (one in-kernel transpose
+   between the passes).
 
 The pass coefficients come from the row-triangular decomposition of the
 (output -> input) affine map (derivation in ``_pass_coefficients``); the
@@ -177,8 +181,23 @@ def _pass_coefficients(
     p = by - qc * bx
     r = K_y - qc[:, None] * K_x
 
-    # z-slab start covering the (clamped) zin range of the slice
-    spread = jnp.abs(bz) * (Yo - 1) / 2.0 + jnp.abs(gz) * (Xo - 1) / 2.0
+    # z pass runs FIRST over input columns: express zin as an affine
+    # function of *input* (y, x) by composing with the inverse in-plane
+    # map: zeta(y, x) = zeta0 + wy*y + wx*x with (wy, wx) = (bz, gz) @ M2^-1,
+    # M2 = [[by, gy], [bx, gx]] (see module docstring, step 2 of the
+    # 3-pass derivation)
+    det = by * gx - gy * bx
+    det_safe = jnp.where(jnp.abs(det) < 1e-9, jnp.where(det < 0, -1e-9, 1e-9), det)
+    wy = (bz * gx - gz * bx) / det_safe
+    wx = (-bz * gy + gz * by) / det_safe
+    zeta0 = K_z - wy[:, None] * K_y - wx[:, None] * K_x
+
+    # z-slab start covering the (clamped) zin range of the slice, with a
+    # one-cell margin for the in-plane interpolation neighborhood of zeta
+    margin = jnp.abs(wy) + jnp.abs(wx)
+    spread = (
+        jnp.abs(bz) * (Yo - 1) / 2.0 + jnp.abs(gz) * (Xo - 1) / 2.0 + margin
+    )
     z_center = K_z + bz[:, None] * (Yo - 1) / 2.0 + gz[:, None] * (Xo - 1) / 2.0
     zmin = z_center - spread[:, None]
     zb = jnp.clip(jnp.floor(zmin), 0, max(Zi - kz, 0)).astype(jnp.int32)
@@ -187,8 +206,8 @@ def _pass_coefficients(
         return jnp.broadcast_to(v[:, None], (B, Zo))
 
     coef = jnp.stack(
-        [K_z - zb.astype(jnp.float32), bc(bz), bc(gz), bc(p), bc(qc), r,
-         K_x, bc(bx), bc(gx), K_y, bc(by), bc(gy)],
+        [zeta0 - zb.astype(jnp.float32), bc(wy), bc(wx), bc(p), bc(qc), r,
+         K_x, bc(bx), bc(gx), K_y, bc(by), bc(gy), K_z, bc(bz), bc(gz)],
         axis=-1,
     )
     return swap, zb, coef
@@ -196,10 +215,10 @@ def _pass_coefficients(
 
 def _warp_kernel(
     zb_ref,  # (B, Zo) int32 SMEM (scalar prefetch)
-    coef_ref,  # (B, Zo, 12) f32 SMEM (scalar prefetch)
-    vol_ref,  # (B, C, Z, Y, X) f32 HBM (manual DMA)
+    coef_ref,  # (B, Zo, 15) f32 SMEM (scalar prefetch)
+    vol_ref,  # (B, C, Z, X, Y_pad) f32 HBM, in-plane TRANSPOSED (manual DMA)
     out_ref,  # block (1, 1, 1, Yo, Xo) VMEM
-    slab_ref,  # scratch (KZ, Y, X) VMEM
+    slab_ref,  # scratch (KZ, X_pad8, Y_pad) VMEM (transposed planes)
     sem,  # DMA semaphore
     *,
     kz: int,
@@ -211,9 +230,10 @@ def _warp_kernel(
     Zo, Yo, Xo = out_shape
     Yo_pad = _ceil_to(Yo, _LANE)
     Xo_pad = _ceil_to(Xo, _LANE)
-    # the HBM volume is lane-padded (X -> multiple of 128) so the slab DMA
-    # slice is tile-aligned; gathers only ever index the logical widths
-    Xi_pad = _ceil_to(Xi, _LANE)
+    # the HBM volume is stored with (y, x) transposed and lane-padded so the
+    # slab arrives y-in-lanes (the Y-pass gathers along lanes directly) and
+    # the DMA slice is tile-aligned; gathers only index the logical widths
+    Xi_pad8 = _ceil_to(Xi, 8)
     b = pl.program_id(0)
     zo = pl.program_id(1)
     c = pl.program_id(2)
@@ -222,9 +242,9 @@ def _warp_kernel(
     cp = pltpu.make_async_copy(vol_ref.at[b, c, pl.ds(zb, kz)], slab_ref, sem)
     cp.start()
 
-    kz_c = coef_ref[b, zo, 0]
-    bz = coef_ref[b, zo, 1]
-    gz = coef_ref[b, zo, 2]
+    zeta0 = coef_ref[b, zo, 0]
+    wy = coef_ref[b, zo, 1]
+    wx = coef_ref[b, zo, 2]
     p = coef_ref[b, zo, 3]
     qc = coef_ref[b, zo, 4]
     r = coef_ref[b, zo, 5]
@@ -234,38 +254,49 @@ def _warp_kernel(
     ky = coef_ref[b, zo, 9]
     by = coef_ref[b, zo, 10]
     gy = coef_ref[b, zo, 11]
+    k_z = coef_ref[b, zo, 12]
+    bz = coef_ref[b, zo, 13]
+    gz = coef_ref[b, zo, 14]
 
-    # pass 1 indices: idx1[x, q] = p*q + qc*x + r  (Xi_pad rows, Yo_pad lanes;
-    # rows beyond Xi produce values pass 2 never gathers)
-    idx1 = p * _fiota((Xi_pad, Yo_pad), 1) + qc * _fiota((Xi_pad, Yo_pad), 0) + r
+    # Y-pass indices: idx1[x, q] = p*q + qc*x + r  (Xi_pad8 rows, Yo_pad
+    # lanes; rows beyond Xi produce values the X pass never gathers)
+    idx1 = p * _fiota((Xi_pad8, Yo_pad), 1) + qc * _fiota((Xi_pad8, Yo_pad), 0) + r
     i1 = jnp.clip(jnp.floor(idx1), 0, Yi - 2).astype(jnp.int32)
     f1 = jnp.clip(idx1 - i1.astype(jnp.float32), 0.0, 1.0)
 
-    # pass 2 indices: idx2[yo, xo] = gx*xo + bx*yo + kx  (Yo rows, Xo_pad lanes)
+    # X-pass indices: idx2[yo, xo] = gx*xo + bx*yo + kx  (Yo rows, Xo_pad lanes)
     yo_row = _fiota((Yo, Xo_pad), 0)
     xo_lane = _fiota((Yo, Xo_pad), 1)
     idx2 = gx * xo_lane + bx * yo_row + kx
     i2 = jnp.clip(jnp.floor(idx2), 0, Xi - 2).astype(jnp.int32)
     f2 = jnp.clip(idx2 - i2.astype(jnp.float32), 0.0, 1.0)
 
-    # z interpolation weights (absolute coordinate clamped into the volume,
-    # then expressed relative to the slab start)
+    # Z pass (elementwise, runs once over the transposed input plane):
+    # zeta expressed on input coords (row = x, lane = y), clamped to the
+    # volume then taken relative to the slab start
     zb_f = zb.astype(jnp.float32)
-    z_abs = kz_c + bz * yo_row + gz * xo_lane + zb_f
-    z_rel = jnp.clip(z_abs, 0.0, float(Zi - 1)) - zb_f
+    zeta = (
+        zeta0
+        + wx * _fiota((Xi_pad8, _ceil_to(Yi, _LANE)), 0)
+        + wy * _fiota((Xi_pad8, _ceil_to(Yi, _LANE)), 1)
+        + zb_f
+    )
+    zeta_rel = jnp.clip(zeta, 0.0, float(Zi - 1)) - zb_f
 
     cp.wait()
 
-    acc = jnp.zeros((Yo, Xo_pad), jnp.float32)
+    u_t = jnp.zeros((Xi_pad8, _ceil_to(Yi, _LANE)), jnp.float32)
     for k in range(kz):
-        plane = slab_ref[k]  # (Yi, Xi_pad)
-        t1T = _wide_gather_pair(plane.T, i1, f1, Yi)  # (Xi_pad, Yo_pad)
-        t1 = t1T.T[:Yo]  # (Yo, Xi_pad); lanes >= Xi never gathered
-        w = _wide_gather_pair(t1, i2, f2, Xi)  # (Yo, Xo_pad)
-        wk = jnp.maximum(0.0, 1.0 - jnp.abs(z_rel - k))
-        acc = acc + w * wk
+        wk = jnp.maximum(0.0, 1.0 - jnp.abs(zeta_rel - k))
+        u_t = u_t + slab_ref[k] * wk
+
+    # Y pass on the transposed plane (y in lanes), then one transpose
+    t1T = _wide_gather_pair(u_t, i1, f1, Yi)  # (Xi_pad8, Yo_pad)
+    t1 = t1T.T[:Yo]  # (Yo, Xi_pad8); lanes >= Xi never gathered
+    acc = _wide_gather_pair(t1, i2, f2, Xi)  # (Yo, Xo_pad)
 
     if zero_pad:
+        z_abs = k_z + bz * yo_row + gz * xo_lane
         yin = ky + by * yo_row + gy * xo_lane
         xin = kx + bx * yo_row + gx * xo_lane
         inside = (
@@ -314,14 +345,15 @@ def affine_warp_3d_pallas(
     kz = min(max(kz, 2), Zi)
     swap, zb, coef = _pass_coefficients(matrices, in_shape, tuple(out_shape), offset, kz)
 
-    # the slab DMA slice must be tile-aligned in HBM: pad X to the lane
-    # width and Y to the sublane width once at the XLA level (cheap copy)
-    Yi_pad = _ceil_to(Yi, 8)
-    Xi_pad = _ceil_to(Xi, _LANE)
-    vol_p = vol.astype(jnp.float32)
-    if (Yi_pad, Xi_pad) != (Yi, Xi):
-        vol_p = jnp.pad(
-            vol_p, [(0, 0), (0, 0), (0, 0), (0, Yi_pad - Yi), (0, Xi_pad - Xi)]
+    # store the volume with (y, x) transposed so the Y pass gathers along
+    # lanes straight out of the slab (saves kz in-kernel transposes per
+    # program), padded so the slab DMA slice is tile-aligned in HBM
+    Xi_pad8 = _ceil_to(Xi, 8)
+    Yi_padL = _ceil_to(Yi, _LANE)
+    vol_t = jnp.swapaxes(vol.astype(jnp.float32), -1, -2)
+    if (Xi_pad8, Yi_padL) != (Xi, Yi):
+        vol_t = jnp.pad(
+            vol_t, [(0, 0), (0, 0), (0, 0), (0, Xi_pad8 - Xi), (0, Yi_padL - Yi)]
         )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -332,7 +364,7 @@ def affine_warp_3d_pallas(
             (1, 1, 1, Yo, Xo), lambda b, zo, c, zb_, cf_: (b, c, zo, 0, 0)
         ),
         scratch_shapes=[
-            pltpu.VMEM((kz, Yi_pad, Xi_pad), jnp.float32),
+            pltpu.VMEM((kz, Xi_pad8, Yi_padL), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
     )
@@ -352,7 +384,7 @@ def affine_warp_3d_pallas(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(zb, coef, vol_p)
+    )(zb, coef, vol_t)
     # undo the per-sample quadrant swap: true out[zo, yo, xo] = out_eff[zo, xo, yo]
     out = jnp.where(swap[:, None, None, None, None], jnp.swapaxes(out, -1, -2), out)
     return out.astype(vol.dtype)
@@ -417,5 +449,12 @@ def estimate_kz(
     inv = np.linalg.inv(fwd)
     Zo, Yo, Xo = out_shape
     spread = np.abs(inv[:, 0, 1]) * (Yo - 1) + np.abs(inv[:, 0, 2]) * (Xo - 1)
-    kz = int(math.ceil(float(spread.max()))) + 2
+    # margin: the z pass evaluates zeta at the in-plane interpolation
+    # neighbors (one grid step), see _pass_coefficients
+    det = inv[:, 1, 1] * inv[:, 2, 2] - inv[:, 1, 2] * inv[:, 2, 1]
+    det = np.where(np.abs(det) < 1e-9, 1e-9, det)
+    wy = (inv[:, 0, 1] * inv[:, 2, 2] - inv[:, 0, 2] * inv[:, 2, 1]) / det
+    wx = (-inv[:, 0, 1] * inv[:, 1, 2] + inv[:, 0, 2] * inv[:, 1, 1]) / det
+    margin = np.abs(wy) + np.abs(wx)
+    kz = int(math.ceil(float((spread + 2 * margin).max()))) + 2
     return int(min(max(kz, 2), in_shape[0]))

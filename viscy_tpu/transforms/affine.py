@@ -206,7 +206,7 @@ class BatchedRandAffined(RandTransform):
         if offset is not None and offset[1] != offset[2]:
             return None
         if self.backend == "auto":
-            if not self._pallas_interpret and jax.default_backend() != "tpu":
+            if not self._pallas_interpret and jax.devices()[0].platform != "tpu":
                 return None
         cache_key = (tuple(spatial), tuple(out_shape))
         if cache_key not in self._kz_cache:
