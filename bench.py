@@ -283,6 +283,13 @@ def main() -> None:
             e2e = bench_e2e(graft, mesh, n_dev, batch_per_chip, n_steps)
             out["e2e_patches_per_sec_per_chip"] = round(e2e, 3)
             out["e2e_fraction_of_device_rate"] = round(e2e / prod, 3)
+            if jax.default_backend() == "axon":
+                # each step ships ~1.4 GB of host batches through the remote
+                # axon HTTP tunnel; on a real TPU host this is local PCIe/DMA
+                out["e2e_note"] = (
+                    "remote-tunnel H2D dominates under axon; "
+                    "not representative of a local TPU host"
+                )
         except Exception as e:  # report but never fail the primary metric
             out["e2e_error"] = f"{type(e).__name__}: {e}"
     print(json.dumps(out))

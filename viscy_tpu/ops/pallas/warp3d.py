@@ -217,11 +217,12 @@ def _warp_kernel(
     zb_ref,  # (B, Zo) int32 SMEM (scalar prefetch)
     coef_ref,  # (B, Zo, 15) f32 SMEM (scalar prefetch)
     vol_ref,  # (B, C, Z, X, Y_pad) f32 HBM, in-plane TRANSPOSED (manual DMA)
-    out_ref,  # block (1, 1, 1, Yo, Xo) VMEM
-    slab_ref,  # scratch (KZ, X_pad8, Y_pad) VMEM (transposed planes)
-    sem,  # DMA semaphore
+    out_ref,  # block (1, C, 1, Yo, Xo) VMEM
+    slab_ref,  # scratch (2, C, KZ, X_pad8, Y_pad) VMEM (double-buffered)
+    sems,  # (2,) DMA semaphores
     *,
     kz: int,
+    channels: int,
     in_shape: tuple[int, int, int],
     out_shape: tuple[int, int, int],
     zero_pad: bool,
@@ -236,12 +237,29 @@ def _warp_kernel(
     Xi_pad8 = _ceil_to(Xi, 8)
     b = pl.program_id(0)
     zo = pl.program_id(1)
-    c = pl.program_id(2)
+    n_steps = pl.num_programs(0) * pl.num_programs(1)
+    step = b * pl.num_programs(1) + zo
+    slot = jax.lax.rem(step, 2)
+
+    def dma(step_idx, slot_idx):
+        b2 = jax.lax.div(step_idx, Zo)
+        z2 = jax.lax.rem(step_idx, Zo)
+        zb2 = zb_ref[b2, z2]
+        return pltpu.make_async_copy(
+            vol_ref.at[b2, :, pl.ds(zb2, kz)], slab_ref.at[slot_idx], sems.at[slot_idx]
+        )
+
+    # double-buffered slab pipeline: program i waits on the copy issued by
+    # program i-1 (or by itself on the first step) and prefetches i+1
+    @pl.when(step == 0)
+    def _():
+        dma(0, 0).start()
+
+    @pl.when(step + 1 < n_steps)
+    def _():
+        dma(step + 1, jax.lax.rem(step + 1, 2)).start()
 
     zb = zb_ref[b, zo]
-    cp = pltpu.make_async_copy(vol_ref.at[b, c, pl.ds(zb, kz)], slab_ref, sem)
-    cp.start()
-
     zeta0 = coef_ref[b, zo, 0]
     wy = coef_ref[b, zo, 1]
     wx = coef_ref[b, zo, 2]
@@ -283,17 +301,7 @@ def _warp_kernel(
     )
     zeta_rel = jnp.clip(zeta, 0.0, float(Zi - 1)) - zb_f
 
-    cp.wait()
-
-    u_t = jnp.zeros((Xi_pad8, _ceil_to(Yi, _LANE)), jnp.float32)
-    for k in range(kz):
-        wk = jnp.maximum(0.0, 1.0 - jnp.abs(zeta_rel - k))
-        u_t = u_t + slab_ref[k] * wk
-
-    # Y pass on the transposed plane (y in lanes), then one transpose
-    t1T = _wide_gather_pair(u_t, i1, f1, Yi)  # (Xi_pad8, Yo_pad)
-    t1 = t1T.T[:Yo]  # (Yo, Xi_pad8); lanes >= Xi never gathered
-    acc = _wide_gather_pair(t1, i2, f2, Xi)  # (Yo, Xo_pad)
+    dma(step, slot).wait()
 
     if zero_pad:
         z_abs = k_z + bz * yo_row + gz * xo_lane
@@ -307,9 +315,20 @@ def _warp_kernel(
             & (xin >= 0.0)
             & (xin <= Xi - 1)
         )
-        acc = jnp.where(inside, acc, 0.0)
 
-    out_ref[0, 0, 0] = acc[:, :Xo]
+    hats = [jnp.maximum(0.0, 1.0 - jnp.abs(zeta_rel - k)) for k in range(kz)]
+    for c in range(channels):
+        u_t = jnp.zeros((Xi_pad8, _ceil_to(Yi, _LANE)), jnp.float32)
+        for k in range(kz):
+            u_t = u_t + slab_ref[slot, c, k] * hats[k]
+
+        # Y pass on the transposed plane (y in lanes), then one transpose
+        t1T = _wide_gather_pair(u_t, i1, f1, Yi)  # (Xi_pad8, Yo_pad)
+        t1 = t1T.T[:Yo]  # (Yo, Xi_pad8); lanes >= Xi never gathered
+        acc = _wide_gather_pair(t1, i2, f2, Xi)  # (Yo, Xo_pad)
+        if zero_pad:
+            acc = jnp.where(inside, acc, 0.0)
+        out_ref[0, c, 0] = acc[:, :Xo]
 
 
 def affine_warp_3d_pallas(
@@ -358,19 +377,20 @@ def affine_warp_3d_pallas(
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(B, Zo, C),
+        grid=(B, Zo),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
-            (1, 1, 1, Yo, Xo), lambda b, zo, c, zb_, cf_: (b, c, zo, 0, 0)
+            (1, C, 1, Yo, Xo), lambda b, zo, zb_, cf_: (b, 0, zo, 0, 0)
         ),
         scratch_shapes=[
-            pltpu.VMEM((kz, Xi_pad8, Yi_padL), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, C, kz, Xi_pad8, Yi_padL), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     kernel = functools.partial(
         _warp_kernel,
         kz=kz,
+        channels=C,
         in_shape=in_shape,
         out_shape=tuple(out_shape),
         zero_pad=(padding_mode == "zeros"),
@@ -380,7 +400,9 @@ def affine_warp_3d_pallas(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, C, Zo, Yo, Xo), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel"),
+            # sequential order is load-bearing: each program waits on the
+            # slab DMA issued by its predecessor
+            dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
