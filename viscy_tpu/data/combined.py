@@ -10,6 +10,7 @@
 
 from __future__ import annotations
 
+import enum
 from typing import Literal, Sequence
 
 import numpy as np
@@ -17,6 +18,15 @@ import numpy as np
 from viscy_tpu.data.hcs import DataModule
 from viscy_tpu.data.loader import DataLoader
 from viscy_tpu.data.utils import collate_samples
+
+
+class CombineMode(enum.Enum):
+    """Mode for combining multiple data modules (reference ``combined.py:22``)."""
+
+    MIN_SIZE = "min_size"
+    MAX_SIZE_CYCLE = "max_size_cycle"
+    MAX_SIZE = "max_size"
+    SEQUENTIAL = "sequential"
 
 
 class _ConcatDataset:
@@ -44,6 +54,34 @@ class _ConcatDataset:
         if hasattr(ds, "get_item_with_epoch"):
             return ds.get_item_with_epoch(local, epoch)
         return ds[local]
+
+
+class BatchedConcatDataset(_ConcatDataset):
+    """Concatenated dataset with batched access grouped by constituent
+    (reference ``combined.py:130``): ``__getitems__`` maps global indices
+    to per-dataset micro-batches, delegating to a child ``__getitems__``
+    when it exists (amortized zarr/tensorstore reads), else collating
+    per-index samples."""
+
+    def __getitem__(self, idx):
+        raise NotImplementedError("use __getitems__ for batched access")
+
+    def __getitems__(self, indices: Sequence[int]) -> list[dict]:
+        by_dataset: dict[int, list[int]] = {}
+        for idx in indices:
+            if idx < 0:
+                idx += len(self)
+            d, local = self._locate(idx)
+            by_dataset.setdefault(d, []).append(local)
+        out = []
+        for d, locals_ in by_dataset.items():
+            ds = self.datasets[d]
+            if hasattr(ds, "__getitems__"):
+                batch = ds.__getitems__(locals_)
+                out.extend(batch if isinstance(batch, list) else [batch])
+            else:
+                out.append(collate_samples([ds[i] for i in locals_]))
+        return out
 
 
 class CombinedDataModule(DataModule):

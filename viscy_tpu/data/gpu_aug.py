@@ -197,3 +197,9 @@ class CachedOmeZarrDataModule(DeviceTransformDataModule):
             shuffle=False,
             num_workers=self.num_workers,
         )
+
+
+# Reference-compat alias: the reference names the device-transform base
+# class ``GPUTransformDataModule`` (gpu_aug.py:34); on TPU the transforms
+# run on-device inside the jitted step, hence the native name.
+GPUTransformDataModule = DeviceTransformDataModule

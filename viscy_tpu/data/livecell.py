@@ -56,6 +56,66 @@ class LiveCellDataset:
         }
 
 
+def _rasterize_polygons(polys: list, shape: tuple[int, int]) -> np.ndarray:
+    """Instance label image from COCO polygon segmentations (native fill)."""
+    labels = np.zeros(shape, np.int32)
+    h, w = shape
+    yy, xx = np.mgrid[0:h, 0:w]
+    pts = np.stack([xx.ravel() + 0.5, yy.ravel() + 0.5], axis=1)
+    from matplotlib.path import Path as MplPath
+
+    for i, segs in enumerate(polys, start=1):
+        for seg in segs:
+            poly = np.asarray(seg, np.float64).reshape(-1, 2)
+            if len(poly) < 3:
+                continue
+            # bounding-box crop keeps contains_points cheap
+            x0, y0 = np.floor(poly.min(0)).astype(int).clip(0)
+            x1 = int(min(np.ceil(poly[:, 0].max()) + 1, w))
+            y1 = int(min(np.ceil(poly[:, 1].max()) + 1, h))
+            if x1 <= x0 or y1 <= y0:
+                continue
+            sub = pts.reshape(h, w, 2)[y0:y1, x0:x1].reshape(-1, 2)
+            inside = MplPath(poly).contains_points(sub).reshape(y1 - y0, x1 - x0)
+            labels[y0:y1, x0:x1][inside] = i
+    return labels
+
+
+class LiveCellTestDataset(LiveCellDataset):
+    """Test-stage LiveCell dataset (reference ``livecell.py:89``): returns
+    the image plus, optionally, duplicated target channel and instance
+    label masks rasterized natively from the COCO polygon annotations."""
+
+    def __init__(
+        self,
+        image_dir: str | Path,
+        annotations: str | Path,
+        transform=None,
+        load_target: bool = False,
+        load_labels: bool = False,
+    ) -> None:
+        super().__init__(image_dir, annotations)
+        self.transform = transform
+        self.load_target = load_target
+        self.load_labels = load_labels
+
+    def __getitem__(self, idx: int) -> dict:
+        sample = super().__getitem__(idx)
+        if self.load_target:
+            sample["target"] = sample["source"].copy()
+        if self.load_labels:
+            image_id = sample["image_id"]
+            info = self.images[image_id]
+            anns = self.annotations_by_image.get(image_id, [])
+            polys = [a.get("segmentation", []) for a in anns]
+            sample["labels"] = _rasterize_polygons(
+                polys, (info["height"], info["width"])
+            )[None, None]
+        if self.transform is not None:
+            sample = self.transform(sample)
+        return sample
+
+
 class LiveCellDataModule(DataModule):
     """Train/val/test over LiveCell splits."""
 

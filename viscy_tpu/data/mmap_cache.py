@@ -104,6 +104,47 @@ def _views(mm: np.memmap, offsets, fov_shapes) -> list[np.ndarray]:
     ]
 
 
+class MmappedDataset:
+    """Dataset over staged memory-mapped volumes (reference
+    ``mmap_cache.py:38``): one sample per (FOV, timepoint), whole-volume
+    (C, Z, Y, X) reads from the mmap views with optional per-sample
+    transform and norm-meta lookup — the FCMAE pretraining access pattern.
+    """
+
+    def __init__(
+        self,
+        views: list[np.ndarray],
+        positions: list | None = None,
+        transform=None,
+        load_normalization_metadata: bool = True,
+        channel_names: list[str] | None = None,
+    ) -> None:
+        self.views = views
+        self.positions = positions or [None] * len(views)
+        self.transform = transform
+        self.load_normalization_metadata = load_normalization_metadata
+        self.channel_names = channel_names
+        # index: (fov_idx, t)
+        self._index = [
+            (f, t) for f, v in enumerate(views) for t in range(v.shape[0])
+        ]
+
+    def __len__(self) -> int:
+        return len(self._index)
+
+    def __getitem__(self, idx: int) -> dict:
+        f, t = self._index[idx]
+        sample = {"source": np.asarray(self.views[f][t], np.float32)}
+        pos = self.positions[f]
+        if self.load_normalization_metadata and pos is not None:
+            from viscy_tpu.data.utils import read_norm_meta
+
+            sample["norm_meta"] = read_norm_meta(pos)
+        if self.transform is not None:
+            sample = self.transform(sample)
+        return sample
+
+
 class MmappedDataModule(HCSDataModule):
     """HCSDataModule variant serving samples from a staged memmap."""
 

@@ -13,6 +13,10 @@ from viscy_tpu.models.unet.unet25d import Unet25d
 from viscy_tpu.models.unet.unet3d import Unet3d
 from viscy_tpu.models.contrastive.encoder import ContrastiveEncoder
 from viscy_tpu.models.contrastive.loss import NTXentHCL, NTXentLoss, ntxent_loss
+from viscy_tpu.models.contrastive.resnet3d import ResNet3dEncoder
+from viscy_tpu.models.foundation.wrappers import DINOv3Model, OpenPhenomModel
+from viscy_tpu.models.vae.beta_vae_25d import BetaVae25D
+from viscy_tpu.models.vae.beta_vae_conv import BetaVaeMonai
 from viscy_tpu.models.components.heads import (
     BaseHead,
     ClassificationHead,
@@ -34,6 +38,11 @@ __all__ = [
     "Unet25d",
     "Unet3d",
     "ContrastiveEncoder",
+    "ResNet3dEncoder",
+    "DINOv3Model",
+    "OpenPhenomModel",
+    "BetaVae25D",
+    "BetaVaeMonai",
     "NTXentLoss",
     "NTXentHCL",
     "ntxent_loss",

@@ -173,3 +173,13 @@ def generate_fg_masks(
                 data = img[t, ch_idx].astype(np.float32)
                 smoothed = median_filter(data, size=(1, 3, 3))
                 mask[t, ch_idx] = (smoothed >= thr).astype(np.uint8)
+
+
+def mp_wrapper(fn, fn_args, workers: int):
+    """Map ``fn`` over argument tuples with a process pool
+    (reference ``mp_utils.py:39``)."""
+    from concurrent.futures import ProcessPoolExecutor
+
+    with ProcessPoolExecutor(workers) as ex:
+        res = ex.map(fn, *zip(*fn_args))
+    return list(res)
