@@ -12,22 +12,20 @@ from pathlib import Path
 
 import pytest
 
-REFERENCE = Path("/root/reference/packages")
+REFERENCE = Path("/root/reference")
 
 PACKAGES = {
-    "viscy-data": "viscy_tpu.data",
-    "viscy-transforms": "viscy_tpu.transforms",
-    "viscy-models": "viscy_tpu.models",
-    "viscy-utils": "viscy_tpu.training",
+    "packages/viscy-data": "viscy_tpu.data",
+    "packages/viscy-transforms": "viscy_tpu.transforms",
+    "packages/viscy-models": "viscy_tpu.models",
+    "packages/viscy-utils": "viscy_tpu.training",
+    "applications/cytoland": "viscy_tpu.apps.cytoland",
+    "applications/dynacell": "viscy_tpu.apps.dynacell",
+    "applications/airtable": "viscy_tpu.apps.airtable_utils",
 }
 
 # intentionally absent: import-time side effects / torch-only plumbing
-EXEMPT = {
-    "viscy-data": set(),
-    "viscy-transforms": set(),
-    "viscy-models": set(),
-    "viscy-utils": set(),
-}
+EXEMPT: dict[str, set] = {}
 
 
 def _ref_exports(pkg: str) -> list[str]:
@@ -40,6 +38,14 @@ def _ref_exports(pkg: str) -> list[str]:
                 continue
             for a in node.names:
                 names.add(a.asname or a.name)
+        # lazy-export packages declare their surface via a literal __all__
+        if isinstance(node, ast.Assign) and any(
+            isinstance(t, ast.Name) and t.id == "__all__" for t in node.targets
+        ):
+            if isinstance(node.value, (ast.List, ast.Tuple)):
+                for elt in node.value.elts:
+                    if isinstance(elt, ast.Constant) and isinstance(elt.value, str):
+                        names.add(elt.value)
     return sorted(
         n for n in names if not n.startswith("_") and n not in ("version",)
     )
@@ -52,6 +58,6 @@ def test_reference_exports_resolve(pkg):
     missing = [
         n
         for n in _ref_exports(pkg)
-        if n not in EXEMPT[pkg] and not hasattr(mod, n)
+        if n not in EXEMPT.get(pkg, set()) and not hasattr(mod, n)
     ]
     assert not missing, f"{pkg} exports missing from {PACKAGES[pkg]}: {missing}"

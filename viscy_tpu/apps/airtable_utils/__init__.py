@@ -7,6 +7,7 @@ Airtable bases (gated — this build environment has no egress), and the
 into a training ``collection.yml``.
 """
 
+from viscy_tpu.data.channel_utils import parse_channel_name
 from viscy_tpu.apps.airtable_utils.database import (
     AirtableClient,
     AirtableDatasets,
@@ -25,6 +26,7 @@ from viscy_tpu.apps.airtable_utils.schemas import (
 )
 
 __all__ = [
+    "parse_channel_name",
     "ExperimentRegistry",
     "AirtableClient",
     "AirtableDatasets",
