@@ -246,6 +246,11 @@ def bench_e2e(graft, mesh, n_dev: int, batch_per_chip: int, n_steps: int):
     float(jax.device_get(loss))
 
     target_patches = b * n_steps
+    if jax.default_backend() == "axon":
+        # each step ships the full host batch through the remote tunnel
+        # (~1.4 GB); two batches suffice to report the (annotated,
+        # non-representative) number without stalling the driver
+        target_patches = min(target_patches, 2 * b)
     seen, dt = run(target_patches)
     return seen / dt / n_dev
 
