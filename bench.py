@@ -255,6 +255,45 @@ def bench_e2e(graft, mesh, n_dev: int, batch_per_chip: int, n_steps: int):
     return seen / dt / n_dev
 
 
+def bench_inference(graft, n_steps: int = 6):
+    """3D inference throughput (BASELINE north star: FOVs/sec).
+
+    Measures the jitted bf16 forward at a (15, 1024, 1024) window — the
+    largest single-pass tile that fits v5e HBM — and converts to
+    2048x2048 FOV rate with the production sliding-window accounting:
+    6 z-window positions (Z=20, window 15, step 1) x 4 YX tiles = 24
+    forwards per FOV.
+    """
+    import jax
+    import numpy as np
+
+    module = graft._flagship(tiny=_TINY)
+    shape = (1, 1, 5, 64, 64) if _TINY else (1, 1, 15, 1024, 1024)
+    x = np.random.default_rng(0).random(shape, np.float32)
+    variables = module.init_variables(jax.random.PRNGKey(0), {"source": x})
+
+    # chain the forwards on device: per-call dispatch through the remote
+    # tunnel costs seconds and would swamp the window time; perturbing the
+    # input per iteration keeps XLA from hoisting the forward out
+    @jax.jit
+    def fwd_chain(variables, x):
+        def body(i, acc):
+            out = module.forward(variables, x * (1.0 + 1e-6 * i))
+            return acc + out[..., ::257, ::257].sum()
+
+        return jax.lax.fori_loop(0, n_steps, body, 0.0)
+
+    for _ in range(2):
+        out = fwd_chain(variables, x)
+    float(jax.device_get(out))
+    t0 = time.perf_counter()
+    out = fwd_chain(variables, x)
+    float(jax.device_get(out))
+    dt = (time.perf_counter() - t0) / n_steps
+    windows_per_fov = 6 * 4  # z positions x YX tiles for (20, 2048, 2048)
+    return 1.0 / (dt * windows_per_fov), dt
+
+
 def main() -> None:
     import importlib.util
 
@@ -283,6 +322,14 @@ def main() -> None:
         "unit": "patches/s/chip",
         "vs_baseline": round(prod / H100_EST_PATCHES_PER_SEC, 4),
     }
+    if os.environ.get("BENCH_SKIP_INFER") != "1":
+        try:
+            fovs_per_sec, win_dt = bench_inference(graft)
+            out["inference_fovs_per_sec"] = round(fovs_per_sec, 4)
+            out["inference_window_ms"] = round(win_dt * 1e3, 2)
+        except Exception as e:
+            out["inference_error"] = f"{type(e).__name__}: {e}"
+
     if os.environ.get("BENCH_SKIP_E2E") != "1":
         try:
             e2e = bench_e2e(graft, mesh, n_dev, batch_per_chip, n_steps)
