@@ -4,7 +4,6 @@ image metrics, clustering, MMD, smoothness, linear probing."""
 from viscy_tpu.evaluation.metrics import (
     labels_to_masks,
     mean_average_precision,
-    mean_average_precision_stub,
     pearson_correlation,
     voi_score,
 )
@@ -40,7 +39,6 @@ __all__ = [
     "voi_score",
     "labels_to_masks",
     "mean_average_precision",
-    "mean_average_precision_stub",
     "knn_accuracy",
     "pairwise_distance_matrix",
     "dbscan_clustering",

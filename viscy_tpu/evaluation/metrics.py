@@ -19,7 +19,6 @@ __all__ = [
     "pod_metric",
     "labels_to_masks",
     "mean_average_precision",
-    "mean_average_precision_stub",
 ]
 
 
