@@ -10,7 +10,6 @@ crop, and configurable padding mode.
 
 from __future__ import annotations
 
-import math
 from typing import Iterable, Sequence
 
 import jax
