@@ -141,3 +141,98 @@ def test_qc_reference_config_shape(tmp_path):
     metrics = q.build_metrics()
     assert len(metrics) == 1
     assert metrics[0].channel_names == ["Phase3D"]
+
+
+def test_qc_annotation_roundtrip(tmp_path):
+    """Reference-style YAML with an ``annotation:`` section round-trips
+    through ``qc run`` (reference ``qc/annotation.py:9-66``,
+    ``qc/configs/biological_n_experiment_meta.yml``)."""
+    from click.testing import CliRunner
+
+    from viscy_tpu.apps.qc.cli import main as qc_main
+
+    path = build_hcs_plate(
+        tmp_path / "annot.zarr",
+        ["Phase3D", "raw GFP EX488 EM525-45"],
+        zyx_shape=(2, 16, 16),
+        rows=("A", "C"),
+        cols=("1", "2"),
+        fovs=("0",),
+        seed=0,
+    )
+    cfg = {
+        "data_path": str(path),
+        "num_workers": 1,
+        "annotation": {
+            "channels_metadata": {
+                "Phase3D": {"channel_type": "labelfree", "biological_annotation": None},
+                "raw GFP EX488 EM525-45": {
+                    "channel_type": "fluorescence",
+                    "biological_annotation": {
+                        "organelle": "endoplasmic_reticulum",
+                        "marker": "SEC61B",
+                        "marker_type": "protein_tag",
+                        "fluorophore": "eGFP",
+                    },
+                },
+            },
+            "experiment_metadata": {
+                "C/2": {
+                    "perturbations": [
+                        {"name": "ZIKV", "type": "virus", "hours_post": 3.0}
+                    ],
+                    "time_sampling_minutes": 30.0,
+                }
+            },
+        },
+    }
+    cfg_path = tmp_path / "qc.yml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    result = CliRunner().invoke(qc_main, ["run", "-c", str(cfg_path)])
+    assert result.exit_code == 0, result.output
+
+    plate = open_ome_zarr(path)
+    cm = plate.zattrs["channels_metadata"]
+    assert cm["Phase3D"]["channel_type"] == "labelfree"
+    assert (
+        cm["raw GFP EX488 EM525-45"]["biological_annotation"]["marker"] == "SEC61B"
+    )
+    for name, pos in plate.positions():
+        assert pos.zattrs["channels_metadata"] == cm
+        if name.startswith("C/2"):
+            em = pos.zattrs["experiment_metadata"]
+            assert em["perturbations"][0]["name"] == "ZIKV"
+            assert em["time_sampling_minutes"] == 30.0
+        else:
+            assert "experiment_metadata" not in pos.zattrs
+
+
+def test_qc_annotation_validation(tmp_path):
+    """Unknown channels / wells raise ValueError (reference
+    ``qc/annotation.py:31-50``)."""
+    from viscy_tpu.apps.qc.annotation import write_annotation_metadata
+    from viscy_tpu.apps.qc.config import AnnotationConfig
+
+    path = build_hcs_plate(
+        tmp_path / "annot.zarr",
+        ["Phase3D"],
+        zyx_shape=(2, 16, 16),
+        rows=("A",),
+        cols=("1",),
+        fovs=("0",),
+        seed=0,
+    )
+    bad_channel = AnnotationConfig(
+        channels_metadata={"Nope": {"channel_type": "labelfree"}},
+        experiment_metadata={},
+    )
+    with pytest.raises(ValueError, match="Channel 'Nope'"):
+        write_annotation_metadata(path, bad_channel)
+    bad_well = AnnotationConfig(
+        channels_metadata={},
+        experiment_metadata={
+            "Z/9": {"perturbations": [], "time_sampling_minutes": 1.0}
+        },
+    )
+    with pytest.raises(ValueError, match="Well path 'Z/9'"):
+        write_annotation_metadata(path, bad_well)

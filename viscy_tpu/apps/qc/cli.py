@@ -21,7 +21,13 @@ def run(config: str) -> None:
     """Run configured QC metrics and annotate the dataset."""
     with open(config) as f:
         cfg = QCConfig(**yaml.safe_load(f))
-    generate_qc_metadata(cfg.data_path, cfg.build_metrics(), num_workers=cfg.num_workers)
+    metrics = cfg.build_metrics()
+    if metrics:
+        generate_qc_metadata(cfg.data_path, metrics, num_workers=cfg.num_workers)
+    if cfg.annotation is not None:
+        from viscy_tpu.apps.qc.annotation import write_annotation_metadata
+
+        write_annotation_metadata(cfg.data_path, cfg.annotation)
 
 
 if __name__ == "__main__":

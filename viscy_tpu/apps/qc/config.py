@@ -7,6 +7,27 @@ from typing import Literal
 
 from pydantic import BaseModel, Field
 
+from viscy_tpu.apps.airtable_utils.schemas import (
+    ChannelAnnotationEntry,
+    WellExperimentMetadata,
+)
+
+
+class AnnotationConfig(BaseModel):
+    """Channel annotation and per-well experiment metadata
+    (reference ``qc/config.py:45-77``).
+
+    Parameters
+    ----------
+    channels_metadata : dict[str, ChannelAnnotationEntry]
+        Keyed by channel name (must match omero.channels labels).
+    experiment_metadata : dict[str, WellExperimentMetadata]
+        Keyed by well path (e.g. ``"A/1"``).
+    """
+
+    channels_metadata: dict[str, ChannelAnnotationEntry]
+    experiment_metadata: dict[str, WellExperimentMetadata]
+
 
 class FocusMetricConfig(BaseModel):
     kind: Literal["focus_slice"] = "focus_slice"
@@ -28,12 +49,15 @@ class QCConfig(BaseModel):
     num_workers: int = Field(default=4, ge=1)
     metrics: list[FocusMetricConfig] = []
     focus_slice: FocusMetricConfig | None = None
+    annotation: AnnotationConfig | None = None
 
     def model_post_init(self, _ctx) -> None:
         if self.focus_slice is not None:
             self.metrics = list(self.metrics) + [self.focus_slice]
-        if not self.metrics:
-            raise ValueError("QCConfig needs at least one metric section")
+        if not self.metrics and self.annotation is None:
+            raise ValueError(
+                "QCConfig needs at least one metric or annotation section"
+            )
 
     def build_metrics(self) -> list:
         from viscy_tpu.apps.qc.focus import FocusSliceMetric
