@@ -169,9 +169,3 @@ def mean_average_precision(
         "num_pred": int(pred_masks.shape[0]),
         "num_target": int(tgt_masks.shape[0]),
     }
-
-
-def mean_average_precision_stub(*args, **kwargs):
-    """Kept for compatibility: COCO mAP is now implemented natively in
-    :func:`mean_average_precision` (numpy; no pycocotools dependency)."""
-    return mean_average_precision(*args, **kwargs)
