@@ -285,3 +285,157 @@ class TestReport:
         assert report["status"] == "artifacts_unavailable"
         assert set(report["missing_artifacts"]) == {"checkpoint", "data", "reference"}
         assert (tmp_path / "PARITY.json").exists()
+
+
+class TestStateDictInventoryAudit:
+    """Converter coverage pinned against statically derived reference key
+    inventories (VERDICT r2 item 4; reference
+    ``viscy-models/tests/test_state_dict_compat.py``). The inventories are
+    generated from the reference *source* structure, independent of the
+    flax models, so a key the converter cannot map fails here — before any
+    real-checkpoint run."""
+
+    def test_counts_match_reference_pins(self):
+        from viscy_tpu.training.state_dict_inventory import (
+            contrastive_state_dict_inventory,
+            fcmae_state_dict_inventory,
+            unext2_state_dict_inventory,
+        )
+
+        # the reference's own pins (test_state_dict_compat.py)
+        assert len(unext2_state_dict_inventory(backbone="convnextv2_atto")) == 213
+        assert len(fcmae_state_dict_inventory()) == 222
+        assert len(contrastive_state_dict_inventory()) == 194
+
+    def test_prefixes_and_sentinels(self):
+        from viscy_tpu.training.state_dict_inventory import (
+            contrastive_state_dict_inventory,
+            fcmae_state_dict_inventory,
+            unext2_state_dict_inventory,
+        )
+
+        u = unext2_state_dict_inventory(backbone="convnextv2_atto")
+        assert {k.split(".")[0] for k in u} == {"decoder", "encoder_stages", "head", "stem"}
+        for s in [
+            "stem.conv.weight",
+            "encoder_stages.stages_1.blocks.1.mlp.fc2.bias",
+            "decoder.decoder_stages.0.conv.blocks.0.conv_dw.weight",
+            "decoder.decoder_stages.2.conv.blocks.0.mlp.grn.bias",
+            "head.conv.1.weight",
+        ]:
+            assert s in u, s
+        f = fcmae_state_dict_inventory()
+        assert {k.split(".")[0] for k in f} == {"decoder", "encoder"}
+        for s in [
+            "encoder.stem.conv3d.weight",
+            "encoder.stem.norm.bias",
+            "encoder.stages.0.blocks.1.mlp.fc1.weight",
+            "encoder.stages.2.blocks.1.layernorm.weight",
+            "decoder.decoder_stages.0.conv.blocks.0.conv_dw.bias",
+            "decoder.decoder_stages.0.conv.blocks.0.mlp.fc1.bias",
+        ]:
+            assert s in f, s
+        # the reference FCMAE encoder dwconv has NO bias (timm
+        # create_conv2d_pad defaults bias=False)
+        assert "encoder.stages.0.blocks.0.dwconv.bias" not in f
+        c = contrastive_state_dict_inventory()
+        assert {k.split(".")[0] for k in c} == {"encoder", "projection", "stem"}
+        for s in [
+            "stem.conv.weight",
+            "encoder.head.norm.bias",
+            "encoder.stages.0.blocks.0.conv_dw.bias",
+            "encoder.stages.2.blocks.4.gamma",
+            "projection.4.running_var",
+        ]:
+            assert s in c, s
+
+    @pytest.mark.parametrize(
+        "name",
+        ["vscyto3d", "vscyto2d", "fcmae_3d", "dynaclr_contrastive"],
+    )
+    def test_converter_covers_every_released_key(self, name):
+        """Every key a released checkpoint will contain must be consumed by
+        the converter rules (zero unmatched), exercised on shape-faithful
+        dummy arrays so the value transforms run too."""
+        from viscy_tpu.training.convert import (
+            _CONTRASTIVE_RULES,
+            _FCMAE_RULES,
+            _UNEXT2_RULES,
+            convert_state_dict,
+        )
+        from viscy_tpu.training.state_dict_inventory import released_inventory
+
+        rules = {
+            "vscyto3d": _UNEXT2_RULES,
+            "vscyto2d": _FCMAE_RULES,
+            "fcmae_3d": _FCMAE_RULES,
+            "dynaclr_contrastive": _CONTRASTIVE_RULES,
+        }[name]
+        inventory = released_inventory(name)
+        sd = {k: np.zeros(shape, np.float32) for k, shape in inventory.items()}
+        params, unmatched = convert_state_dict(sd, rules, strip_prefix="")
+        # num_batches_tracked is a torch BN counter with no flax analog;
+        # everything else must map
+        unexpected = [k for k in unmatched if not k.endswith("num_batches_tracked")]
+        assert unexpected == [], f"{len(unexpected)} uncovered keys, e.g. {unexpected[:8]}"
+
+    def test_fcmae_converted_tree_matches_flax_params(self):
+        """Converted released-FCMAE tree must line up leaf-for-leaf (names
+        AND shapes) with the flax model's own param tree — so a real
+        checkpoint can only fail on numerics, never naming."""
+        import jax
+
+        from viscy_tpu.models.unet.fcmae import FullyConvolutionalMAE
+        from viscy_tpu.training.convert import convert_fcmae_state_dict
+        from viscy_tpu.training.state_dict_inventory import released_inventory
+
+        inventory = released_inventory("vscyto2d")
+        sd = {k: np.zeros(shape, np.float32) for k, shape in inventory.items()}
+        converted = convert_fcmae_state_dict(sd, strip_prefix="")
+
+        model = FullyConvolutionalMAE(
+            in_channels=1,
+            out_channels=2,
+            encoder_blocks=(3, 3, 9, 3),
+            dims=(96, 192, 384, 768),
+            decoder_conv_blocks=2,
+            stem_kernel_size=(1, 2, 2),
+            in_stack_depth=1,
+            pretraining=False,
+        )
+        variables = jax.eval_shape(
+            lambda: model.init(
+                jax.random.PRNGKey(0), np.zeros((1, 1, 1, 32, 32), np.float32)
+            )
+        )
+        flax_params = variables["params"]
+
+        def leaves(tree, prefix=""):
+            out = {}
+            for k, v in tree.items():
+                p = f"{prefix}/{k}" if prefix else k
+                if isinstance(v, dict):
+                    out.update(leaves(v, p))
+                else:
+                    out[p] = tuple(v.shape)
+            return out
+
+        conv_leaves = leaves(converted)
+        flax_leaves = leaves(flax_params)
+        missing = sorted(set(flax_leaves) - set(conv_leaves))
+        extra = sorted(set(conv_leaves) - set(flax_leaves))
+        assert missing == [], f"flax params not fed by converter: {missing[:8]}"
+        # the torch MaskedAdaptiveProjection always materializes BOTH stem
+        # convs but forwards through conv3d only when D > 1 (reference
+        # fcmae.py:371-379); at in_stack_depth=1 the conv3d branch is dead
+        # weight in the checkpoint and the flax model never instantiates it
+        allowed_dead = {"encoder/stem/conv3d/kernel", "encoder/stem/conv3d/bias"}
+        unexpected_extra = [k for k in extra if k not in allowed_dead]
+        assert unexpected_extra == [], f"converter produced unknown leaves: {unexpected_extra[:8]}"
+        conv_leaves = {k: v for k, v in conv_leaves.items() if k not in allowed_dead}
+        mismatched = {
+            k: (conv_leaves[k], flax_leaves[k])
+            for k in flax_leaves
+            if conv_leaves[k] != flax_leaves[k]
+        }
+        assert mismatched == {}, f"shape mismatches: {dict(list(mismatched.items())[:5])}"

@@ -83,11 +83,17 @@ class MaskedConvNeXtV2Block(nn.Module):
         m = None if mask2d is None else mask2d[..., None]
         if m is not None:
             x = x * m
+        # no bias: the reference's masked block builds its dwconv via timm
+        # create_conv2d without a bias kwarg, and create_conv2d_pad defaults
+        # bias=False (fcmae.py:173-180) — unlike timm's own ConvNeXt blocks
+        # which pass bias=conv_bias=True. Matching exactly keeps converted
+        # released checkpoints structurally 1:1.
         x = nn.Conv(
             self.dim,
             (self.kernel_size, self.kernel_size),
             feature_group_count=self.dim,
             padding=self.kernel_size // 2,
+            use_bias=False,
             dtype=self.dtype,
             name="dwconv",
         )(x)
