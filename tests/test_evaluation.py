@@ -393,5 +393,7 @@ def test_embedding_visualization_app(tmp_path):
     saved = pd.read_csv(csv_path)
     assert list(saved["cluster_name"].unique()) == ["early"]
     assert saved.shape[0] == 3
-    with pytest.raises(ImportError, match="dash"):
-        app.run()
+    # run() writes the self-contained HTML viewer (no dash needed)
+    html_path = app.run()
+    assert html_path.endswith(".html")
+    assert "application/json" in open(html_path).read()

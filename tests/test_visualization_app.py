@@ -194,3 +194,33 @@ class TestOutputs:
         assert "clusters:" in summary
         out = app.get_output_dir()
         assert out.exists()
+
+    def test_export_html_self_contained(self, app):
+        """run()/export_html writes a single-file interactive viewer with
+        embedded data, patch images, and the JS controls (VERDICT r2 item 7;
+        reference Dash app ``visualization.py:180-1040``)."""
+        import json
+        import re
+
+        app.add_cluster(app.filtered_features_df.head(2), name="demo")
+        path = app.run()
+        html = open(path).read()
+        # one self-contained file: payload JSON, base64 JPEG images, JS hooks
+        m = re.search(
+            r'<script id="payload" type="application/json">(.*?)</script>',
+            html,
+            re.DOTALL,
+        )
+        assert m, "payload script block missing"
+        payload = json.loads(m.group(1))
+        assert payload["points"] and payload["dims"]
+        assert any(
+            uri.startswith("data:image/jpeg;base64,")
+            for entry in payload["images"].values()
+            for uri in entry.values()
+        ), "no embedded patch images"
+        assert any(c["name"] == "demo" for c in payload["clusters"])
+        for hook in ("id=\"scatter\"", "Download clusters CSV", "shift-drag"):
+            assert hook in html, hook
+        # no external resources: fully offline
+        assert "http://" not in html and "https://" not in html

@@ -113,8 +113,10 @@ class EmbeddingVisualizationApp:
     (``:1086-1441``), lasso-equivalent polygon selection with trajectory
     image strips (``:1645-1800``), cluster galleries (``:1852-2044``), and
     cluster CSV export (``:2056``). Figures are matplotlib (returned, not
-    served); the interactive server requires ``dash``/``plotly`` (not in
-    this image) and :meth:`run` raises a clear error.
+    served); the interactive browsing workflow is covered by
+    :meth:`export_html` — a self-contained single-file viewer (scatter +
+    track strips + cluster building + CSV download, embedded patch images)
+    that :meth:`run` writes in place of serving a Dash app.
 
     One deliberate deviation: the image cache stores processed ``uint8``
     arrays rather than base64 JPEG strings — lossless, directly plottable,
@@ -667,8 +669,233 @@ class EmbeddingVisualizationApp:
         pd.DataFrame(rows).to_csv(output_path, index=False)
         return output_path
 
-    def run(self, debug: bool = False, port: int | None = None):
-        raise ImportError(
-            "The interactive embedding viewer needs dash+plotly, which are "
-            "not installed in this image; use .plot() / .save_clusters_to_csv()."
+    # -- self-contained interactive HTML export ------------------------------
+
+    def export_html(
+        self,
+        output_path: str | None = None,
+        max_images: int = 2000,
+        title: str = "Embedding viewer",
+    ) -> str:
+        """Write a **self-contained interactive HTML viewer** — the offline
+        equivalent of the reference Dash app (``visualization.py:180-1040``):
+        an embedding scatter with axis/color controls, hover/click metadata
+        with embedded patch images, per-track timeline image strips,
+        shift-drag box selection that builds clusters client-side, cluster
+        tabs with image galleries, and cluster CSV download. Everything
+        (data, JS, base64 JPEG patches) is inlined; no server or network
+        needed.
+
+        Parameters
+        ----------
+        output_path : str | None
+            Target ``.html`` path (default ``<output_dir>/embeddings.html``).
+        max_images : int
+            Cap on embedded patch images (cache order) to bound file size.
+        title : str
+            Page title.
+
+        Returns
+        -------
+        str
+            The written path.
+        """
+        import json
+        from pathlib import Path
+
+        df = self.filtered_features_df
+        dims = [
+            c
+            for c in df.columns
+            if c.startswith(("PC", "UMAP", "PHATE")) and df[c].dtype.kind == "f"
+        ]
+        if not dims:
+            raise ValueError("no embedding dimensions (PC*/UMAP*/PHATE*) to plot")
+        meta_cols = [c for c in ("fov_name", "track_id", "t") if c in df.columns]
+        points = []
+        for _, row in df.iterrows():
+            p = {c: row[c] for c in meta_cols}
+            for d in dims:
+                p[d] = round(float(row[d]), 5)
+            if "track_id" in p and p["track_id"] is not None:
+                p["track_id"] = int(p["track_id"])
+            if "t" in p and p["t"] is not None:
+                p["t"] = int(p["t"])
+            points.append(p)
+
+        images: dict[str, dict[str, str]] = {}
+        for key, channels in list(self.image_cache.items())[:max_images]:
+            fov, track_id, t = key
+            images[f"{fov}|{track_id}|{t}"] = {
+                ch: self._numpy_to_base64(arr) for ch, arr in channels.items()
+            }
+        clusters = [
+            {
+                "name": self.cluster_names.get(i, f"Cluster {i + 1}"),
+                "points": [
+                    {c: p.get(c) for c in ("fov_name", "track_id", "t")}
+                    for p in cluster
+                ],
+            }
+            for i, cluster in enumerate(self.clusters)
+        ]
+        payload = {
+            "title": title,
+            "dims": dims,
+            "defaultX": self.default_x if self.default_x in dims else dims[0],
+            "defaultY": self.default_y if self.default_y in dims else dims[-1],
+            "points": points,
+            "images": images,
+            "clusters": clusters,
+            "channels": list(self.channels_to_display),
+        }
+        html = _VIEWER_HTML.replace("__TITLE__", title).replace(
+            "__PAYLOAD__", json.dumps(payload)
         )
+        if output_path is None:
+            output_path = str(self.get_output_dir() / "embeddings.html")
+        Path(output_path).parent.mkdir(parents=True, exist_ok=True)
+        Path(output_path).write_text(html)
+        _logger.info(
+            f"wrote {output_path} ({len(points)} points, {len(images)} images)"
+        )
+        return output_path
+
+    def run(self, debug: bool = False, port: int | None = None) -> str:
+        """Offline equivalent of the reference Dash ``app.run()``: export the
+        self-contained interactive HTML viewer (see :meth:`export_html`) and
+        return its path — open it in any browser. A live server is
+        unnecessary for the browsing workflow; cluster CSVs download
+        client-side."""
+        path = self.export_html()
+        print(f"Interactive embedding viewer written to {path} — open in a browser.")
+        return path
+
+
+# Self-contained viewer template: scatter + track strips + cluster tabs in
+# vanilla JS/SVG (offline analog of the reference Dash layout+callbacks,
+# ``visualization.py:180-1040``). ``__PAYLOAD__`` is replaced with a JSON
+# blob; patch images are embedded base64 JPEG data URIs.
+_VIEWER_HTML = r"""<!DOCTYPE html>
+<html><head><meta charset="utf-8"><title>__TITLE__</title>
+<style>
+ body{font-family:system-ui,sans-serif;margin:0;display:flex;flex-direction:column;height:100vh}
+ header{padding:8px 14px;border-bottom:1px solid #ddd;display:flex;gap:14px;align-items:center;flex-wrap:wrap}
+ header h1{font-size:16px;margin:0 18px 0 0}
+ select,button{font-size:13px;padding:2px 6px}
+ #main{display:flex;flex:1;min-height:0}
+ #scatterbox{flex:1;position:relative}
+ #scatter{width:100%;height:100%}
+ #side{width:340px;border-left:1px solid #ddd;padding:10px;overflow-y:auto;font-size:13px}
+ #side img{width:96px;height:96px;image-rendering:pixelated;margin:2px;border:1px solid #ccc}
+ #strip{display:flex;overflow-x:auto;gap:4px;border-top:1px solid #ddd;padding:6px;min-height:0}
+ #strip .cell{text-align:center;font-size:10px}
+ #strip img{width:80px;height:80px;image-rendering:pixelated;border:1px solid #ccc}
+ #clusters{border-top:1px solid #ddd;padding:6px 10px;max-height:220px;overflow-y:auto}
+ .tab{display:inline-block;padding:3px 10px;margin-right:6px;border:1px solid #bbb;border-radius:4px 4px 0 0;cursor:pointer}
+ .tab.active{background:#eef;border-bottom:2px solid #55f}
+ .gallery img{width:64px;height:64px;image-rendering:pixelated;margin:2px;border:1px solid #ccc}
+ #tooltip{position:absolute;pointer-events:none;background:#222;color:#fff;padding:4px 7px;border-radius:4px;font-size:12px;display:none;z-index:5}
+ #selrect{position:absolute;border:1px dashed #55f;background:rgba(80,80,255,.08);display:none;pointer-events:none}
+ .hint{color:#777;font-size:12px}
+</style></head><body>
+<header>
+ <h1>__TITLE__</h1>
+ X <select id="xsel"></select> Y <select id="ysel"></select>
+ color <select id="csel"><option value="track_id">track</option><option value="t">time</option><option value="cluster">cluster</option></select>
+ channel <select id="chsel"></select>
+ <button id="dl">Download clusters CSV</button>
+ <span class="hint">click: select track &middot; shift-drag: new cluster</span>
+</header>
+<div id="main">
+ <div id="scatterbox"><svg id="scatter"></svg><div id="tooltip"></div><div id="selrect"></div></div>
+ <div id="side"><em>Click a point for details.</em></div>
+</div>
+<div id="strip"></div>
+<div id="clusters"><span class="hint">No clusters yet — shift-drag on the scatter to create one.</span></div>
+<script id="payload" type="application/json">__PAYLOAD__</script>
+<script>
+const D=JSON.parse(document.getElementById('payload').textContent);
+const svg=document.getElementById('scatter'),tip=document.getElementById('tooltip');
+const xsel=document.getElementById('xsel'),ysel=document.getElementById('ysel');
+const csel=document.getElementById('csel'),chsel=document.getElementById('chsel');
+const side=document.getElementById('side'),strip=document.getElementById('strip');
+const clbox=document.getElementById('clusters'),selrect=document.getElementById('selrect');
+let clusters=D.clusters.map(c=>({name:c.name,points:c.points}));
+let activeCluster=-1,selTrack=null,pos=[];
+for(const d of D.dims){xsel.add(new Option(d,d));ysel.add(new Option(d,d));}
+xsel.value=D.defaultX;ysel.value=D.defaultY;
+for(const ch of D.channels)chsel.add(new Option(ch,ch));
+const key=p=>`${p.fov_name}|${p.track_id}|${p.t}`;
+function imgFor(p,ch){const e=D.images[key(p)];if(!e)return null;return e[ch||chsel.value]||Object.values(e)[0]||null;}
+const PAL=['#4c78a8','#f58518','#54a24b','#e45756','#72b7b2','#eeca3b','#b279a2','#ff9da6','#9d755d','#bab0ac'];
+function colorOf(p,mode,tmin,tmax){
+ if(mode==='t'){const f=tmax>tmin?(p.t-tmin)/(tmax-tmin):0;return `hsl(${240-200*f},70%,45%)`;}
+ if(mode==='cluster'){const ci=clusterOf(p);return ci<0?'#bbb':PAL[ci%PAL.length];}
+ const h=((p.track_id||0)*2654435761)>>>0;return PAL[h%PAL.length];}
+function clusterOf(p){for(let i=0;i<clusters.length;i++){if(clusters[i].points.some(q=>q.fov_name===p.fov_name&&q.track_id===p.track_id&&q.t===p.t))return i;}return -1;}
+function render(){
+ const W=svg.clientWidth,H=svg.clientHeight,xd=xsel.value,yd=ysel.value,mode=csel.value;
+ const xs=D.points.map(p=>p[xd]),ys=D.points.map(p=>p[yd]);
+ const tmin=Math.min(...D.points.map(p=>p.t||0)),tmax=Math.max(...D.points.map(p=>p.t||0));
+ let x0=Math.min(...xs),x1=Math.max(...xs),y0=Math.min(...ys),y1=Math.max(...ys);
+ const span=Math.max(x1-x0,y1-y0)*1.1||1,cx=(x0+x1)/2,cy=(y0+y1)/2;
+ x0=cx-span/2;x1=cx+span/2;y0=cy-span/2;y1=cy+span/2;
+ const sx=v=>40+(v-x0)/(x1-x0)*(W-60),sy=v=>H-30-(v-y0)/(y1-y0)*(H-50);
+ pos=D.points.map(p=>({p,x:sx(p[xd]),y:sy(p[yd])}));
+ let out='';
+ const byTrack={};
+ for(const q of pos){const k=`${q.p.fov_name}|${q.p.track_id}`;(byTrack[k]=byTrack[k]||[]).push(q);}
+ for(const k in byTrack){const qs=byTrack[k].sort((a,b)=>a.p.t-b.p.t);
+  const sel=selTrack===k;
+  out+=`<polyline fill="none" stroke="${sel?'#f33':'#ccc'}" stroke-width="${sel?2:0.7}" points="${qs.map(q=>q.x+','+q.y).join(' ')}"/>`;}
+ pos.forEach((q,i)=>{const sel=selTrack===`${q.p.fov_name}|${q.p.track_id}`;
+  out+=`<circle data-i="${i}" cx="${q.x}" cy="${q.y}" r="${sel?5:3.5}" fill="${colorOf(q.p,mode,tmin,tmax)}" stroke="${sel?'#f33':'#fff'}" stroke-width="0.6"/>`;});
+ out+=`<text x="${W/2}" y="${H-8}" text-anchor="middle" font-size="12">${xd}</text>`;
+ out+=`<text x="14" y="${H/2}" transform="rotate(-90 14 ${H/2})" text-anchor="middle" font-size="12">${yd}</text>`;
+ svg.innerHTML=out;}
+svg.addEventListener('mousemove',e=>{const t=e.target;
+ if(t.tagName==='circle'){const p=pos[+t.dataset.i].p;
+  tip.style.display='block';tip.style.left=(e.offsetX+12)+'px';tip.style.top=(e.offsetY+12)+'px';
+  tip.textContent=`${p.fov_name} track ${p.track_id} t=${p.t}`;}
+ else tip.style.display='none';});
+svg.addEventListener('click',e=>{const t=e.target;if(t.tagName!=='circle')return;
+ const p=pos[+t.dataset.i].p;selTrack=`${p.fov_name}|${p.track_id}`;render();showPoint(p);showStrip(p);});
+function showPoint(p){
+ let h=`<b>${p.fov_name}</b> &middot; track ${p.track_id} &middot; t=${p.t}<br>`;
+ for(const d of D.dims)h+=`${d}=${p[d].toFixed(3)} `;
+ const e=D.images[key(p)];
+ if(e){h+='<br>';for(const ch in e)h+=`<figure style="display:inline-block;margin:2px"><img src="${e[ch]}"><figcaption style="font-size:10px;text-align:center">${ch}</figcaption></figure>`;}
+ side.innerHTML=h;}
+function showStrip(p){
+ const pts=D.points.filter(q=>q.fov_name===p.fov_name&&q.track_id===p.track_id).sort((a,b)=>a.t-b.t);
+ strip.innerHTML=pts.map(q=>{const u=imgFor(q);return `<div class="cell">${u?`<img src="${u}">`:'&middot;'}<div>t=${q.t}</div></div>`;}).join('')||'<span class="hint">no images for this track</span>';}
+let drag=null;
+svg.addEventListener('mousedown',e=>{if(!e.shiftKey)return;drag={x:e.offsetX,y:e.offsetY};selrect.style.display='block';});
+window.addEventListener('mousemove',e=>{if(!drag)return;const r=svg.getBoundingClientRect();
+ const x=e.clientX-r.left,y=e.clientY-r.top;
+ selrect.style.left=Math.min(drag.x,x)+'px';selrect.style.top=Math.min(drag.y,y)+'px';
+ selrect.style.width=Math.abs(x-drag.x)+'px';selrect.style.height=Math.abs(y-drag.y)+'px';});
+window.addEventListener('mouseup',e=>{if(!drag)return;const r=svg.getBoundingClientRect();
+ const x=e.clientX-r.left,y=e.clientY-r.top;
+ const x0=Math.min(drag.x,x),x1=Math.max(drag.x,x),y0=Math.min(drag.y,y),y1=Math.max(drag.y,y);
+ drag=null;selrect.style.display='none';
+ const sel=pos.filter(q=>q.x>=x0&&q.x<=x1&&q.y>=y0&&q.y<=y1).map(q=>({fov_name:q.p.fov_name,track_id:q.p.track_id,t:q.p.t}));
+ if(sel.length){clusters.push({name:`Cluster ${clusters.length+1}`,points:sel});activeCluster=clusters.length-1;renderClusters();render();}});
+function renderClusters(){
+ if(!clusters.length){clbox.innerHTML='<span class="hint">No clusters yet — shift-drag on the scatter to create one.</span>';return;}
+ let h=clusters.map((c,i)=>`<span class="tab${i===activeCluster?' active':''}" data-i="${i}">${c.name} (${c.points.length})</span>`).join('');
+ h+='<div class="gallery">';
+ if(activeCluster>=0)for(const p of clusters[activeCluster].points){const u=imgFor(p);if(u)h+=`<img title="${p.fov_name} ${p.track_id} t=${p.t}" src="${u}">`;}
+ h+='</div>';clbox.innerHTML=h;
+ clbox.querySelectorAll('.tab').forEach(el=>el.onclick=()=>{activeCluster=+el.dataset.i;renderClusters();render();});}
+document.getElementById('dl').onclick=()=>{
+ let csv='cluster_id,cluster_name,track_id,time,fov_name,cluster_size\n';
+ clusters.forEach((c,i)=>{for(const p of c.points)csv+=`${i+1},${c.name},${p.track_id},${p.t},${p.fov_name},${c.points.length}\n`;});
+ const a=document.createElement('a');a.href=URL.createObjectURL(new Blob([csv],{type:'text/csv'}));a.download='clusters.csv';a.click();};
+for(const el of [xsel,ysel,csel])el.onchange=render;
+chsel.onchange=()=>{if(selTrack){const[f,tr]=selTrack.split('|');const p=D.points.find(q=>q.fov_name===f&&String(q.track_id)===tr);if(p)showStrip(p);}};
+window.addEventListener('resize',render);
+renderClusters();render();
+</script></body></html>
+"""
