@@ -271,25 +271,32 @@ class HostRandScaleIntensityd(HostTransform):
 
 
 class HostRandGaussianNoised(HostTransform):
-    """Per-sample additive Gaussian noise (MONAI ``RandGaussianNoised``)."""
+    """Per-sample additive Gaussian noise (MONAI ``RandGaussianNoised``:
+    ``sample_std=True`` draws the std uniformly from [0, std] per
+    application, matching the reference wrapper ``_noise.py:61`` and the
+    batched device transform)."""
 
     is_spatial = False
     is_random = True
 
-    def __init__(self, keys, prob=0.1, mean=0.0, std=0.1, allow_missing_keys=False) -> None:
+    def __init__(
+        self, keys, prob=0.1, mean=0.0, std=0.1, sample_std=True, allow_missing_keys=False
+    ) -> None:
         super().__init__(keys, allow_missing_keys)
         self.prob = prob
         self.mean = mean
         self.std = std
+        self.sample_std = sample_std
 
     def __call__(self, data: dict, rng: np.random.Generator | None = None) -> dict:
         rng = rng or np.random.default_rng()
         if rng.random() >= self.prob:
             return data
         data = dict(data)
+        std = rng.uniform(0.0, self.std) if self.sample_std else self.std
         for k in self.key_iterator(data):
             x = np.asarray(data[k], np.float32)
-            data[k] = x + rng.normal(self.mean, self.std, x.shape).astype(np.float32)
+            data[k] = x + rng.normal(self.mean, std, x.shape).astype(np.float32)
         return data
 
 
