@@ -236,3 +236,77 @@ def test_fg_mask_device_spatial_cotransform(preprocessed_hcs_dataset):
         jax.random.PRNGKey(0),
     )
     assert "fg_mask" not in out2
+
+
+def test_native_uint16_transfer(tmp_path):
+    """native_transfer ships uint16 batches (half the H2D bytes) and the
+    device transform casts + normalizes to the same values as the f32 path
+    (VERDICT r2 item 2)."""
+    import jax
+
+    from viscy_tpu.data import HCSDataModule
+    from viscy_tpu.transforms.normalize import NormalizeSampled
+    from viscy_tpu.zarr_io.synthetic import build_hcs_plate
+
+    plate = build_hcs_plate(
+        tmp_path / "u16.zarr",
+        ["Phase", "GFP"],
+        zyx_shape=(8, 32, 32),
+        dtype=np.uint16,
+        max_value=4096,
+        rows=("A",),
+        cols=("1",),
+        fovs=("0", "1", "2"),
+        num_timepoints=2,
+        norm_meta=True,
+    )
+
+    def make_dm(native: bool) -> "HCSDataModule":
+        return HCSDataModule(
+            str(plate),
+            source_channel="Phase",
+            target_channel="GFP",
+            z_window_size=8,
+            batch_size=1,
+            num_workers=0,
+            yx_patch_size=(32, 32),
+            normalize_on_device=True,
+            native_transfer=native,
+            normalizations=[
+                NormalizeSampled(
+                    keys=["Phase"],
+                    level="fov_statistics",
+                    subtrahend="mean",
+                    divisor="std",
+                )
+            ],
+        )
+
+    dm16 = make_dm(True)
+    dm16.prepare_data()
+    dm16.setup("fit")
+    b16 = next(iter(dm16.train_dataloader()))
+    assert b16["source"].dtype == np.uint16, "host batch should stay uint16"
+    assert b16["target"].dtype == np.uint16
+
+    dm32 = make_dm(False)
+    dm32.setup("fit")
+    b32 = next(iter(dm32.train_dataloader()))
+    assert b32["source"].dtype == np.float32
+
+    key = jax.random.PRNGKey(0)
+    out16 = dm16.device_transform(
+        {k: jax.numpy.asarray(v) for k, v in b16.items() if k in ("source", "target")},
+        key,
+        stage="val",
+    )
+    out32 = dm32.device_transform(
+        {k: jax.numpy.asarray(v) for k, v in b32.items() if k in ("source", "target")},
+        key,
+        stage="val",
+    )
+    for k in ("source", "target"):
+        assert out16[k].dtype == jax.numpy.float32
+        np.testing.assert_allclose(
+            np.asarray(out16[k]), np.asarray(out32[k]), atol=1e-5
+        )

@@ -22,6 +22,7 @@ from pathlib import Path
 from typing import Iterable, Sequence
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from viscy_tpu.data.host_transforms import HostRandWeightedCropd, HostTransform
@@ -87,6 +88,7 @@ class HCSDataModule(DataModule):
         include_fov_names: Iterable[str] | None = None,
         exclude_fov_names: Iterable[str] | None = None,
         normalize_on_device: bool = True,
+        native_transfer: bool = False,
         seed: int = 42,
         prefetch_factor: int = 2,
         # accepted for reference config compatibility (no-ops here):
@@ -121,6 +123,14 @@ class HCSDataModule(DataModule):
         self.include_fov_names = include_fov_names
         self.exclude_fov_names = exclude_fov_names
         self.normalize_on_device = normalize_on_device
+        # ship the store's native dtype to the device (uint16 microscopy =
+        # half the H2D bytes); requires on-device normalization, and any
+        # host transforms must be dtype-preserving (crops/flips are)
+        self.native_transfer = native_transfer and normalize_on_device
+        if native_transfer and not normalize_on_device:
+            _logger.warning(
+                "native_transfer needs normalize_on_device=True; disabled"
+            )
         self.seed = seed
         self.prefetch_factor = prefetch_factor
         self.fg_mask_key = fg_mask_key
@@ -201,6 +211,7 @@ class HCSDataModule(DataModule):
             z_window_size=self.z_window_size,
             array_key=self.array_key,
             seed=self.seed,
+            keep_dtype=self.native_transfer,
         )
 
     def _fit_transforms(self):
@@ -334,7 +345,8 @@ class HCSDataModule(DataModule):
         out = []
         for pos in positions:
             img = pos[self.array_key]
-            out.append(img.oindex[:, ch_idx].astype(np.float32))
+            raw = img.oindex[:, ch_idx]
+            out.append(raw if self.native_transfer else raw.astype(np.float32))
         return out
 
     def _setup_test(self) -> None:
@@ -396,6 +408,17 @@ class HCSDataModule(DataModule):
 
     # -- device-side (jitted) batch transform -----------------------------------------
     def device_transform(self, batch: dict, key, stage: str = "train") -> dict:
+        # native_transfer ships integer batches; cast on device (fuses into
+        # the normalization, costs no extra HBM pass)
+        if any(
+            hasattr(batch.get(k), "dtype") and jnp.issubdtype(batch[k].dtype, jnp.integer)
+            for k in ("source", "target", "fg_mask")
+            if k in batch
+        ):
+            batch = dict(batch)
+            for k in ("source", "target", "fg_mask"):
+                if k in batch and jnp.issubdtype(batch[k].dtype, jnp.integer):
+                    batch[k] = batch[k].astype(jnp.float32)
         if self.normalize_on_device and stage in ("train", "val"):
             batch = self._apply_device_normalizations(batch)
         if stage == "train" and self._device_compose is not None:

@@ -42,6 +42,7 @@ class SlidingWindowDataset:
         fg_mask_key: str | None = None,
         pushdown_crop=None,
         seed: int = 42,
+        keep_dtype: bool = False,
     ) -> None:
         if not 0.0 <= min_nonzero_fraction <= 1.0:
             raise ValueError(f"min_nonzero_fraction must be in [0, 1], got {min_nonzero_fraction}")
@@ -67,6 +68,10 @@ class SlidingWindowDataset:
         self.pushdown_crop = pushdown_crop
         self._origin_cdf_cache: dict = {}
         self.seed = seed
+        # keep the store's native dtype through crop/collate so uint16
+        # microscopy ships half the host->device bytes; the datamodule's
+        # device_transform casts to f32 on device before normalization
+        self.keep_dtype = keep_dtype
         self._all_ch_names = list(self.channels["source"])
         self._all_ch_idx = list(self.source_ch_idx)
         if self.target_ch_idx is not None:
@@ -125,15 +130,17 @@ class SlidingWindowDataset:
         t = (tz + zs) // zs - 1
         z = tz - t * zs
         if self._preloaded is not None and arr_idx >= 0:
-            data = self._preloaded[arr_idx][t, :, z : z + self.z_window_size].astype(
-                np.float32, copy=True
-            )
+            window = self._preloaded[arr_idx][t, :, z : z + self.z_window_size]
+            dtype = window.dtype if self.keep_dtype else np.float32
+            data = window.astype(dtype, copy=True)
         else:
-            data = img.oindex[
+            raw = img.oindex[
                 slice(t, t + 1),
                 [int(i) for i in ch_idx],
                 slice(z, z + self.z_window_size),
-            ].astype(np.float32)[0]
+            ]
+            dtype = raw.dtype if self.keep_dtype else np.float32
+            data = raw.astype(dtype, copy=False)[0]
         return data, HCSStackIndex(f"/{img.path}", t, z)
 
     def __len__(self) -> int:
@@ -279,11 +286,12 @@ class SlidingWindowDataset:
 
             patches = batched_crop_normalize(full, origins3, (cz, cy, cx))
         else:
+            patch_dtype = full.dtype if self.keep_dtype else np.float32
             patches = np.stack(
                 [
                     np.ascontiguousarray(
                         full[:, z0 : z0 + cz, y0 : y0 + cy, x0 : x0 + cx],
-                        dtype=np.float32,
+                        dtype=patch_dtype,
                     )
                     for z0, y0, x0 in origins3
                 ]
