@@ -387,3 +387,23 @@ def test_foundation_wrapper_load_backbone(tmp_path):
     feats, _ = wrapper.apply(variables, jnp.asarray(x))
     assert feats.shape == (1, 32)
     assert np.isfinite(np.asarray(feats)).all()
+
+
+def test_phase_pad_pool_equals_post_shuffle_blur():
+    """pad_pool_blur_2d_phase(x) then shuffle == shuffle then MONAI-style
+    pad-pool blur, exactly (the phase-domain form runs at pre-shuffle
+    resolution and replaces the stride-1 r x r reduce_window)."""
+    import numpy as np
+
+    from viscy_tpu.models.components.blocks import (
+        pad_pool_blur_2d,
+        pad_pool_blur_2d_phase,
+        pixel_shuffle_2d,
+    )
+
+    rng = np.random.default_rng(0)
+    for r in (2, 4):
+        x = jnp.asarray(rng.normal(size=(2, 5, 6, 3 * r * r)).astype(np.float32))
+        ref = pad_pool_blur_2d(pixel_shuffle_2d(x, r), r)
+        new = pixel_shuffle_2d(pad_pool_blur_2d_phase(x, r), r)
+        np.testing.assert_allclose(np.asarray(ref), np.asarray(new), atol=1e-5)

@@ -58,6 +58,69 @@ def pad_pool_blur_2d(x: Array, r: int) -> Array:
     ) / float(r * r)
 
 
+def _phase_pad_pool_1d(f: Array, spatial_axis: int, phase_axis: int) -> Array:
+    """One axis of the phase-domain pad-pool (see ``pad_pool_blur_2d_phase``).
+
+    For output position ``y = r*i + di`` the stride-1 r-tap mean over the
+    shuffled-and-edge-padded signal touches each phase exactly once:
+    phases ``d' >= di`` from block ``i`` and phases ``d' < di`` from block
+    ``i + 1`` (clamped to the last shuffled element — phase ``r-1`` of the
+    last block — beyond the right edge). All terms are suffix sums over the
+    tiny phase axis, so the whole blur runs at pre-shuffle resolution.
+    """
+    r = f.shape[phase_axis]
+    n = f.shape[spatial_axis]
+    s_ge = jnp.flip(jnp.cumsum(jnp.flip(f, phase_axis), axis=phase_axis), phase_axis)
+    total = jax.lax.slice_in_dim(s_ge, 0, 1, axis=phase_axis)
+
+    def shift_next(a):
+        body = jax.lax.slice_in_dim(a, 1, a.shape[spatial_axis], axis=spatial_axis)
+        edge = jax.lax.slice_in_dim(
+            a, a.shape[spatial_axis] - 1, a.shape[spatial_axis], axis=spatial_axis
+        )
+        return jnp.concatenate([body, edge], axis=spatial_axis)
+
+    p_lt = shift_next(total) - shift_next(s_ge)  # sum_{d'<di} f[i+1, d']
+    # right-edge clamp: past the end every tap reads phase r-1 of the last
+    # block, so the i = n-1 row gets di * f[n-1, r-1] instead
+    di = jnp.arange(r, dtype=f.dtype).reshape(
+        [r if ax == phase_axis else 1 for ax in range(f.ndim)]
+    )
+    last = jax.lax.slice_in_dim(
+        jax.lax.slice_in_dim(f, r - 1, r, axis=phase_axis),
+        n - 1,
+        n,
+        axis=spatial_axis,
+    )
+    p_last = di * last
+    p_lt = jnp.concatenate(
+        [jax.lax.slice_in_dim(p_lt, 0, n - 1, axis=spatial_axis), p_last],
+        axis=spatial_axis,
+    )
+    return (s_ge + p_lt) / r
+
+
+def pad_pool_blur_2d_phase(x: Array, r: int) -> Array:
+    """Pad-pool blur computed in the **phase domain**, before the pixel
+    shuffle: ``pixel_shuffle_2d(pad_pool_blur_2d_phase(x, r), r)`` equals
+    ``pad_pool_blur_2d(pixel_shuffle_2d(x, r), r)`` exactly.
+
+    The post-shuffle formulation costs a stride-1 r x r ``reduce_window``
+    plus layout copies at full resolution (7+ ms/step at production shapes,
+    the largest single window op in the round-3 trace); here the blur is a
+    suffix-sum over the r-length phase axes plus one shifted add, all at
+    pre-shuffle resolution, and fuses into neighboring elementwise work.
+    """
+    if r == 1:
+        return x
+    b, h, w, k = x.shape
+    c = k // (r * r)
+    f = x.reshape(b, h, w, c, r, r)  # channel k = c*r^2 + i*r + j
+    f = _phase_pad_pool_1d(f, spatial_axis=1, phase_axis=4)
+    f = _phase_pad_pool_1d(f, spatial_axis=2, phase_axis=5)
+    return f.reshape(b, h, w, k)
+
+
 class DropPath(nn.Module):
     """Per-sample stochastic depth on a residual branch."""
 

@@ -16,7 +16,10 @@ import jax.numpy as jnp
 from einops import rearrange
 from flax import linen as nn
 
-from viscy_tpu.models.components.blocks import pad_pool_blur_2d, pixel_shuffle_2d
+from viscy_tpu.models.components.blocks import (
+    pad_pool_blur_2d_phase,
+    pixel_shuffle_2d,
+)
 from viscy_tpu.models.schedule import cosine_anneal
 
 Array = jax.Array
@@ -40,9 +43,11 @@ class PixelToVoxelHead(nn.Module):
     @nn.compact
     def __call__(self, x: Array) -> Array:
         first_scale = 2
-        x = pixel_shuffle_2d(x, first_scale)
+        # pad-pool in the phase domain (exact; avoids the full-resolution
+        # stride-1 reduce_window after the shuffle — see blocks.py)
         if self.pool:
-            x = pad_pool_blur_2d(x, first_scale)
+            x = pad_pool_blur_2d_phase(x, first_scale)
+        x = pixel_shuffle_2d(x, first_scale)
         d = self.out_stack_depth + 2
         # torch reshape (b, c//d, d, h, w) from channels k = c_new*d + d_idx
         x = rearrange(x, "b h w (c d) -> b d h w c", d=d)
@@ -78,9 +83,11 @@ class PixelToVoxelShuffleHead(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        x = pixel_shuffle_2d(x, self.xy_scaling)
+        # pad-pool in the phase domain (exact; avoids the full-resolution
+        # stride-1 reduce_window after the shuffle — see blocks.py)
         if self.pool:
-            x = pad_pool_blur_2d(x, self.xy_scaling)
+            x = pad_pool_blur_2d_phase(x, self.xy_scaling)
+        x = pixel_shuffle_2d(x, self.xy_scaling)
         # channels = out_channels * out_stack_depth, torch ordering c*D + d
         x = rearrange(
             x, "b h w (c d) -> b c d h w", c=self.out_channels, d=self.out_stack_depth
