@@ -407,3 +407,55 @@ def test_phase_pad_pool_equals_post_shuffle_blur():
         ref = pad_pool_blur_2d(pixel_shuffle_2d(x, r), r)
         new = pixel_shuffle_2d(pad_pool_blur_2d_phase(x, r), r)
         np.testing.assert_allclose(np.asarray(ref), np.asarray(new), atol=1e-5)
+
+
+def test_channels_last_loss_exactness():
+    """VSUNet's channels-last loss path (nhwcd head layout + transposed
+    no-grad target) must produce the identical loss and gradients as the
+    NCDHW path — it is a pure layout optimization."""
+    import jax
+    import numpy as np
+
+    from viscy_tpu.apps.cytoland.engine import VSUNet
+    from viscy_tpu.training.losses.mixed_loss import MixedLoss
+
+    def build(cl: bool) -> VSUNet:
+        return VSUNet(
+            architecture="fcmae",
+            model_config=dict(
+                in_channels=1,
+                out_channels=2,
+                encoder_blocks=(1, 1, 2, 1),
+                dims=(16, 32, 64, 128),
+                stem_kernel_size=(5, 4, 4),
+                in_stack_depth=5,
+                pretraining=False,
+            ),
+            loss_function=MixedLoss(l1_alpha=0.5, l2_alpha=0.0, ms_dssim_alpha=0.5),
+            channels_last_loss=cl,
+        )
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "source": jnp.asarray(rng.random((2, 1, 5, 32, 32)).astype(np.float32)),
+        "target": jnp.asarray(rng.random((2, 2, 5, 32, 32)).astype(np.float32)),
+    }
+    m_cl, m_nc = build(True), build(False)
+    variables = m_cl.init_variables(jax.random.PRNGKey(0), batch)
+    key = jax.random.PRNGKey(1)
+
+    def loss_of(module):
+        def f(params):
+            v = {"params": params, **{k: variables[k] for k in variables if k != "params"}}
+            loss, _ = module.training_loss(v, batch, key)
+            return loss
+
+        return f
+
+    l_cl, g_cl = jax.value_and_grad(loss_of(m_cl))(variables["params"])
+    l_nc, g_nc = jax.value_and_grad(loss_of(m_nc))(variables["params"])
+    np.testing.assert_allclose(float(l_cl), float(l_nc), rtol=1e-5)
+    flat_cl = jax.tree_util.tree_leaves(g_cl)
+    flat_nc = jax.tree_util.tree_leaves(g_nc)
+    for a, b in zip(flat_cl, flat_nc):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)

@@ -96,6 +96,7 @@ class VSUNet(TrainModule):
         predict_overlap: tuple[int, int, int] = (4, 256, 256),
         tile_yx: Sequence[int] | None = None,
         tile_batch: int = 16,
+        channels_last_loss: bool = False,
         encoder_only: bool = False,
     ) -> None:
         net_class = _UNET_ARCHITECTURE.get(architecture)
@@ -154,6 +155,12 @@ class VSUNet(TrainModule):
         # per pixel on TPU
         self.tile_yx = tuple(tile_yx) if tile_yx else None
         self.tile_batch = tile_batch
+        # experimental: compute the training loss in the head's packed
+        # pre-shuffle phase layout so the differentiated prediction never
+        # transposes (ops/ssim._ms_ssim_phase). Default OFF: on v5e the
+        # phase matmuls + target pack measured net-slower than the NCDHW
+        # baseline (226 vs 196 ms/step; docs/STATUS.md round-3 notes)
+        self.channels_last_loss = channels_last_loss
         if encoder_only and ckpt_path is None:
             _logger.warning("encoder_only=True has no effect without ckpt_path")
         self.encoder_only = encoder_only
@@ -189,8 +196,35 @@ class VSUNet(TrainModule):
             return self.loss_function(pred, target, fg_mask=batch["fg_mask"])
         return self.loss_function(pred, target)
 
+    def _use_channels_last_loss(self, batch: dict) -> bool:
+        return (
+            self.channels_last_loss
+            and isinstance(self.model, FullyConvolutionalMAE)
+            and not self.model.pretraining
+            and not self.model.head_conv
+            and isinstance(self.loss_function, MixedLoss)
+            and "fg_mask" not in batch
+        )
+
+    def _phase_format(self) -> tuple:
+        cfg = self.model
+        return ("phase", cfg.out_channels, cfg.in_stack_depth, cfg.stem_kernel_size[-1])
+
+    def _pack_target_phase(self, target: Array) -> Array:
+        """NCDHW target -> the head's packed pre-shuffle phase layout
+        (B, h, w, C*D*r*r); a single no-grad transpose replacing the
+        differentiated prediction's shuffle + NCDHW rearrange."""
+        from einops import rearrange
+
+        r = self.model.stem_kernel_size[-1]
+        return rearrange(
+            target, "b c d (h i) (w j) -> b h w (c d i j)", i=r, j=r
+        )
+
     # -- steps ------------------------------------------------------------------
     def training_loss(self, variables, batch, rng):
+        cl = self._use_channels_last_loss(batch)
+        apply_kwargs = {"out_layout": "phase"} if cl else {}
         if "batch_stats" in variables:
             pred, updates = self.model.apply(
                 variables,
@@ -198,17 +232,30 @@ class VSUNet(TrainModule):
                 deterministic=False,
                 rngs={"dropout": rng},
                 mutable=["batch_stats"],
+                **apply_kwargs,
             )
             updates = dict(updates)
         else:
-            pred = self.forward(
-                variables, batch["source"], deterministic=False, rngs={"dropout": rng}
+            pred = self.model.apply(
+                variables,
+                batch["source"],
+                deterministic=False,
+                rngs={"dropout": rng},
+                **apply_kwargs,
             )
             updates = {}
-        loss = self._compute_loss(pred, batch["target"], batch)
+        if cl:
+            target = self._pack_target_phase(batch["target"])
+            loss = self.loss_function(pred, target, data_format=self._phase_format())
+        else:
+            loss = self._compute_loss(pred, batch["target"], batch)
         return loss, ({}, updates)
 
     def validation_loss(self, variables, batch, rng):
+        if self._use_channels_last_loss(batch):
+            pred = self.model.apply(variables, batch["source"], out_layout="phase")
+            target = self._pack_target_phase(batch["target"])
+            return self.loss_function(pred, target, data_format=self._phase_format()), {}
         pred = self.forward(variables, batch["source"])
         loss = self._compute_loss(pred, batch["target"], batch)
         return loss, {}

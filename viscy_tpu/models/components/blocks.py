@@ -41,8 +41,10 @@ def pixel_shuffle_2d(x: Array, r: int) -> Array:
     """Sub-pixel upsample, torch ``nn.PixelShuffle`` channel ordering.
 
     x: (B, H, W, C*r*r) -> (B, H*r, W*r, C); channel k = c*r^2 + i*r + j.
-    A pure reshape — the ICNR-style checkerboard mitigation lives in the
-    initialization of the producing convolution.
+    NOT free: interleaving phases into the spatial axes is a real
+    transpose (~one HBM pass each way, and twice under autodiff) — which
+    is why the training loss can consume the packed pre-shuffle layout
+    instead (``pad_pool_blur_packed`` + ``ops/ssim._ms_ssim_phase``).
     """
     return rearrange(x, "b h w (c i j) -> b (h i) (w j) c", i=r, j=r)
 
@@ -100,6 +102,59 @@ def _phase_pad_pool_1d(f: Array, spatial_axis: int, phase_axis: int) -> Array:
     return (s_ge + p_lt) / r
 
 
+def _pad_pool_phase_matrices(c_total: int, r: int) -> tuple:
+    """(K, K) phase-mixing matrices for the pad-pool blur in packed space,
+    K = c_total * r * r with channel k = c * r^2 + i * r + j (torch
+    PixelShuffle ordering). The 1-D pass over true rows is, per output
+    phase di, a sum over input phases d' >= di from the same block and
+    d' < di from the next block (see ``_phase_pad_pool_1d``) — i.e. plain
+    matmuls on the packed channel axis, which keep the big activation in
+    its native layout (logical 6-D phase views make XLA materialize
+    relayout copies)."""
+    import numpy as np
+
+    k = np.arange(c_total * r * r)
+    c = k // (r * r)
+    di = (k // r) % r
+    dj = k % r
+    same_cj = (c[:, None] == c[None, :]) & (dj[:, None] == dj[None, :])
+    same_ci = (c[:, None] == c[None, :]) & (di[:, None] == di[None, :])
+    # out = x @ M convention: M[k_in, k_out]
+    a1 = (same_cj & (di[:, None] >= di[None, :])) / r
+    b1 = (same_cj & (di[:, None] < di[None, :])) / r
+    b1_last = same_cj * (di[:, None] == r - 1) * (di[None, :] / r)
+    a2 = (same_ci & (dj[:, None] >= dj[None, :])) / r
+    b2 = (same_ci & (dj[:, None] < dj[None, :])) / r
+    b2_last = same_ci * (dj[:, None] == r - 1) * (dj[None, :] / r)
+    f32 = lambda m: jnp.asarray(m, jnp.float32)
+    return (f32(a1), f32(b1), f32(a1 + b1_last)), (f32(a2), f32(b2), f32(a2 + b2_last))
+
+
+def _packed_dot(x: Array, m: Array) -> Array:
+    return jax.lax.dot_general(
+        x, m, (((3,), (0,)), ((), ())), precision=jax.lax.Precision.HIGHEST
+    )
+
+
+def pad_pool_blur_packed(x: Array, c_total: int, r: int) -> Array:
+    """Pad-pool blur on the packed pre-shuffle tensor (B, h, w, c*r*r):
+    ``pixel_shuffle_2d(pad_pool_blur_packed(x, c, r), r)`` equals
+    ``pad_pool_blur_2d(pixel_shuffle_2d(x, r), r)`` exactly, with all data
+    movement expressed as phase matmuls + one-row shifts (MXU-friendly,
+    layout-preserving)."""
+    if r == 1:
+        return x
+    (a1, b1, al1), (a2, b2, al2) = _pad_pool_phase_matrices(c_total, r)
+    # y pass: rows 0..N-2 mix block i and i+1; the last row's past-the-edge
+    # taps clamp to the final shuffled element (phase r-1)
+    main = _packed_dot(x[:, :-1], a1) + _packed_dot(x[:, 1:], b1)
+    last = _packed_dot(x[:, -1:], al1)
+    x = jnp.concatenate([main, last], axis=1)
+    main = _packed_dot(x[:, :, :-1], a2) + _packed_dot(x[:, :, 1:], b2)
+    last = _packed_dot(x[:, :, -1:], al2)
+    return jnp.concatenate([main, last], axis=2)
+
+
 def pad_pool_blur_2d_phase(x: Array, r: int) -> Array:
     """Pad-pool blur computed in the **phase domain**, before the pixel
     shuffle: ``pixel_shuffle_2d(pad_pool_blur_2d_phase(x, r), r)`` equals
@@ -136,6 +191,19 @@ class DropPath(nn.Module):
         return jnp.where(mask, x / keep, 0.0)
 
 
+# when True, an optimization barrier separates the producing matmul (fc1)
+# from the GRN's global reduction: XLA otherwise fuses the dot with the
+# spatial L2 statistics into one loop fusion that runs far below MXU speed
+# (measured; see docs/STATUS.md round-3 notes)
+GRN_SPLIT_STATS = False
+
+
+def _grn_stats_input(x: Array) -> Array:
+    if GRN_SPLIT_STATS:
+        return jax.lax.optimization_barrier(x)
+    return x
+
+
 class GRN(nn.Module):
     """Global Response Normalization (ConvNeXt-v2).
 
@@ -150,6 +218,7 @@ class GRN(nn.Module):
     def __call__(self, x: Array) -> Array:
         gamma = self.param("gamma", nn.initializers.zeros, (self.dim,))
         beta = self.param("beta", nn.initializers.zeros, (self.dim,))
+        x = _grn_stats_input(x)
         spatial_axes = tuple(range(1, x.ndim - 1))
         gx = jnp.sqrt(
             jnp.sum(jnp.square(x.astype(jnp.float32)), axis=spatial_axes, keepdims=True)

@@ -17,7 +17,8 @@ from einops import rearrange
 from flax import linen as nn
 
 from viscy_tpu.models.components.blocks import (
-    pad_pool_blur_2d_phase,
+    pad_pool_blur_2d,
+    pad_pool_blur_packed,
     pixel_shuffle_2d,
 )
 from viscy_tpu.models.schedule import cosine_anneal
@@ -43,11 +44,9 @@ class PixelToVoxelHead(nn.Module):
     @nn.compact
     def __call__(self, x: Array) -> Array:
         first_scale = 2
-        # pad-pool in the phase domain (exact; avoids the full-resolution
-        # stride-1 reduce_window after the shuffle — see blocks.py)
-        if self.pool:
-            x = pad_pool_blur_2d_phase(x, first_scale)
         x = pixel_shuffle_2d(x, first_scale)
+        if self.pool:
+            x = pad_pool_blur_2d(x, first_scale)
         d = self.out_stack_depth + 2
         # torch reshape (b, c//d, d, h, w) from channels k = c_new*d + d_idx
         x = rearrange(x, "b h w (c d) -> b d h w c", d=d)
@@ -82,12 +81,20 @@ class PixelToVoxelShuffleHead(nn.Module):
     pool: bool = False
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
-        # pad-pool in the phase domain (exact; avoids the full-resolution
-        # stride-1 reduce_window after the shuffle — see blocks.py)
-        if self.pool:
-            x = pad_pool_blur_2d_phase(x, self.xy_scaling)
+    def __call__(self, x: Array, out_layout: str = "ncdhw") -> Array:
+        if out_layout == "phase":
+            # keep the head's packed pre-shuffle layout (B, h, w, C*D*r*r)
+            # for a phase-space loss (see ops/ssim.py): the pad-pool blur
+            # becomes exact phase matmuls and the differentiated
+            # full-depth volume never transposes
+            if self.pool:
+                x = pad_pool_blur_packed(
+                    x, self.out_channels * self.out_stack_depth, self.xy_scaling
+                )
+            return x
         x = pixel_shuffle_2d(x, self.xy_scaling)
+        if self.pool:
+            x = pad_pool_blur_2d(x, self.xy_scaling)
         # channels = out_channels * out_stack_depth, torch ordering c*D + d
         x = rearrange(
             x, "b h w (c d) -> b c d h w", c=self.out_channels, d=self.out_stack_depth

@@ -58,8 +58,11 @@ class MaskedGRN(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, mask2d: Array | None = None) -> Array:
+        from viscy_tpu.models.components.blocks import _grn_stats_input
+
         gamma = self.param("gamma", nn.initializers.zeros, (self.dim,))
         beta = self.param("beta", nn.initializers.zeros, (self.dim,))
+        x = _grn_stats_input(x)
         xm = x if mask2d is None else x * mask2d[..., None]
         gx = jnp.sqrt(
             jnp.sum(jnp.square(xm.astype(jnp.float32)), axis=(1, 2), keepdims=True)
@@ -240,8 +243,17 @@ class FullyConvolutionalMAE(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: Array, mask_ratio: float = 0.0, deterministic: bool = True
+        self,
+        x: Array,
+        mask_ratio: float = 0.0,
+        deterministic: bool = True,
+        out_layout: str = "ncdhw",
     ):
+        """``out_layout="phase"`` returns the head's packed pre-shuffle
+        layout (B, H/r, W/r, C*D*r*r) with the pad-pool applied as phase
+        matmuls — so a phase-space loss (``ops/ssim._ms_ssim_phase``) can
+        skip the pixel-shuffle transpose and NCDHW rearrange of the
+        differentiated prediction entirely."""
         features, mask = MaskedMultiscaleEncoder(
             in_channels=self.in_channels,
             stage_blocks=self.encoder_blocks,
@@ -293,7 +305,7 @@ class FullyConvolutionalMAE(nn.Module):
                 xy_scaling=self.stem_kernel_size[-1],
                 pool=True,
                 name="head",
-            )(feat.astype(jnp.float32))
+            )(feat.astype(jnp.float32), out_layout=out_layout)
         if self.pretraining:
             return out, mask
         return out

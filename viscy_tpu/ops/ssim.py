@@ -47,6 +47,136 @@ def _uniform_filter(x: Array, kernel_size: tuple[int, int, int]) -> Array:
     return y
 
 
+def _box_filter_hw(y: Array, kernel_hw: tuple[int, int]) -> Array:
+    """In-plane prefix-sum box filter over axes (1, 2) of (B, H, W, C)."""
+    for axis, k in zip((1, 2), kernel_hw):
+        if k == 1:
+            continue
+        cs = jnp.cumsum(y, axis=axis)
+        pad = [(0, 0)] * y.ndim
+        pad[axis] = (1, 0)
+        cs = jnp.pad(cs, pad)
+        n = y.shape[axis]
+        hi = jax.lax.slice_in_dim(cs, k, n + 1, axis=axis)
+        lo = jax.lax.slice_in_dim(cs, 0, n + 1 - k, axis=axis)
+        y = (hi - lo) / k
+    return y
+
+
+def _pdot(x: Array, m: Array) -> Array:
+    """Matmul on the packed channel (last) axis at full precision."""
+    return jax.lax.dot_general(
+        x, m, (((3,), (0,)), ((), ())), precision=jax.lax.Precision.HIGHEST
+    )
+
+
+def _phase_depth_mean_matrix(c: int, d: int, r: int) -> Array:
+    """(c*d*r*r, c*r*r): depth mean of a packed phase tensor, channel
+    k = ((c_i * d + d_i) * r + i) * r + j -> k' = (c_i * r + i) * r + j."""
+    k = jnp.arange(c * d * r * r)
+    c_i = k // (d * r * r)
+    ij = k % (r * r)
+    return (jax.nn.one_hot(c_i * r * r + ij, c * r * r) / d).astype(jnp.float32)
+
+
+def _phase_pool_matrix(c_total: int, r: int) -> Array:
+    """(c_total*r*r, c_total*(r/2)^2): 2x2 true-space average pooling as a
+    phase matmul — true position (r*h + i) // 2 = (r/2)*h + i//2, so a
+    2x2 output pixel averages the four phases (2i'+a, 2j'+b) of the SAME
+    block; no spatial shifts are needed."""
+    r2 = r // 2
+    k = jnp.arange(c_total * r * r)
+    c_i = k // (r * r)
+    i = (k // r) % r
+    j = k % r
+    out = (c_i * r2 + i // 2) * r2 + j // 2
+    return (jax.nn.one_hot(out, c_total * r2 * r2) / 4).astype(jnp.float32)
+
+
+def _phase_shuffle(x: Array, r: int) -> Array:
+    """(B, h, w, c*r*r) -> (B, h*r, w*r, c), torch PixelShuffle ordering."""
+    b, h, w, k = x.shape
+    c = k // (r * r)
+    x = x.reshape(b, h, w, c, r, r)
+    x = jnp.transpose(x, (0, 1, 4, 2, 5, 3))
+    return x.reshape(b, h * r, w * r, c)
+
+
+def _ms_ssim_phase(
+    preds: Array,
+    target: Array,
+    c: int,
+    d: int,
+    r: int,
+    in_plane_window_size: tuple[int, int],
+    clamp: bool,
+    betas: Sequence[float],
+) -> Array:
+    """MS-SSIM on packed pre-shuffle phase tensors (B, h, w, c*d*r*r).
+
+    The differentiated prediction never transposes at full depth: products
+    and depth means run packed (elementwise / tiny matmuls), only the
+    depth-MEANED stat maps (D-fold smaller) shuffle to true space for the
+    box filters, and the scale pyramid's 2x2 pooling is a phase matmul
+    while r > 1 (then plain windowed pooling). Numerically identical to
+    the NCDHW path (pinned by tests)."""
+    base_min = 1e-4
+    h, w = preds.shape[1], preds.shape[2]
+    min_hw = min(h * r, w * r)
+    max_scales = 1
+    while (
+        max_scales < len(betas)
+        and (min_hw // (2**max_scales)) >= max(in_plane_window_size)
+    ):
+        max_scales += 1
+    betas = list(betas)[:max_scales]
+    p = preds.astype(jnp.float32)
+    t = target.astype(jnp.float32)
+    mcs_list = []
+    ssim = None
+    for _ in range(len(betas)):
+        dm = _phase_depth_mean_matrix(c, d, r) if d > 1 else None
+
+        def filt(v, dm=dm, r=r):
+            m = _pdot(v, dm) if dm is not None else v
+            if r > 1:
+                m = _phase_shuffle(m, r)
+            return _box_filter_hw(m, in_plane_window_size)
+
+        data_range = jnp.max(t)  # permutation-invariant
+        c1 = (0.01 * data_range) ** 2
+        c2 = (0.03 * data_range) ** 2
+        mu_x = filt(p)
+        mu_y = filt(t)
+        sigma_x = filt(p * p) - mu_x * mu_x
+        sigma_y = filt(t * t) - mu_y * mu_y
+        sigma_xy = filt(p * t) - mu_x * mu_y
+        cs_img = (2 * sigma_xy + c2) / (sigma_x + sigma_y + c2)
+        ssim_img = (
+            (2 * mu_x * mu_y + c1) / (mu_x * mu_x + mu_y * mu_y + c1)
+        ) * cs_img
+        ssim = ssim_img.reshape(ssim_img.shape[0], -1).mean(axis=1)
+        cs = cs_img.reshape(cs_img.shape[0], -1).mean(axis=1)
+        if clamp:
+            cs = jnp.clip(cs, base_min, None)
+        mcs_list.append(cs)
+        if r > 1:
+            pool = _phase_pool_matrix(c * d, r)
+            p = _pdot(p, pool)
+            t = _pdot(t, pool)
+            r //= 2
+        else:
+            win = (1, 2, 2, 1)
+            p = jax.lax.reduce_window(p, 0.0, jax.lax.add, win, win, "VALID") / 4.0
+            t = jax.lax.reduce_window(t, 0.0, jax.lax.add, win, win, "VALID") / 4.0
+    if clamp:
+        ssim = jnp.clip(ssim, base_min, None)
+    mcs_list[-1] = ssim
+    mcs = jnp.stack(mcs_list)
+    b = jnp.asarray(betas, jnp.float32)[:, None]
+    return jnp.prod(mcs**b, axis=0).mean()
+
+
 def _ssim_and_cs(
     pred: Array,
     target: Array,
@@ -108,6 +238,7 @@ def ms_ssim_25d(
     in_plane_window_size: tuple[int, int] = (11, 11),
     clamp: bool = False,
     betas: Sequence[float] = _MS_SSIM_BETAS,
+    data_format: str = "ncdhw",
 ) -> Array:
     """Multi-scale SSIM for 2.5D volumes; depth is never downsampled.
 
@@ -116,7 +247,13 @@ def ms_ssim_25d(
     clamp-to-[1e-4, inf) stabilization for bf16 training, beta-weighted
     geometric mean, batch-averaged scalar.
     """
+    if isinstance(data_format, tuple) and data_format[0] == "phase":
+        _, c_, d_, r_ = data_format
+        return _ms_ssim_phase(
+            preds, target, c_, d_, r_, in_plane_window_size, clamp, betas
+        )
     base_min = 1e-4
+    hw_axes = (3, 4)
     # truncate scales that would shrink below the window (the torch
     # reference errors on small inputs; truncation keeps tiny-shape
     # smoke tests and dry runs functional without changing large-image
@@ -129,6 +266,10 @@ def ms_ssim_25d(
     ):
         max_scales += 1
     betas = list(betas)[:max_scales]
+    window = [1] * preds.ndim
+    for ax in hw_axes:
+        window[ax] = 2
+    window = tuple(window)
     mcs_list = []
     ssim = None
     p, t = preds, target
@@ -146,12 +287,12 @@ def ms_ssim_25d(
         if clamp:
             cs = jnp.clip(cs, base_min, None)
         mcs_list.append(cs)
-        # downsample H, W only (avg pool 1x2x2)
+        # downsample H, W only (avg pool 2x2 on the in-plane axes)
         p = jax.lax.reduce_window(
-            p.astype(jnp.float32), 0.0, jax.lax.add, (1, 1, 1, 2, 2), (1, 1, 1, 2, 2), "VALID"
+            p.astype(jnp.float32), 0.0, jax.lax.add, window, window, "VALID"
         ) / 4.0
         t = jax.lax.reduce_window(
-            t.astype(jnp.float32), 0.0, jax.lax.add, (1, 1, 1, 2, 2), (1, 1, 1, 2, 2), "VALID"
+            t.astype(jnp.float32), 0.0, jax.lax.add, window, window, "VALID"
         ) / 4.0
     if clamp:
         ssim = jnp.clip(ssim, base_min, None)

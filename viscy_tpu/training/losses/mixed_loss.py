@@ -27,7 +27,13 @@ class MixedLoss:
         self.l2_alpha = l2_alpha
         self.ms_dssim_alpha = ms_dssim_alpha
 
-    def __call__(self, preds: Array, target: Array) -> Array:
+    def __call__(
+        self, preds: Array, target: Array, data_format: str = "ncdhw"
+    ) -> Array:
+        """``data_format="nhwcd"`` computes the identical loss on
+        (B, H, W, C, D) volumes — the models' native head layout — so the
+        differentiated prediction never pays an NCDHW transpose (the
+        no-grad target is transposed once by the caller instead)."""
         preds = preds.astype(jnp.float32)
         target = target.astype(jnp.float32)
         loss = 0.0
@@ -36,6 +42,6 @@ class MixedLoss:
         if self.l2_alpha:
             loss += jnp.square(preds - target).mean() * self.l2_alpha
         if self.ms_dssim_alpha:
-            ms_ssim = ms_ssim_25d(preds, target, clamp=True)
+            ms_ssim = ms_ssim_25d(preds, target, clamp=True, data_format=data_format)
             loss += (1 - ms_ssim) * self.ms_dssim_alpha
         return loss
