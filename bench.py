@@ -318,10 +318,12 @@ def bench_host_pipeline(n_items: int = 8):
         axis=1,
     )
 
-    def rate(n_threads: int) -> float:
+    full_u16 = (full * 65535).astype(np.uint16)
+
+    def rate(n_threads: int, vol=full) -> float:
         t0 = time.perf_counter()
         for _ in range(n_items):
-            batched_crop_normalize(full, origins, (depth, *STACK[1:]), n_threads=n_threads)
+            batched_crop_normalize(vol, origins, (depth, *STACK[1:]), n_threads=n_threads)
         dt = time.perf_counter() - t0
         return n_items * num_samples / dt
 
@@ -332,10 +334,12 @@ def bench_host_pipeline(n_items: int = 8):
     if not native_available():
         out["host_note"] = "native crop kernel unavailable; numpy fallback"
     r1 = rate(1)
+    r1_u16 = rate(1, full_u16)
     import os as _os
 
     ncores = _os.cpu_count() or 1
     out["host_patches_per_sec_1thread"] = round(r1, 2)
+    out["host_patches_per_sec_uint16_1thread"] = round(r1_u16, 2)
     out["host_cores_available"] = ncores
     if ncores > 1:
         rn = rate(0)
@@ -345,6 +349,9 @@ def bench_host_pipeline(n_items: int = 8):
     else:
         per_core = r1
         out["host_thread_scaling"] = None
+    # native_transfer ships uint16: the per-core requirement scales with
+    # the measured uint16 rate
+    out["host_u16_speedup"] = round(r1_u16 / max(r1, 1e-9), 2)
     return out, per_core
     """3D inference throughput (BASELINE north star: FOVs/sec).
 

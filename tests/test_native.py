@@ -41,3 +41,20 @@ def test_crop_normalize_bounds_check():
 def test_native_builds_here():
     # this image ships g++; the native path must actually engage
     assert native_available()
+
+
+def test_native_uint16_crop():
+    """uint16 volumes crop natively without casting (native_transfer path:
+    half the bytes, no normalization — the device normalizes)."""
+    from viscy_tpu.native import batched_crop_normalize
+
+    rng = np.random.default_rng(0)
+    vol = rng.integers(0, 4096, (2, 6, 32, 32), dtype=np.uint16)
+    origins = np.array([[0, 0, 0], [2, 8, 4], [1, 16, 16]], np.int64)
+    out = batched_crop_normalize(vol, origins, (4, 16, 16))
+    assert out.dtype == np.uint16
+    assert out.shape == (3, 2, 4, 16, 16)
+    for i, (z0, y0, x0) in enumerate(origins):
+        np.testing.assert_array_equal(
+            out[i], vol[:, z0 : z0 + 4, y0 : y0 + 16, x0 : x0 + 16]
+        )

@@ -279,9 +279,13 @@ class SlidingWindowDataset:
             ],
             np.int64,
         )
-        if full.dtype == np.float32 and full.flags["C_CONTIGUOUS"]:
+        if full.flags["C_CONTIGUOUS"] and (
+            full.dtype == np.float32
+            or (self.keep_dtype and full.dtype == np.uint16)
+        ):
             # fused native crop+collate (C++ thread pool; numpy fallback
-            # inside) — one pass, no per-patch temporaries
+            # inside) — one pass, no per-patch temporaries; uint16 stays
+            # uint16 under native_transfer (half the H2D bytes)
             from viscy_tpu.native import batched_crop_normalize
 
             patches = batched_crop_normalize(full, origins3, (cz, cy, cx))

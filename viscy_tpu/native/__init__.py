@@ -61,6 +61,21 @@ def _load() -> ctypes.CDLL | None:
                     _LIB = False
                     return None
             lib = ctypes.CDLL(str(_SO))
+            lib.crop_u16.restype = None
+            lib.crop_u16.argtypes = [
+                ctypes.POINTER(ctypes.c_uint16),
+                ctypes.c_int64,
+                ctypes.c_int64,
+                ctypes.c_int64,
+                ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int64,
+                ctypes.c_int64,
+                ctypes.c_int64,
+                ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_uint16),
+                ctypes.c_int64,
+            ]
             lib.crop_norm_f32.restype = None
             lib.crop_norm_f32.argtypes = [
                 ctypes.POINTER(ctypes.c_float),
@@ -109,8 +124,11 @@ def batched_crop_normalize(
     per-channel ``(x - mean) / std``, into an (N, C, pz, py, px) batch.
 
     ``n_threads=0`` uses all host cores; stats ``None`` skips normalization.
+    uint16 volumes with no stats stay uint16 (half the bytes — the
+    ``native_transfer`` path normalizes on device).
     """
-    volume = np.ascontiguousarray(volume, np.float32)
+    keep_u16 = volume.dtype == np.uint16 and means is None
+    volume = np.ascontiguousarray(volume, np.uint16 if keep_u16 else np.float32)
     origins = np.ascontiguousarray(origins, np.int64).reshape(-1, 3)
     pz, py, px = (int(p) for p in patch_size)
     c, zdim, ydim, xdim = volume.shape
@@ -124,7 +142,30 @@ def batched_crop_normalize(
         stds = np.ascontiguousarray(stds, np.float32).reshape(c)
     lib = _load()
     if lib is None:
+        if keep_u16:
+            out = np.empty((origins.shape[0], c, pz, py, px), np.uint16)
+            for i, (z0, y0, x0) in enumerate(origins):
+                out[i] = volume[:, z0 : z0 + pz, y0 : y0 + py, x0 : x0 + px]
+            return out
         return _numpy_crop_normalize(volume, origins, (pz, py, px), means, stds)
+    if keep_u16:
+        out = np.empty((origins.shape[0], c, pz, py, px), np.uint16)
+        uptr = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16))  # noqa: E731
+        lib.crop_u16(
+            uptr(volume),
+            c,
+            zdim,
+            ydim,
+            xdim,
+            origins.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            origins.shape[0],
+            pz,
+            py,
+            px,
+            uptr(out),
+            n_threads,
+        )
+        return out
     out = np.empty((origins.shape[0], c, pz, py, px), np.float32)
     fptr = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))  # noqa: E731
     lib.crop_norm_f32(
