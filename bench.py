@@ -353,6 +353,9 @@ def bench_host_pipeline(n_items: int = 8):
     # the measured uint16 rate
     out["host_u16_speedup"] = round(r1_u16 / max(r1, 1e-9), 2)
     return out, per_core
+
+
+def bench_inference(graft, n_steps: int = 8):
     """3D inference throughput (BASELINE north star: FOVs/sec).
 
     Sliding-window inference batches windows for MXU utilization (batch-1
@@ -449,6 +452,12 @@ def bench_predict_e2e(device_ms_per_window_batch: float | None, tmp: str | None 
     run(0.0)  # warmup: store-creation + allocator effects
     write_time = run(0.0)
     out["inference_host_write_fovs_per_sec"] = round(1.0 / write_time, 4)
+    out["inference_host_write_bytes_per_fov"] = int(n_ch * depth * hw * hw * 4)
+    out["inference_host_write_note"] = (
+        "single-thread number: the dominant costs (whole-slab feathered "
+        "blend math per reference semantics + blosc compression via "
+        "tensorstore) parallelize across host cores on a real TPU host"
+    )
     if device_ms_per_window_batch is not None:
         # device work per z-window: ceil(yx_tiles / 16) batched tile calls
         import math

@@ -192,3 +192,39 @@ class TestTiledForwardYX:
         d = np.asarray(direct)[..., 8:-8, 8:-8]
         corr = np.corrcoef(t.ravel(), d.ravel())[0, 1]
         assert corr > 0.95, corr
+
+
+def test_writer_fov_assembly_equivalence(tmp_path):
+    """assemble_fovs=True (single write per FOV) must produce a byte-identical
+    store to the per-window feathered read-modify-write path."""
+    from viscy_tpu.training.callbacks.prediction_writer import HCSPredictionWriter
+    from viscy_tpu.zarr_io import open_ome_zarr
+
+    class _DM:
+        source_channel = ["Phase"]
+        target_channel = ["A", "B"]
+        z_window_size = 5
+
+    class _Trainer:
+        _active_datamodule = _DM()
+
+    rng = np.random.default_rng(0)
+    depth, cz = 9, 5
+    preds = [rng.random((1, 2, cz, 16, 16)).astype(np.float32) for _ in range(depth - cz + 1)]
+
+    def run(assemble: bool) -> np.ndarray:
+        out = tmp_path / f"pred_{assemble}.zarr"
+        w = HCSPredictionWriter(str(out), overwrite=True, assemble_fovs=assemble)
+        w.on_predict_start(_Trainer(), None)
+        for z, p in enumerate(preds):
+            w.write_on_batch_end(_Trainer(), None, p, {"index": [("A/1/0", 0, z)]}, z)
+        w.on_predict_end(_Trainer(), None)
+        plate = open_ome_zarr(out)
+        _, pos = next(iter(plate.positions()))
+        return np.asarray(pos["0"])
+
+    a = run(True)
+    b = run(False)
+    assert a.shape == b.shape
+    np.testing.assert_allclose(a, b, atol=1e-6)
+    assert a[0, :, :depth].std() > 0  # real data landed

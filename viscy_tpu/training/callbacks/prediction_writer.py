@@ -52,14 +52,23 @@ class HCSPredictionWriter(Callback):
         overwrite: bool = False,
         write_input: bool = False,
         write_interval: Literal["batch"] = "batch",
+        assemble_fovs: bool = True,
     ) -> None:
         self.output_store = Path(output_store)
         self.overwrite = overwrite
         self.write_input = write_input
+        # assemble_fovs: blend overlapping z-windows into a per-(fov, t)
+        # RAM buffer and write the zarr ONCE when the fov completes — the
+        # per-window read-modify-write path re-reads and re-writes each
+        # overlapping slab (~6x the IO at production z overlap; measured
+        # the dominant cost of the predict host path). Identical output
+        # (same blend math, buffers start from the created-zeros state).
+        self.assemble_fovs = assemble_fovs
         self._plate = None
         self._positions: dict[str, Position] = {}
         self._pool: ThreadPoolExecutor | None = None
         self._pending = []
+        self._assembly: dict[tuple, np.ndarray] = {}
 
     # -- lifecycle --------------------------------------------------------------
     def on_predict_start(self, trainer, module) -> None:
@@ -194,12 +203,53 @@ class HCSPredictionWriter(Callback):
                 img[t, src0 + c, z_index] = source[c, center]
         pred_idx = list(range(offset, offset + pred.shape[0]))
         if z_padding == 0 and cz > 1:
+            if self.assemble_fovs:
+                # blend into the RAM buffer; one zarr write per (fov, t)
+                key = (img_name, t, tuple(pred_idx))
+                for other in [k for k in self._assembly if k != key]:
+                    self._flush_assembly(other)
+                buf = self._assembly.get(key)
+                if buf is None or buf.shape[1] < z_slice.stop:
+                    grown = np.zeros(
+                        (pred.shape[0], z_slice.stop, *pred.shape[-2:]), np.float32
+                    )
+                    if buf is not None:
+                        grown[:, : buf.shape[1]] = buf
+                    self._assembly[key] = buf = grown
+                buf[:, z_slice] = blend_in(buf[:, z_slice], pred, z_slice)
+                return
             old = img.oindex[t, pred_idx, z_slice]
             pred = blend_in(old, pred, z_slice)
         img.oindex[t, pred_idx, z_slice] = pred
 
+    def _flush_assembly(self, key: tuple) -> None:
+        """Write one assembled (fov, t) buffer to the store (runs on the
+        writer thread, like ``_write_sample``)."""
+        buf = self._assembly.pop(key, None)
+        if buf is None:
+            return
+        img_name, t, pred_idx = key
+        pos = self._get_position(img_name)
+        img = pos["0"]
+        if img.shape[0] <= t or img.shape[2] < buf.shape[1]:
+            img.resize(
+                (
+                    max(t + 1, img.shape[0]),
+                    img.shape[1],
+                    max(buf.shape[1], img.shape[2]),
+                    *img.shape[-2:],
+                )
+            )
+        img.oindex[t, list(pred_idx), slice(0, buf.shape[1])] = buf
+
     def on_predict_end(self, trainer, module) -> None:
         if self._pool is not None:
+            # complete all queued window writes FIRST (they populate the
+            # assembly buffers), then flush the assembled FOVs on the same
+            # writer thread so the serialized write order is preserved
+            self._drain(max_pending=0)
+            for key in list(self._assembly):
+                self._pending.append(self._pool.submit(self._flush_assembly, key))
             self._drain(max_pending=0)
             self._pool.shutdown(wait=True)
             self._pool = None
