@@ -545,6 +545,9 @@ def main() -> None:
         except Exception as e:
             out["inference_error"] = f"{type(e).__name__}: {e}"
         try:
+            import gc
+
+            gc.collect()  # free the big train/infer batches before timing host IO
             out.update(
                 bench_predict_e2e(out.get("inference_window_batch_ms"))
             )
