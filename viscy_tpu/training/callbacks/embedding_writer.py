@@ -6,7 +6,8 @@ on-disk spec the real ``anndata`` package reads/writes): ultrack index
 columns as ``obs``, the primary embedding as ``X`` (``embedding_key``
 selects features vs projections, reference ``:125``), the other array in
 ``obsm``, optional PCA / UMAP / PHATE reductions in
-``obsm["X_{pca,umap,phate}"]`` (UMAP/PHATE dependency-gated), and data
+``obsm["X_{pca,umap,phate}"]`` (UMAP/PHATE via the upstream libraries
+when installed, else the in-repo native implementations), and data
 provenance in ``uns``.
 
 ``read_embedding_dataset`` reads both this AnnData layout and the
@@ -81,20 +82,24 @@ def write_embedding_dataset(
             _logger.warning("PCA computation failed", exc_info=True)
     if umap_kwargs is not None:
         try:
-            import umap
+            from viscy_tpu.evaluation.dimensionality_reduction import compute_umap
 
-            obsm["X_umap"] = umap.UMAP(**umap_kwargs).fit_transform(X).astype(np.float32)
-        except ImportError:
-            _logger.warning("umap-learn not installed; skipping X_umap")
+            kw = dict(umap_kwargs)
+            n_comp = kw.pop("n_components", 2)
+            obsm["X_umap"] = compute_umap(X, n_components=n_comp, **kw).astype(
+                np.float32
+            )
         except Exception:
             _logger.warning("UMAP computation failed", exc_info=True)
     if phate_kwargs is not None:
         try:
-            import phate
+            from viscy_tpu.evaluation.dimensionality_reduction import compute_phate
 
-            obsm["X_phate"] = phate.PHATE(**phate_kwargs).fit_transform(X).astype(np.float32)
-        except ImportError:
-            _logger.warning("phate not installed; skipping X_phate")
+            kw = dict(phate_kwargs)
+            n_comp = kw.pop("n_components", 2)
+            obsm["X_phate"] = compute_phate(X, n_components=n_comp, **kw).astype(
+                np.float32
+            )
         except Exception:
             _logger.warning("PHATE computation failed", exc_info=True)
 
