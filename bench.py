@@ -360,43 +360,52 @@ def bench_inference(graft, n_steps: int = 8):
 
     Sliding-window inference batches windows for MXU utilization (batch-1
     full-FOV forwards measure ~5x worse per pixel on v5e): a bf16 forward
-    over a batch of 16 (15, 384, 384) windows, timed with on-device
-    fori_loop chaining (per-call tunnel dispatch excluded) on a
-    device-resident input. FOV accounting for the production
+    over a batch of ``BENCH_INFER_BATCH`` (default 64) (15, 384, 384)
+    windows on a device-resident input. FOV accounting for the production
     (20, 2048, 2048) stack: 6 z-window positions (window 15, step 1) x
-    36 overlapping 384^2 YX tiles = 216 windows -> 13.5 batch-16 calls.
+    36 overlapping 384^2 YX tiles = 216 windows.
+
+    Timing: N async per-call dispatches fenced by fetching one element of
+    the LAST output — device execution is ordered, so that bounds the
+    whole sequence. The round-2 on-device ``fori_loop`` chain inflated
+    the forward-only number ~70% (the loop-carried accumulator and input
+    perturbation constrain layout/scheduling); the batch sweep and both
+    timing methods are recorded in docs/STATUS.md round 3. Default batch
+    72 = 2 z-windows x 36 YX tiles — exactly what the shipped predict
+    path runs with ``tile_batch=72`` and a 2-sample predict batch, and
+    within 2.5% of the unconstrained optimum (sweep on v5e, ms/window:
+    b16 4.03, b36 3.58, b48 3.30, b64 3.06, b72 3.14, b96 OOM; b64 needs
+    cross-z-stream batching with ragged tails). Numerics across batch
+    sizes agree to ~9e-3 relative (bf16 reduction-order noise, within
+    the parity tolerance).
     """
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     module = graft._flagship(tiny=_TINY)
-    shape = (2, 1, 5, 64, 64) if _TINY else (16, 1, 15, 384, 384)
+    infer_batch = int(os.environ.get("BENCH_INFER_BATCH", "72"))
+    shape = (2, 1, 5, 64, 64) if _TINY else (infer_batch, 1, 15, 384, 384)
     x_host = np.random.default_rng(0).random(shape, np.float32)
-    variables = module.init_variables(jax.random.PRNGKey(0), {"source": x_host})
+    variables = module.init_variables(
+        jax.random.PRNGKey(0), {"source": x_host[:2]}
+    )
     x = jnp.asarray(x_host)
 
-    @jax.jit
-    def fwd_chain(variables, x):
-        def body(i, acc):
-            out = module.forward(variables, x * (1.0 + 1e-6 * i))
-            return acc + out[..., ::257, ::257].sum()
-
-        return jax.lax.fori_loop(0, n_steps, body, 0.0)
-
+    fwd = jax.jit(lambda v, x: module.forward(v, x))
     for _ in range(2):
-        out = fwd_chain(variables, x)
-    float(jax.device_get(out))
+        out = fwd(variables, x)
+    float(jax.device_get(out[0, 0, 0, 0, 0]))
     t0 = time.perf_counter()
-    out = fwd_chain(variables, x)
-    float(jax.device_get(out))
-    dt = (time.perf_counter() - t0) / n_steps  # per batch-16 window call
+    outs = [fwd(variables, x) for _ in range(n_steps)]
+    float(jax.device_get(outs[-1][0, 0, 0, 0, 0]))
+    dt = (time.perf_counter() - t0) / n_steps  # per window-batch call
     windows_per_fov = 6 * 36  # z positions x overlapping 384^2 YX tiles
     calls_per_fov = windows_per_fov / shape[0]
-    return 1.0 / (dt * calls_per_fov), dt
+    return 1.0 / (dt * calls_per_fov), dt, shape[0]
 
 
-def bench_predict_e2e(device_ms_per_window_batch: float | None, tmp: str | None = None):
+def bench_predict_e2e(device_ms_per_window: float | None, tmp: str | None = None):
     """End-to-end ``viscy predict`` host path (VERDICT r2 item 3): the real
     HCSPredictionWriter — store creation, async queue, feathered Z-blend
     read-modify-write, zarr chunk writes — driven at the measured device
@@ -458,18 +467,16 @@ def bench_predict_e2e(device_ms_per_window_batch: float | None, tmp: str | None 
         "blend math per reference semantics + blosc compression via "
         "tensorstore) parallelize across host cores on a real TPU host"
     )
-    if device_ms_per_window_batch is not None:
-        # device work per z-window: ceil(yx_tiles / 16) batched tile calls
-        import math
-
+    if device_ms_per_window is not None:
+        # device work per z-window: yx_tiles batched tile forwards at the
+        # separately measured per-window rate (``bench_inference``)
         tiles = len(range(0, max(hw - 384, 0) + 1, 352)) ** 2 if hw > 384 else 1
-        calls_per_window = max(1.0, math.ceil(tiles / 16))
-        sleep_s = device_ms_per_window_batch / 1e3 * calls_per_window
+        sleep_s = device_ms_per_window / 1e3 * tiles
         e2e_time = run(sleep_s)
         compute_time = sleep_s * n_z
         out["inference_e2e_fovs_per_sec"] = round(1.0 / e2e_time, 4)
         out["inference_e2e_overlap_efficiency"] = round(
-            max(compute_time, write_time) / e2e_time, 3
+            min(1.0, max(compute_time, write_time) / e2e_time), 3
         )
         out["inference_e2e_note"] = (
             "real writer + feathered blend + zarr IO; forward emulated at "
@@ -539,9 +546,11 @@ def main() -> None:
 
     if os.environ.get("BENCH_SKIP_INFER") != "1":
         try:
-            fovs_per_sec, win_dt = bench_inference(graft)
+            fovs_per_sec, win_dt, infer_batch = bench_inference(graft)
             out["inference_fovs_per_sec"] = round(fovs_per_sec, 4)
+            out["inference_window_batch"] = infer_batch
             out["inference_window_batch_ms"] = round(win_dt * 1e3, 2)
+            out["inference_ms_per_window"] = round(win_dt * 1e3 / infer_batch, 3)
         except Exception as e:
             out["inference_error"] = f"{type(e).__name__}: {e}"
         try:
@@ -549,7 +558,7 @@ def main() -> None:
 
             gc.collect()  # free the big train/infer batches before timing host IO
             out.update(
-                bench_predict_e2e(out.get("inference_window_batch_ms"))
+                bench_predict_e2e(out.get("inference_ms_per_window"))
             )
         except Exception as e:
             out["inference_e2e_error"] = f"{type(e).__name__}: {e}"

@@ -95,7 +95,7 @@ class VSUNet(TrainModule):
         predict_method: Literal["full_image", "sliding_window"] = "full_image",
         predict_overlap: tuple[int, int, int] = (4, 256, 256),
         tile_yx: Sequence[int] | None = None,
-        tile_batch: int = 16,
+        tile_batch: int = 72,
         channels_last_loss: bool = False,
         encoder_only: bool = False,
     ) -> None:
@@ -152,7 +152,10 @@ class VSUNet(TrainModule):
         # MXU-efficient tiled YX inference: split large FOVs into batched
         # overlapping tiles with feathered blending (prediction.py
         # tiled_forward_yx); batch-1 full-frame forwards measure ~5x worse
-        # per pixel on TPU
+        # per pixel on TPU. tile_batch=72 is the v5e sweep optimum
+        # reachable through this path: 2 z-windows x 36 tiles of a 2048^2
+        # FOV fill one call exactly (3.14 ms/window vs 4.03 at 16;
+        # docs/STATUS.md round-3 sweep)
         self.tile_yx = tuple(tile_yx) if tile_yx else None
         self.tile_batch = tile_batch
         # experimental: compute the training loss in the head's packed

@@ -57,7 +57,7 @@ def tiled_forward_yx(
     fwd,
     x: Array,
     tile: tuple[int, int] = (384, 384),
-    tile_batch: int = 16,
+    tile_batch: int = 72,
     min_overlap: int = 32,
 ) -> Array:
     """Batched sliding-window YX inference with feathered blending.
