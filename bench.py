@@ -383,26 +383,54 @@ def bench_inference(graft, n_steps: int = 8):
     import jax.numpy as jnp
     import numpy as np
 
+    import gc
+
+    import jax.errors
+
     module = graft._flagship(tiny=_TINY)
     infer_batch = int(os.environ.get("BENCH_INFER_BATCH", "72"))
-    shape = (2, 1, 5, 64, 64) if _TINY else (infer_batch, 1, 15, 384, 384)
-    x_host = np.random.default_rng(0).random(shape, np.float32)
-    variables = module.init_variables(
-        jax.random.PRNGKey(0), {"source": x_host[:2]}
-    )
-    x = jnp.asarray(x_host)
 
-    fwd = jax.jit(lambda v, x: module.forward(v, x))
-    for _ in range(2):
-        out = fwd(variables, x)
-    float(jax.device_get(out[0, 0, 0, 0, 0]))
-    t0 = time.perf_counter()
-    outs = [fwd(variables, x) for _ in range(n_steps)]
-    float(jax.device_get(outs[-1][0, 0, 0, 0, 0]))
-    dt = (time.perf_counter() - t0) / n_steps  # per window-batch call
+    def run(batch: int) -> float:
+        shape = (2, 1, 5, 64, 64) if _TINY else (batch, 1, 15, 384, 384)
+        x_host = np.random.default_rng(0).random(shape, np.float32)
+        variables = module.init_variables(
+            jax.random.PRNGKey(0), {"source": x_host[:2]}
+        )
+        x = jnp.asarray(x_host)
+
+        fwd = jax.jit(lambda v, x: module.forward(v, x))
+        out = None
+        for _ in range(2):
+            out = fwd(variables, x)
+        float(jax.device_get(out[0, 0, 0, 0, 0]))
+        t0 = time.perf_counter()
+        # keep only the newest output ref: dispatch stays async (fenced by
+        # one element of the LAST output; device execution is ordered) and
+        # peak HBM stays ~2 in-flight outputs instead of n_steps
+        for _ in range(n_steps):
+            out = fwd(variables, x)
+        float(jax.device_get(out[0, 0, 0, 0, 0]))
+        return (time.perf_counter() - t0) / n_steps  # per window-batch call
+
+    # b72 fits standalone but not always after the train bench's donated
+    # state churn; fall back rather than report nothing
+    last_err: Exception | None = None
+    for batch in dict.fromkeys([infer_batch, 36, 16]):
+        try:
+            dt = run(batch)
+            break
+        except jax.errors.JaxRuntimeError as e:
+            if "RESOURCE_EXHAUSTED" not in str(e):
+                raise
+            last_err = e
+            gc.collect()
+    else:
+        raise last_err
+    if _TINY:
+        batch = 2
     windows_per_fov = 6 * 36  # z positions x overlapping 384^2 YX tiles
-    calls_per_fov = windows_per_fov / shape[0]
-    return 1.0 / (dt * calls_per_fov), dt, shape[0]
+    calls_per_fov = windows_per_fov / batch
+    return 1.0 / (dt * calls_per_fov), dt, batch
 
 
 def bench_predict_e2e(device_ms_per_window: float | None, tmp: str | None = None):
@@ -546,6 +574,9 @@ def main() -> None:
 
     if os.environ.get("BENCH_SKIP_INFER") != "1":
         try:
+            import gc
+
+            gc.collect()  # release the train bench's HBM before the b72 forward
             fovs_per_sec, win_dt, infer_batch = bench_inference(graft)
             out["inference_fovs_per_sec"] = round(fovs_per_sec, 4)
             out["inference_window_batch"] = infer_batch
