@@ -228,3 +228,54 @@ def test_writer_fov_assembly_equivalence(tmp_path):
     assert a.shape == b.shape
     np.testing.assert_allclose(a, b, atol=1e-6)
     assert a[0, :, :depth].std() > 0  # real data landed
+
+
+def test_writer_concurrent_flush_equivalence(tmp_path):
+    """Completed-FOV flushes run on a concurrent pool (overlapping the next
+    FOV's window blending); the store must be identical to the fully serial
+    per-window RMW path across many (fov, t) keys."""
+    from viscy_tpu.training.callbacks.prediction_writer import HCSPredictionWriter
+    from viscy_tpu.zarr_io import open_ome_zarr
+
+    class _DM:
+        source_channel = ["Phase"]
+        target_channel = ["A", "B"]
+        z_window_size = 5
+
+    class _Trainer:
+        _active_datamodule = _DM()
+
+    rng = np.random.default_rng(1)
+    depth, cz = 9, 5
+    fovs = ["A/1/0", "A/1/1", "B/2/0"]
+    times = [0, 1]
+    # windows arrive grouped per (fov, t) like the sliding-window loader
+    stream = [
+        (fov, t, z, rng.random((1, 2, cz, 16, 16)).astype(np.float32))
+        for fov in fovs
+        for t in times
+        for z in range(depth - cz + 1)
+    ]
+
+    def run(assemble: bool, flush_workers: int):
+        out = tmp_path / f"pred_{assemble}_{flush_workers}.zarr"
+        w = HCSPredictionWriter(
+            str(out),
+            overwrite=True,
+            assemble_fovs=assemble,
+            flush_workers=flush_workers,
+        )
+        w.on_predict_start(_Trainer(), None)
+        for i, (fov, t, z, p) in enumerate(stream):
+            w.write_on_batch_end(_Trainer(), None, p, {"index": [(fov, t, z)]}, i)
+        w.on_predict_end(_Trainer(), None)
+        plate = open_ome_zarr(out)
+        return {name: np.asarray(pos["0"]) for name, pos in plate.positions()}
+
+    serial = run(False, 1)
+    concurrent = run(True, 3)
+    assert set(serial) == set(concurrent) == set(fovs)
+    for name in fovs:
+        assert serial[name].shape == concurrent[name].shape
+        np.testing.assert_allclose(serial[name], concurrent[name], atol=1e-6)
+        assert serial[name][1, :, :depth].std() > 0  # t=1 landed too

@@ -53,6 +53,7 @@ class HCSPredictionWriter(Callback):
         write_input: bool = False,
         write_interval: Literal["batch"] = "batch",
         assemble_fovs: bool = True,
+        flush_workers: int = 2,
     ) -> None:
         self.output_store = Path(output_store)
         self.overwrite = overwrite
@@ -64,10 +65,20 @@ class HCSPredictionWriter(Callback):
         # the dominant cost of the predict host path). Identical output
         # (same blend math, buffers start from the created-zeros state).
         self.assemble_fovs = assemble_fovs
+        # flush_workers: assembled-FOV flushes (whole-slab blosc compression
+        # + zarr write, the long pole of the predict host path) run on their
+        # own pool so they overlap the NEXT fov's window blending instead of
+        # blocking the writer thread. Blend order within a (fov, t) is
+        # unaffected (a key is flushed only after its windows complete);
+        # concurrent flushes touch disjoint zarr regions, with array
+        # create/resize serialized by a lock.
+        self.flush_workers = max(1, int(flush_workers))
         self._plate = None
         self._positions: dict[str, Position] = {}
         self._pool: ThreadPoolExecutor | None = None
+        self._flush_pool: ThreadPoolExecutor | None = None
         self._pending = []
+        self._flush_pending = []
         self._assembly: dict[tuple, np.ndarray] = {}
 
     # -- lifecycle --------------------------------------------------------------
@@ -82,7 +93,12 @@ class HCSPredictionWriter(Callback):
         # critical path while serializing the read-modify-write feathered
         # blends (overlapping Z-slabs of one FOV must apply in order).
         self._pool = ThreadPoolExecutor(max_workers=1)
+        self._flush_pool = ThreadPoolExecutor(max_workers=self.flush_workers)
         self._pending = []
+        self._flush_pending = []
+        import threading
+
+        self._resize_lock = threading.Lock()
 
     def setup_from_datamodule(self, datamodule) -> None:
         self._datamodule = datamodule
@@ -146,23 +162,43 @@ class HCSPredictionWriter(Callback):
         """Bound the write queue; surface background write errors promptly."""
         while len(self._pending) > max_pending:
             self._pending.pop(0).result()
-        done = [f for f in self._pending if f.done()]
-        for f in done:
-            self._pending.remove(f)
-            f.result()  # re-raise any background exception
+        for queue in (self._pending, self._flush_pending):
+            done = [f for f in queue if f.done()]
+            for f in done:
+                queue.remove(f)
+                f.result()  # re-raise any background exception
 
     def _get_position(self, img_name: str) -> Position:
         # img_name like "/A/1/0/0" or "A/1/0/0" (fov path + array key)
         parts = [p for p in img_name.split("/") if p]
         fov = "/".join(parts[:3]) if len(parts) >= 3 else "/".join(parts)
-        if fov not in self._positions:
-            if fov in self._plate:
-                pos = self._plate[fov]
-            else:
-                row, col, f = fov.split("/")
-                pos = self._plate.create_position(row, col, f)
-            self._positions[fov] = pos
-        return self._positions[fov]
+        with self._resize_lock:
+            if fov not in self._positions:
+                if fov in self._plate:
+                    pos = self._plate[fov]
+                else:
+                    row, col, f = fov.split("/")
+                    pos = self._plate.create_position(row, col, f)
+                self._positions[fov] = pos
+            return self._positions[fov]
+
+    def _ensure_image(self, pos: Position, t: int, z_stop: int, shape_yx, n_total_ch: int):
+        """Create/resize a position's image under the resize lock (the window
+        thread and concurrent flush threads may grow the same array)."""
+        with self._resize_lock:
+            if "0" not in pos:
+                pos.create_zeros("0", (t + 1, n_total_ch, z_stop, *shape_yx), np.float32)
+            img = pos["0"]
+            if img.shape[0] <= t or img.shape[2] < z_stop:
+                img.resize(
+                    (
+                        max(t + 1, img.shape[0]),
+                        img.shape[1],
+                        max(z_stop, img.shape[2]),
+                        *img.shape[-2:],
+                    )
+                )
+            return img
 
     def _write_sample(
         self, pred: np.ndarray, img_name: str, t: int, z_start: int, source: np.ndarray | None
@@ -178,21 +214,9 @@ class HCSPredictionWriter(Callback):
         z_padding = self._z_window_size // 2 if cz == 1 else max(0, (self._z_window_size - cz) // 2)
         z_index = z_start + z_padding
         z_slice = slice(z_index, z_index + cz)
-        if "0" not in pos:
-            total_ch = getattr(self, "_channel_offset", 0) + n_ch
-            shape = (t + 1, total_ch, z_slice.stop, *pred.shape[-2:])
-            pos.create_zeros("0", shape, np.float32)
-        img = pos["0"]
-        # grow T/Z on demand (reference ``_resize_image``)
-        if img.shape[0] <= t or img.shape[2] < z_slice.stop:
-            img.resize(
-                (
-                    max(t + 1, img.shape[0]),
-                    img.shape[1],
-                    max(z_slice.stop, img.shape[2]),
-                    *img.shape[-2:],
-                )
-            )
+        total_ch = getattr(self, "_channel_offset", 0) + n_ch
+        # create/grow T/Z on demand (reference ``_resize_image``)
+        img = self._ensure_image(pos, t, z_slice.stop, pred.shape[-2:], total_ch)
         offset = getattr(self, "_channel_offset", 0) + (
             len(self._source_channels) if self.write_input else 0
         )
@@ -207,7 +231,12 @@ class HCSPredictionWriter(Callback):
                 # blend into the RAM buffer; one zarr write per (fov, t)
                 key = (img_name, t, tuple(pred_idx))
                 for other in [k for k in self._assembly if k != key]:
-                    self._flush_assembly(other)
+                    # completed fov: hand its buffer to the flush pool so the
+                    # whole-slab compress+write overlaps THIS fov's blending
+                    buf_done = self._assembly.pop(other)
+                    self._flush_pending.append(
+                        self._flush_pool.submit(self._flush_assembly, other, buf_done)
+                    )
                 buf = self._assembly.get(key)
                 if buf is None or buf.shape[1] < z_slice.stop:
                     grown = np.zeros(
@@ -222,36 +251,36 @@ class HCSPredictionWriter(Callback):
             pred = blend_in(old, pred, z_slice)
         img.oindex[t, pred_idx, z_slice] = pred
 
-    def _flush_assembly(self, key: tuple) -> None:
-        """Write one assembled (fov, t) buffer to the store (runs on the
-        writer thread, like ``_write_sample``)."""
-        buf = self._assembly.pop(key, None)
+    def _flush_assembly(self, key: tuple, buf: np.ndarray | None = None) -> None:
+        """Write one assembled (fov, t) buffer to the store. Runs on the
+        flush pool; concurrent flushes touch disjoint (t, channel, fov)
+        regions, with create/resize serialized by ``_ensure_image``."""
+        if buf is None:
+            buf = self._assembly.pop(key, None)
         if buf is None:
             return
         img_name, t, pred_idx = key
         pos = self._get_position(img_name)
-        img = pos["0"]
-        if img.shape[0] <= t or img.shape[2] < buf.shape[1]:
-            img.resize(
-                (
-                    max(t + 1, img.shape[0]),
-                    img.shape[1],
-                    max(buf.shape[1], img.shape[2]),
-                    *img.shape[-2:],
-                )
-            )
+        total_ch = getattr(self, "_channel_offset", 0) + len(self._channels)
+        img = self._ensure_image(pos, t, buf.shape[1], buf.shape[-2:], total_ch)
         img.oindex[t, list(pred_idx), slice(0, buf.shape[1])] = buf
 
     def on_predict_end(self, trainer, module) -> None:
         if self._pool is not None:
             # complete all queued window writes FIRST (they populate the
-            # assembly buffers), then flush the assembled FOVs on the same
-            # writer thread so the serialized write order is preserved
+            # assembly buffers), then flush the remaining assembled FOVs
             self._drain(max_pending=0)
             for key in list(self._assembly):
-                self._pending.append(self._pool.submit(self._flush_assembly, key))
-            self._drain(max_pending=0)
+                self._flush_pending.append(
+                    self._flush_pool.submit(
+                        self._flush_assembly, key, self._assembly.pop(key)
+                    )
+                )
+            while self._flush_pending:
+                self._flush_pending.pop(0).result()
             self._pool.shutdown(wait=True)
+            self._flush_pool.shutdown(wait=True)
             self._pool = None
+            self._flush_pool = None
         self._plate = None
         self._positions.clear()
