@@ -52,15 +52,36 @@ _PEAK_BF16_TFLOPS = {
     "h100": 990.0,  # dense (no 2:4 sparsity), for the roofline cross-check
 }
 
+# peak HBM GB/s per chip, for the memory-roofline accounting that gives the
+# MFU number its context (tools/roofline.py: the production step's arithmetic
+# intensity is ~39 FLOP/byte, well under the v5e's ~240 FLOP/byte ridge, so
+# the step is memory-bound and HBM utilization is the honest efficiency axis)
+_PEAK_HBM_GBPS = {
+    "v5e": 819.0,
+    "v5 lite": 819.0,
+    "v5p": 2765.0,
+    "v4": 1228.0,
+    "v6": 1640.0,
+    "h100": 3350.0,  # SXM HBM3
+}
 
-def _peak_tflops() -> float | None:
+
+def _chip_peak(table) -> float | None:
     import jax
 
     kind = jax.devices()[0].device_kind.lower()
-    for key, tflops in _PEAK_BF16_TFLOPS.items():
+    for key, val in table.items():
         if key in kind:
-            return tflops
+            return val
     return None
+
+
+def _peak_tflops() -> float | None:
+    return _chip_peak(_PEAK_BF16_TFLOPS)
+
+
+def _peak_hbm_gbps() -> float | None:
+    return _chip_peak(_PEAK_HBM_GBPS)
 
 if os.environ.get("BENCH_TINY") == "1":
     # smoke-test mode for CPU CI: tiny shapes + tiny model, same code path
@@ -157,12 +178,15 @@ def bench_production_step(graft, mesh, n_dev: int, batch_per_chip: int, n_steps:
     # XLA cost analysis of the compiled step for MFU accounting (the
     # persistent compile cache dedupes this against the warmup compile)
     flops_per_step = None
+    bytes_per_step = None
     try:
         ca = step.lower(state, device_batch, jax.random.fold_in(key, 0)).compile().cost_analysis()
         if isinstance(ca, list):
             ca = ca[0]
         if ca and "flops" in ca:
             flops_per_step = float(ca["flops"])
+        if ca and "bytes accessed" in ca:
+            bytes_per_step = float(ca["bytes accessed"])
     except Exception:
         pass
 
@@ -179,7 +203,7 @@ def bench_production_step(graft, mesh, n_dev: int, batch_per_chip: int, n_steps:
     final_loss = float(jax.device_get(loss))
     dt = time.perf_counter() - t0
     assert np.isfinite(final_loss), f"non-finite loss {final_loss}"
-    return b * n_steps / dt / n_dev, flops_per_step
+    return b * n_steps / dt / n_dev, flops_per_step, bytes_per_step
 
 
 def bench_e2e(graft, mesh, n_dev: int, batch_per_chip: int, n_steps: int):
@@ -532,7 +556,7 @@ def main() -> None:
     batch_per_chip = int(os.environ.get("BENCH_BATCH", "16"))
     n_steps = int(os.environ.get("BENCH_STEPS", "10"))
 
-    prod, flops_per_step = bench_production_step(
+    prod, flops_per_step, bytes_per_step = bench_production_step(
         graft, mesh, n_dev, batch_per_chip, n_steps
     )
 
@@ -561,6 +585,18 @@ def main() -> None:
             # peak_h100/peak_chip x our patches/s — the roofline context for
             # the vs_baseline anchor
             out["h100_equal_mfu_patches_per_sec"] = round(prod * 990.0 / peak, 1)
+        # memory roofline (tools/roofline.py): this step is HBM-bound — its
+        # arithmetic intensity sits far below the chip's compute/bandwidth
+        # ridge — so roofline attainment, not MFU, is the efficiency measure
+        hbm = _peak_hbm_gbps()
+        if bytes_per_step and peak and hbm:
+            step_dt = 1.0 / steps_per_sec
+            t_flops = flops_per_step / (n_dev * peak * 1e12)
+            t_bytes = bytes_per_step / (n_dev * hbm * 1e9)
+            out["hbm_bytes_per_step_gb"] = round(bytes_per_step / 1e9, 2)
+            out["hbm_util"] = round(t_bytes / step_dt, 4)
+            out["roofline_bound_ms"] = round(max(t_flops, t_bytes) * 1e3, 1)
+            out["roofline_attainment"] = round(max(t_flops, t_bytes) / step_dt, 4)
     if os.environ.get("BENCH_SKIP_HOST") != "1":
         try:
             host_keys, per_core = bench_host_pipeline()
