@@ -36,6 +36,14 @@ def _uniform_filter(x: Array, kernel_size: tuple[int, int, int]) -> Array:
         ax = 2 + axis
         if k == 1:
             continue
+        if k == y.shape[ax]:
+            # full-axis window (always the case for depth in ssim_25d): a
+            # plain mean reduction. The cumsum path below would materialize
+            # a full-size f32 prefix tensor (and another in its backward);
+            # the reduction fuses with the elementwise producer (p*p etc.)
+            # into one pass over the input and its VJP is a broadcast.
+            y = y.mean(axis=ax, keepdims=True)
+            continue
         cs = jnp.cumsum(y, axis=ax)
         pad = [(0, 0)] * y.ndim
         pad[ax] = (1, 0)
