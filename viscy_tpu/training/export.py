@@ -48,14 +48,39 @@ def export_model(module, export_cfg: dict) -> Path:
     from jax import export as jax_export
 
     x = jnp.asarray(example["source"])
-    fn = jax.jit(lambda v, inp: module.forward(v, inp))
     # dynamic batch dimension (reference exports dynamic axes in ONNX)
     batch = jax_export.symbolic_shape("b")[0]
     x_poly = jax.ShapeDtypeStruct((batch, *x.shape[1:]), x.dtype)
-    exported = jax_export.export(fn)(
-        jax.tree_util.tree_map(lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), variables),
-        x_poly,
-    )
+    if export_cfg.get("embed_params", False):
+        # self-contained artifact (the ONNX analog: weights baked in) —
+        # consumers call it with just the input batch, see load_exported
+        fn = jax.jit(lambda inp: module.forward(variables, inp))
+        exported = jax_export.export(fn)(x_poly)
+    else:
+        fn = jax.jit(lambda v, inp: module.forward(v, inp))
+        exported = jax_export.export(fn)(
+            jax.tree_util.tree_map(
+                lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), variables
+            ),
+            x_poly,
+        )
     out.write_bytes(exported.serialize())
     _logger.info(f"Serialized StableHLO module to {out}")
     return out
+
+
+def load_exported(path):
+    """Deserialize a StableHLO artifact written by :func:`export_model` and
+    return its call function.
+
+    With ``embed_params: true`` exports, the returned function takes only
+    the input batch (``fn(x)``); otherwise it takes ``fn(variables, x)``
+    with the same variables pytree the model was exported with. The call
+    runs on whatever backend is active — the serving path for exported
+    models (reference consumers run the ONNX export in onnxruntime;
+    ``viscy_utils/trainer.py:90``).
+    """
+    from jax import export as jax_export
+
+    exported = jax_export.deserialize(Path(path).read_bytes())
+    return exported.call
