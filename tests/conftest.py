@@ -17,6 +17,12 @@ if "xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Tests that spawn CLI subprocesses must not inherit the remote-TPU plugin
+# env: its sitecustomize register() can block interpreter STARTUP for
+# minutes when the TPU tunnel is unreachable (observed: `python -m
+# viscy_tpu.apps.dynacell --help` hanging >110 s with the var set, 10 s
+# without). Tests are CPU-only either way.
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 
 from pathlib import Path
 

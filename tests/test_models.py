@@ -459,3 +459,61 @@ def test_channels_last_loss_exactness():
     flat_nc = jax.tree_util.tree_leaves(g_nc)
     for a, b in zip(flat_cl, flat_nc):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+
+def test_bf16_loss_closeness():
+    """VSUNet's bf16 loss path (byte-cutting opt-in: loss inputs cast to
+    bf16, math still f32) must stay within bf16 input-rounding error of the
+    f32 path: loss close, gradients well-aligned (cosine ~1)."""
+    import jax
+    import numpy as np
+
+    from viscy_tpu.apps.cytoland.engine import VSUNet
+    from viscy_tpu.training.losses.mixed_loss import MixedLoss
+
+    def build(bf: bool) -> VSUNet:
+        return VSUNet(
+            architecture="fcmae",
+            model_config=dict(
+                in_channels=1,
+                out_channels=2,
+                encoder_blocks=(1, 1, 2, 1),
+                dims=(16, 32, 64, 128),
+                stem_kernel_size=(5, 4, 4),
+                in_stack_depth=5,
+                pretraining=False,
+            ),
+            loss_function=MixedLoss(l1_alpha=0.5, l2_alpha=0.0, ms_dssim_alpha=0.5),
+            bf16_loss=bf,
+        )
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "source": jnp.asarray(rng.random((2, 1, 5, 32, 32)).astype(np.float32)),
+        "target": jnp.asarray(rng.random((2, 2, 5, 32, 32)).astype(np.float32)),
+    }
+    m_bf, m_f32 = build(True), build(False)
+    variables = m_bf.init_variables(jax.random.PRNGKey(0), batch)
+    key = jax.random.PRNGKey(1)
+
+    def loss_of(module):
+        def f(params):
+            v = {"params": params, **{k: variables[k] for k in variables if k != "params"}}
+            loss, _ = module.training_loss(v, batch, key)
+            return loss
+
+        return f
+
+    l_bf, g_bf = jax.value_and_grad(loss_of(m_bf))(variables["params"])
+    l_f, g_f = jax.value_and_grad(loss_of(m_f32))(variables["params"])
+    # the f32 test model's prediction AND the target both round to bf16
+    # (~0.4% relative input noise); the loss is O(1)
+    np.testing.assert_allclose(float(l_bf), float(l_f), atol=2e-2)
+    va = np.concatenate(
+        [np.ravel(np.asarray(x)) for x in jax.tree_util.tree_leaves(g_bf)]
+    ).astype(np.float64)
+    vb = np.concatenate(
+        [np.ravel(np.asarray(x)) for x in jax.tree_util.tree_leaves(g_f)]
+    ).astype(np.float64)
+    cos = float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb) + 1e-30))
+    assert cos > 0.99, cos

@@ -97,6 +97,7 @@ class VSUNet(TrainModule):
         tile_yx: Sequence[int] | None = None,
         tile_batch: int = 72,
         channels_last_loss: bool = False,
+        bf16_loss: bool = False,
         encoder_only: bool = False,
     ) -> None:
         net_class = _UNET_ARCHITECTURE.get(architecture)
@@ -164,6 +165,14 @@ class VSUNet(TrainModule):
         # phase matmuls + target pack measured net-slower than the NCDHW
         # baseline (226 vs 196 ms/step; docs/STATUS.md round-3 notes)
         self.channels_last_loss = channels_last_loss
+        # byte-cutting opt-in for HBM-bound training (docs/STATUS.md
+        # roofline): feed the loss bf16 inputs so its full-voxel reads —
+        # the largest tensors in the step — ship half the bytes. All loss
+        # math still runs in f32 (casts fuse into the stat reductions);
+        # the only value change is the target's one-time bf16 rounding.
+        # A bf16-dtype model's prediction is bit-exactly representable in
+        # bf16, so its cast is a no-op numerically.
+        self.bf16_loss = bf16_loss
         if encoder_only and ckpt_path is None:
             _logger.warning("encoder_only=True has no effect without ckpt_path")
         self.encoder_only = encoder_only
@@ -197,6 +206,9 @@ class VSUNet(TrainModule):
     def _compute_loss(self, pred: Array, target: Array, batch: dict) -> Array:
         if "fg_mask" in batch:
             return self.loss_function(pred, target, fg_mask=batch["fg_mask"])
+        if self.bf16_loss and isinstance(self.loss_function, MixedLoss):
+            pred = pred.astype(jnp.bfloat16)
+            target = target.astype(jnp.bfloat16)
         return self.loss_function(pred, target)
 
     def _use_channels_last_loss(self, batch: dict) -> bool:

@@ -228,6 +228,95 @@ class GRN(nn.Module):
         return gamma * (x * nx) + beta + x
 
 
+class _LNParams(nn.Module):
+    """Parameter-tree stand-in for ``nn.LayerNorm`` (scale/bias) used by the
+    fused-MLP path; identical names, shapes, and initializers keep the
+    variable tree (and converted checkpoints) byte-compatible."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        return (
+            self.param("scale", nn.initializers.ones, (self.dim,)),
+            self.param("bias", nn.initializers.zeros, (self.dim,)),
+        )
+
+
+class _DenseParams(nn.Module):
+    """Parameter-tree stand-in for ``nn.Dense`` (kernel/bias)."""
+
+    in_dim: int
+    out_dim: int
+
+    @nn.compact
+    def __call__(self):
+        return (
+            self.param(
+                "kernel",
+                nn.initializers.lecun_normal(),
+                (self.in_dim, self.out_dim),
+            ),
+            self.param("bias", nn.initializers.zeros, (self.out_dim,)),
+        )
+
+
+class _GRNParams(nn.Module):
+    """Parameter-tree stand-in for :class:`GRN` (gamma/beta)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        return (
+            self.param("gamma", nn.initializers.zeros, (self.dim,)),
+            self.param("beta", nn.initializers.zeros, (self.dim,)),
+        )
+
+
+def _try_fused_mlp(
+    parent,
+    x: Array,
+    shortcut: Array,
+    dim: int,
+    hidden: int,
+) -> Array | None:
+    """Run LN->fc1->gelu->GRN->fc2->(+shortcut) through the two-pass Pallas
+    kernel (ops/pallas/fused_block.py) when shapes/dtypes allow; returns
+    None when the caller should fall back to the unfused modules. Declares
+    parameters under the same names (norm/fc1/grn/fc2) as the unfused path
+    so both variants share one variable tree."""
+    from viscy_tpu.ops.pallas import fused_block as _fb
+    from viscy_tpu.ops.pallas.fused_block import fused_mlp_grn, pick_s_tile
+
+    interpret = _fb.FORCE_INTERPRET
+    b, h, w, c = x.shape
+    if (
+        (not interpret and jax.devices()[0].platform != "tpu")
+        or x.dtype != shortcut.dtype
+        or pick_s_tile(h * w, 512) is None
+    ):
+        return None
+    ln_s, ln_b = _LNParams(dim, name="norm", parent=parent)()
+    w1, b1 = _DenseParams(dim, hidden, name="fc1", parent=parent)()
+    gg, gb = _GRNParams(hidden, name="grn", parent=parent)()
+    w2, b2 = _DenseParams(hidden, dim, name="fc2", parent=parent)()
+    out = fused_mlp_grn(
+        x.reshape(b, h * w, c),
+        shortcut.reshape(b, h * w, c),
+        ln_s,
+        ln_b,
+        w1,
+        b1,
+        gg,
+        gb,
+        w2,
+        b2,
+        interpret=interpret,
+    )
+    return out.reshape(b, h, w, c)
+
+
 class ConvNeXtBlock(nn.Module):
     """ConvNeXt block: 7x7 depthwise conv -> LN -> MLP (fc1/act/[GRN]/fc2).
 
@@ -235,6 +324,14 @@ class ConvNeXtBlock(nn.Module):
     enables the v1 layer-scale path. ``dtype`` sets the activation compute
     dtype (bf16 on TPU halves HBM traffic; params stay f32; norms/GRN
     statistics accumulate in f32).
+
+    ``fused_mlp=True`` routes the LN->fc1->gelu->GRN->fc2->residual segment
+    through the two-pass Pallas kernel (ops/pallas/fused_block.py), which
+    recomputes fc1 in VMEM instead of materializing the ``mlp_ratio``-wide
+    tensors in HBM — the dominant activation traffic of the HBM-bound
+    production step. Value semantics and the parameter tree are identical
+    (pinned in tests/test_fused_block.py); falls back to the unfused path
+    for v1 blocks, active stochastic depth, or shapes with no tile divisor.
     """
 
     dim: int
@@ -244,6 +341,7 @@ class ConvNeXtBlock(nn.Module):
     ls_init_value: float | None = None
     drop_path: float = 0.0
     dtype: object = None
+    fused_mlp: bool = False
 
     @nn.compact
     def __call__(self, x: Array, deterministic: bool = True) -> Array:
@@ -256,8 +354,17 @@ class ConvNeXtBlock(nn.Module):
             dtype=self.dtype,
             name="dwconv",
         )(x)
-        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
         hidden = self.mlp_ratio * self.dim
+        if (
+            self.fused_mlp
+            and self.use_grn
+            and self.ls_init_value is None
+            and (self.drop_path == 0.0 or deterministic)
+        ):
+            out = _try_fused_mlp(self, x, shortcut, self.dim, hidden)
+            if out is not None:
+                return out
+        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
         x = nn.Dense(hidden, dtype=self.dtype, name="fc1")(x)
         x = nn.gelu(x, approximate=False)
         if self.use_grn:
@@ -292,6 +399,7 @@ class ConvNeXtStage(nn.Module):
     ls_init_value: float | None = None
     drop_path_rates: Sequence[float] | None = None
     dtype: object = None
+    fused_mlp: bool = False
 
     @nn.compact
     def __call__(self, x: Array, deterministic: bool = True) -> Array:
@@ -316,6 +424,7 @@ class ConvNeXtStage(nn.Module):
                 ls_init_value=self.ls_init_value,
                 drop_path=rates[i],
                 dtype=self.dtype,
+                fused_mlp=self.fused_mlp,
                 name=f"block{i}",
             )(x, deterministic)
         return x
@@ -336,6 +445,7 @@ class MultiscaleEncoder(nn.Module):
     drop_path_rate: float = 0.0
     stem_norm: bool = True
     dtype: object = None
+    fused_mlp: bool = False
 
     @nn.compact
     def __call__(self, x: Array, deterministic: bool = True) -> list[Array]:
@@ -355,6 +465,7 @@ class MultiscaleEncoder(nn.Module):
                 ls_init_value=self.ls_init_value,
                 drop_path_rates=dp_rates[start : start + depth],
                 dtype=self.dtype,
+                fused_mlp=self.fused_mlp,
                 name=f"stage{i}",
             )(x, deterministic)
             features.append(x)
@@ -377,6 +488,7 @@ class UNeXt2UpStage(nn.Module):
     conv_blocks: int = 2
     use_grn: bool = True
     dtype: object = None
+    fused_mlp: bool = False
 
     @nn.compact
     def __call__(self, x: Array, skip: Array | None, deterministic: bool = True) -> Array:
@@ -390,6 +502,7 @@ class UNeXt2UpStage(nn.Module):
             stride=1,
             use_grn=self.use_grn,
             dtype=self.dtype,
+            fused_mlp=self.fused_mlp,
             name="conv",
         )(x, deterministic)
         return x
@@ -408,6 +521,7 @@ class UNeXt2Decoder(nn.Module):
     use_grn: bool = True
     dtype: object = None
     remat: bool = False
+    fused_mlp: bool = False
 
     @nn.compact
     def __call__(self, features: Sequence[Array], deterministic: bool = True) -> Array:
@@ -424,6 +538,7 @@ class UNeXt2Decoder(nn.Module):
                 conv_blocks=self.conv_blocks,
                 use_grn=self.use_grn,
                 dtype=self.dtype,
+                fused_mlp=self.fused_mlp,
                 name=f"stage{i}",
             )(feat, skips[i], deterministic)
         return feat

@@ -79,6 +79,7 @@ class MaskedConvNeXtV2Block(nn.Module):
     mlp_ratio: int = 4
     drop_path: float = 0.0
     dtype: object = None
+    fused_mlp: bool = False
 
     @nn.compact
     def __call__(self, x: Array, mask2d: Array | None = None, deterministic: bool = True) -> Array:
@@ -102,8 +103,20 @@ class MaskedConvNeXtV2Block(nn.Module):
         )(x)
         if m is not None:
             x = x * m
-        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
         hidden = self.mlp_ratio * self.dim
+        if (
+            self.fused_mlp
+            and mask2d is None
+            and (self.drop_path == 0.0 or deterministic)
+        ):
+            # unmasked (supervised/inference) path: identical math to the
+            # unfused modules below, fc1 recomputed in VMEM
+            from viscy_tpu.models.components.blocks import _try_fused_mlp
+
+            out = _try_fused_mlp(self, x, shortcut, self.dim, hidden)
+            if out is not None:
+                return out
+        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
         x = nn.Dense(hidden, dtype=self.dtype, name="fc1")(x)
         x = nn.gelu(x, approximate=False)
         x = MaskedGRN(hidden, name="grn")(x, mask2d)
@@ -125,6 +138,7 @@ class MaskedConvNeXtV2Stage(nn.Module):
     num_blocks: int = 2
     drop_path_rates: Sequence[float] | None = None
     dtype: object = None
+    fused_mlp: bool = False
 
     @nn.compact
     def __call__(self, x: Array, unmasked: Array | None = None, deterministic: bool = True) -> Array:
@@ -149,6 +163,7 @@ class MaskedConvNeXtV2Stage(nn.Module):
                 kernel_size=self.kernel_size,
                 drop_path=rates[i],
                 dtype=self.dtype,
+                fused_mlp=self.fused_mlp,
                 name=f"block{i}",
             )(x, mask2d, deterministic)
         return x
@@ -165,6 +180,7 @@ class MaskedMultiscaleEncoder(nn.Module):
     in_stack_depth: int = 5
     dtype: object = None
     remat: bool = False
+    fused_mlp: bool = False
 
     @property
     def total_stride(self) -> int:
@@ -206,6 +222,7 @@ class MaskedMultiscaleEncoder(nn.Module):
                 num_blocks=num_blocks,
                 drop_path_rates=[self.drop_path_rate] * num_blocks,
                 dtype=self.dtype,
+                fused_mlp=self.fused_mlp,
                 name=f"stage{i}",
             )(y, unmasked, deterministic)
             features.append(y)
@@ -232,6 +249,7 @@ class FullyConvolutionalMAE(nn.Module):
     head_conv_pool: bool = True
     dtype: object = None
     remat: bool = False
+    fused_mlp: bool = False
 
     @property
     def num_blocks(self) -> int:
@@ -263,6 +281,7 @@ class FullyConvolutionalMAE(nn.Module):
             in_stack_depth=self.in_stack_depth,
             dtype=self.dtype,
             remat=self.remat,
+            fused_mlp=self.fused_mlp,
             name="encoder",
         )(x, mask_ratio, deterministic)
         features = features[::-1]
@@ -285,6 +304,7 @@ class FullyConvolutionalMAE(nn.Module):
             use_grn=True,
             dtype=self.dtype,
             remat=self.remat,
+            fused_mlp=self.fused_mlp,
             name="decoder",
         )(features, deterministic)
         if self.head_conv:
@@ -298,6 +318,11 @@ class FullyConvolutionalMAE(nn.Module):
                 name="head",
             )(feat)
         else:
+            # the shuffle head is pure data movement plus an r x r mean
+            # blur: run it in the activation dtype (its full-voxel tensors
+            # are the largest in the model — f32 here doubled the head's
+            # HBM traffic) and convert to f32 at the end, fused into the
+            # head's final transpose
             out = PixelToVoxelShuffleHead(
                 in_channels=decoder_channels[-1],
                 out_channels=self.out_channels,
@@ -305,7 +330,8 @@ class FullyConvolutionalMAE(nn.Module):
                 xy_scaling=self.stem_kernel_size[-1],
                 pool=True,
                 name="head",
-            )(feat.astype(jnp.float32), out_layout=out_layout)
+            )(feat, out_layout=out_layout)
+            out = out.astype(jnp.float32)
         if self.pretraining:
             return out, mask
         return out

@@ -38,6 +38,7 @@ class UNeXt2(nn.Module):
     head_expansion_ratio: int = 4
     drop_path_rate: float = 0.0
     dtype: object = None
+    fused_mlp: bool = False
 
     @property
     def num_blocks(self) -> int:
@@ -77,6 +78,7 @@ class UNeXt2(nn.Module):
             ls_init_value=None if use_grn else 1e-6,
             drop_path_rate=self.drop_path_rate,
             dtype=self.dtype,
+            fused_mlp=self.fused_mlp,
             name="encoder",
         )(x, deterministic)
         features = features[::-1]
@@ -92,6 +94,7 @@ class UNeXt2(nn.Module):
             conv_blocks=self.decoder_conv_blocks,
             use_grn=True,
             dtype=self.dtype,
+            fused_mlp=self.fused_mlp,
             name="decoder",
         )(features, deterministic)
         return PixelToVoxelHead(

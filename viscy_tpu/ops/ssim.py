@@ -295,13 +295,21 @@ def ms_ssim_25d(
         if clamp:
             cs = jnp.clip(cs, base_min, None)
         mcs_list.append(cs)
-        # downsample H, W only (avg pool 2x2 on the in-plane axes)
-        p = jax.lax.reduce_window(
-            p.astype(jnp.float32), 0.0, jax.lax.add, window, window, "VALID"
-        ) / 4.0
-        t = jax.lax.reduce_window(
-            t.astype(jnp.float32), 0.0, jax.lax.add, window, window, "VALID"
-        ) / 4.0
+        # downsample H, W only (avg pool 2x2 on the in-plane axes);
+        # accumulate in f32 but keep the pyramid in the input dtype so a
+        # bf16 caller's coarse scales also read half the bytes
+        p = (
+            jax.lax.reduce_window(
+                p.astype(jnp.float32), 0.0, jax.lax.add, window, window, "VALID"
+            )
+            / 4.0
+        ).astype(p.dtype)
+        t = (
+            jax.lax.reduce_window(
+                t.astype(jnp.float32), 0.0, jax.lax.add, window, window, "VALID"
+            )
+            / 4.0
+        ).astype(t.dtype)
     if clamp:
         ssim = jnp.clip(ssim, base_min, None)
     mcs_list[-1] = ssim

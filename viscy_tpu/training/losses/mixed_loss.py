@@ -30,17 +30,23 @@ class MixedLoss:
     def __call__(
         self, preds: Array, target: Array, data_format: str = "ncdhw"
     ) -> Array:
-        """``data_format="nhwcd"`` computes the identical loss on
-        (B, H, W, C, D) volumes — the models' native head layout — so the
-        differentiated prediction never pays an NCDHW transpose (the
-        no-grad target is transposed once by the caller instead)."""
-        preds = preds.astype(jnp.float32)
-        target = target.astype(jnp.float32)
+        """``data_format=("phase", C, D, r)`` computes the identical loss
+        on the head's packed pre-shuffle phase layout (B, h, w, C*D*r*r) —
+        see ``ops/ssim._ms_ssim_phase`` — so the differentiated prediction
+        never pays the pixel-shuffle + NCDHW transpose (the no-grad target
+        is packed once by the caller instead).
+
+        Inputs may be bf16: every term upcasts at its own consumer (the
+        casts fuse into the stat reductions, so bf16 inputs are read from
+        HBM at half the bytes) and all arithmetic/accumulation runs f32.
+        """
         loss = 0.0
         if self.l1_alpha:
-            loss += jnp.abs(preds - target).mean() * self.l1_alpha
+            diff = preds.astype(jnp.float32) - target.astype(jnp.float32)
+            loss += jnp.abs(diff).mean() * self.l1_alpha
         if self.l2_alpha:
-            loss += jnp.square(preds - target).mean() * self.l2_alpha
+            diff = preds.astype(jnp.float32) - target.astype(jnp.float32)
+            loss += jnp.square(diff).mean() * self.l2_alpha
         if self.ms_dssim_alpha:
             ms_ssim = ms_ssim_25d(preds, target, clamp=True, data_format=data_format)
             loss += (1 - ms_ssim) * self.ms_dssim_alpha
