@@ -102,6 +102,75 @@ def test_gradients_match_autodiff():
         )
 
 
+def test_masked_forward_and_grads():
+    """FCMAE masked semantics: GRN stats over mask-zeroed activations,
+    branch zeroed before the residual; fwd and VJP vs the masked oracle."""
+    args = _make_args(b=2, s=64, c=16, m=48)
+    rng = np.random.default_rng(3)
+    mask = jnp.asarray((rng.random((2, 64)) > 0.4).astype(np.float32))
+    out = fused_mlp_grn(
+        *args, mask=mask, fwd_tile_cap=32, bwd_tile_cap=32, interpret=True
+    )
+    ref = reference_mlp_grn(*args, mask=mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6, atol=1e-6)
+
+    cot = jnp.asarray(rng.normal(0, 1, args[0].shape).astype(np.float32))
+
+    def loss_fused(*a):
+        return jnp.sum(
+            fused_mlp_grn(*a, mask=mask, fwd_tile_cap=32, bwd_tile_cap=32, interpret=True)
+            * cot
+        )
+
+    def loss_ref(*a):
+        return jnp.sum(reference_mlp_grn(*a, mask=mask) * cot)
+
+    g_fused = jax.grad(loss_fused, argnums=tuple(range(10)))(*args)
+    g_ref = jax.grad(loss_ref, argnums=tuple(range(10)))(*args)
+    for name, a, b in zip(ARG_NAMES, g_fused, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5, err_msg=name
+        )
+
+
+def test_fcmae_pretraining_fused_equivalence():
+    """Masked pretraining (mask_ratio > 0) through the fused kernel equals
+    the unfused model with the same mask rng."""
+    from viscy_tpu.models.unet.fcmae import FullyConvolutionalMAE
+    from viscy_tpu.ops.pallas import fused_block as fb
+
+    cfg = dict(
+        in_channels=1,
+        out_channels=1,
+        encoder_blocks=(1, 1, 2, 1),
+        dims=(16, 32, 64, 128),
+        stem_kernel_size=(5, 4, 4),
+        in_stack_depth=5,
+        pretraining=True,
+    )
+    m0 = FullyConvolutionalMAE(**cfg)
+    m1 = FullyConvolutionalMAE(**cfg, fused_mlp=True)
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(0, 1, (2, 1, 5, 32, 32)).astype(np.float32)
+    )
+    fb.FORCE_INTERPRET = True
+    try:
+        v = m0.init(
+            {"params": jax.random.PRNGKey(0), "mask": jax.random.PRNGKey(1)},
+            x,
+            mask_ratio=0.5,
+        )
+        rngs = {"mask": jax.random.PRNGKey(2)}
+        y0, k0 = m0.apply(v, x, mask_ratio=0.5, rngs=rngs)
+        y1, k1 = m1.apply(v, x, mask_ratio=0.5, rngs=rngs)
+        np.testing.assert_array_equal(np.asarray(k0), np.asarray(k1))
+        np.testing.assert_allclose(
+            np.asarray(y0), np.asarray(y1), rtol=1e-5, atol=1e-5
+        )
+    finally:
+        fb.FORCE_INTERPRET = False
+
+
 def test_no_divisor_raises():
     args = _make_args(s=36)
     with pytest.raises(ValueError):

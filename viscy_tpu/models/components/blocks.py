@@ -280,6 +280,7 @@ def _try_fused_mlp(
     shortcut: Array,
     dim: int,
     hidden: int,
+    mask2d: Array | None = None,
 ) -> Array | None:
     """Run LN->fc1->gelu->GRN->fc2->(+shortcut) through the two-pass Pallas
     kernel (ops/pallas/fused_block.py) when shapes/dtypes allow; returns
@@ -287,7 +288,7 @@ def _try_fused_mlp(
     parameters under the same names (norm/fc1/grn/fc2) as the unfused path
     so both variants share one variable tree."""
     from viscy_tpu.ops.pallas import fused_block as _fb
-    from viscy_tpu.ops.pallas.fused_block import fused_mlp_grn, pick_s_tile
+    from viscy_tpu.ops.pallas.fused_block import fits_vmem, fused_mlp_grn, pick_s_tile
 
     interpret = _fb.FORCE_INTERPRET
     b, h, w, c = x.shape
@@ -295,12 +296,14 @@ def _try_fused_mlp(
         (not interpret and jax.devices()[0].platform != "tpu")
         or x.dtype != shortcut.dtype
         or pick_s_tile(h * w, 512) is None
+        or not fits_vmem(h * w, dim, hidden)
     ):
         return None
     ln_s, ln_b = _LNParams(dim, name="norm", parent=parent)()
     w1, b1 = _DenseParams(dim, hidden, name="fc1", parent=parent)()
     gg, gb = _GRNParams(hidden, name="grn", parent=parent)()
     w2, b2 = _DenseParams(hidden, dim, name="fc2", parent=parent)()
+    mask = None if mask2d is None else mask2d.astype(x.dtype).reshape(b, h * w)
     out = fused_mlp_grn(
         x.reshape(b, h * w, c),
         shortcut.reshape(b, h * w, c),
@@ -312,6 +315,7 @@ def _try_fused_mlp(
         gb,
         w2,
         b2,
+        mask=mask,
         interpret=interpret,
     )
     return out.reshape(b, h, w, c)

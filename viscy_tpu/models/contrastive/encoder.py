@@ -31,6 +31,7 @@ class ContrastiveEncoder(nn.Module):
     embedding_dim: int = 768
     projection_dim: int = 128
     drop_path_rate: float = 0.0
+    fused_mlp: bool = False
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> tuple[Array, Array]:
@@ -53,6 +54,7 @@ class ContrastiveEncoder(nn.Module):
             use_grn=use_grn,
             ls_init_value=None if use_grn else 1e-6,
             drop_path_rate=self.drop_path_rate,
+            fused_mlp=self.fused_mlp,
             name="encoder",
         )(x, deterministic=not train)
         # classification-style head: global average pool -> LN -> fc

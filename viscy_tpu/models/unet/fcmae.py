@@ -104,16 +104,13 @@ class MaskedConvNeXtV2Block(nn.Module):
         if m is not None:
             x = x * m
         hidden = self.mlp_ratio * self.dim
-        if (
-            self.fused_mlp
-            and mask2d is None
-            and (self.drop_path == 0.0 or deterministic)
-        ):
-            # unmasked (supervised/inference) path: identical math to the
-            # unfused modules below, fc1 recomputed in VMEM
+        if self.fused_mlp and (self.drop_path == 0.0 or deterministic):
+            # identical math to the unfused modules below, fc1 recomputed
+            # in VMEM; mask2d (pretraining) selects the MaskedGRN-stats +
+            # branch-zeroing variant of the kernel
             from viscy_tpu.models.components.blocks import _try_fused_mlp
 
-            out = _try_fused_mlp(self, x, shortcut, self.dim, hidden)
+            out = _try_fused_mlp(self, x, shortcut, self.dim, hidden, mask2d)
             if out is not None:
                 return out
         x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)

@@ -73,6 +73,18 @@ def pick_s_tile(s: int, cap: int) -> int | None:
     return None
 
 
+def fits_vmem(s: int, c: int, m: int, bwd_tile_cap: int = 256, budget: int = 14 << 20) -> bool:
+    """Rough VMEM bound for the heaviest pass (bwd main): both weight
+    matrices (compute dtype) + the f32 ``dw1`` accumulator + the per-tile
+    activation buffers must fit. Blocks over budget (e.g. the 768->3072
+    encoder bottleneck, whose spatial map is tiny anyway) fall back to the
+    unfused path."""
+    ts = pick_s_tile(s, bwd_tile_cap) or s
+    weights = 2 * c * m * 2 + c * m * 4
+    tiles = 8 * ts * m + 14 * ts * c
+    return weights + tiles <= budget
+
+
 def _gelu_exact(u: Array) -> Array:
     # jax.nn.gelu(approximate=False) on the compute dtype
     return (u * (jax.lax.erf(u / _SQRT2) + 1) / 2).astype(u.dtype)
@@ -102,9 +114,16 @@ def _ln_fc1_gelu(x_tile, ln_s_ref, ln_b_ref, w1_ref, b1_ref, eps_ln, cdt):
     return _gelu_exact(u), u, ln, xhat, rstd
 
 
-def _stats_kernel(x_ref, ln_s_ref, ln_b_ref, w1_ref, b1_ref, ss_ref, *, eps_ln, cdt):
+def _stats_kernel(*refs, eps_ln, cdt, has_mask):
+    if has_mask:
+        x_ref, mk_ref, ln_s_ref, ln_b_ref, w1_ref, b1_ref, ss_ref = refs
+    else:
+        x_ref, ln_s_ref, ln_b_ref, w1_ref, b1_ref, ss_ref = refs
     t = pl.program_id(1)
     v, _, _, _, _ = _ln_fc1_gelu(x_ref[0], ln_s_ref, ln_b_ref, w1_ref, b1_ref, eps_ln, cdt)
+    if has_mask:
+        # MaskedGRN: statistics over mask-zeroed activations (fcmae.py:66)
+        v = v * mk_ref[0][:, None]
     v32 = v.astype(jnp.float32)
 
     @pl.when(t == 0)
@@ -114,23 +133,38 @@ def _stats_kernel(x_ref, ln_s_ref, ln_b_ref, w1_ref, b1_ref, ss_ref, *, eps_ln, 
     ss_ref[...] += jnp.sum(v32 * v32, axis=0, keepdims=True)
 
 
-def _apply_kernel(
-    x_ref,
-    sc_ref,
-    ln_s_ref,
-    ln_b_ref,
-    w1_ref,
-    b1_ref,
-    nxb_ref,
-    gg_ref,
-    gb_ref,
-    w2_ref,
-    b2_ref,
-    out_ref,
-    *,
-    eps_ln,
-    cdt,
-):
+def _apply_kernel(*refs, eps_ln, cdt, has_mask):
+    if has_mask:
+        (
+            x_ref,
+            sc_ref,
+            mk_ref,
+            ln_s_ref,
+            ln_b_ref,
+            w1_ref,
+            b1_ref,
+            nxb_ref,
+            gg_ref,
+            gb_ref,
+            w2_ref,
+            b2_ref,
+            out_ref,
+        ) = refs
+    else:
+        (
+            x_ref,
+            sc_ref,
+            ln_s_ref,
+            ln_b_ref,
+            w1_ref,
+            b1_ref,
+            nxb_ref,
+            gg_ref,
+            gb_ref,
+            w2_ref,
+            b2_ref,
+            out_ref,
+        ) = refs
     v, _, _, _, _ = _ln_fc1_gelu(x_ref[0], ln_s_ref, ln_b_ref, w1_ref, b1_ref, eps_ln, cdt)
     # GRN apply, replicating blocks.GRN dtype promotion: t = v*nx in the
     # compute dtype, then f32 (gamma/beta are f32 params), cast back at fc2
@@ -143,33 +177,55 @@ def _apply_kernel(
         jnp.dot(y, w2_ref[...], preferred_element_type=jnp.float32).astype(cdt)
         + b2_ref[...].astype(cdt)
     )
+    if has_mask:
+        # masked block zeroes the MLP branch before the residual add
+        z = z * mk_ref[0][:, None]
     out_ref[0] = sc_ref[0] + z
 
 
-def _bwd_stats_kernel(
-    x_ref,
-    g_ref,
-    ln_s_ref,
-    ln_b_ref,
-    w1_ref,
-    b1_ref,
-    nxb_ref,
-    gg_ref,
-    gb_ref,
-    w2_ref,
-    p_ref,
-    dbg_ref,
-    dw2_ref,
-    db2_ref,
-    *,
-    eps_ln,
-    cdt,
-):
+def _bwd_stats_kernel(*refs, eps_ln, cdt, has_mask):
+    if has_mask:
+        (
+            x_ref,
+            g_ref,
+            mk_ref,
+            ln_s_ref,
+            ln_b_ref,
+            w1_ref,
+            b1_ref,
+            nxb_ref,
+            gg_ref,
+            gb_ref,
+            w2_ref,
+            p_ref,
+            dbg_ref,
+            dw2_ref,
+            db2_ref,
+        ) = refs
+    else:
+        (
+            x_ref,
+            g_ref,
+            ln_s_ref,
+            ln_b_ref,
+            w1_ref,
+            b1_ref,
+            nxb_ref,
+            gg_ref,
+            gb_ref,
+            w2_ref,
+            p_ref,
+            dbg_ref,
+            dw2_ref,
+            db2_ref,
+        ) = refs
     b = pl.program_id(0)
     t = pl.program_id(1)
     step = b * pl.num_programs(1) + t
     v, _, _, _, _ = _ln_fc1_gelu(x_ref[0], ln_s_ref, ln_b_ref, w1_ref, b1_ref, eps_ln, cdt)
     dz = g_ref[0].astype(cdt)
+    if has_mask:
+        dz = dz * mk_ref[0][:, None]
     # dy = dz @ w2^T: contract the C axis of both
     dy = jax.lax.dot_general(
         dz, w2_ref[...], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -201,25 +257,42 @@ def _bwd_stats_kernel(
     db2_ref[...] += jnp.sum(dz.astype(jnp.float32), axis=0, keepdims=True)
 
 
-def _bwd_main_kernel(
-    x_ref,
-    g_ref,
-    ln_s_ref,
-    ln_b_ref,
-    w1_ref,
-    b1_ref,
-    w2_ref,
-    coef1_ref,
-    coef2_ref,
-    dx_ref,
-    dw1_ref,
-    db1_ref,
-    dls_ref,
-    dlb_ref,
-    *,
-    eps_ln,
-    cdt,
-):
+def _bwd_main_kernel(*refs, eps_ln, cdt, has_mask):
+    if has_mask:
+        (
+            x_ref,
+            g_ref,
+            mk_ref,
+            ln_s_ref,
+            ln_b_ref,
+            w1_ref,
+            b1_ref,
+            w2_ref,
+            coef1_ref,
+            coef2_ref,
+            dx_ref,
+            dw1_ref,
+            db1_ref,
+            dls_ref,
+            dlb_ref,
+        ) = refs
+    else:
+        (
+            x_ref,
+            g_ref,
+            ln_s_ref,
+            ln_b_ref,
+            w1_ref,
+            b1_ref,
+            w2_ref,
+            coef1_ref,
+            coef2_ref,
+            dx_ref,
+            dw1_ref,
+            db1_ref,
+            dls_ref,
+            dlb_ref,
+        ) = refs
     b = pl.program_id(0)
     t = pl.program_id(1)
     step = b * pl.num_programs(1) + t
@@ -227,11 +300,19 @@ def _bwd_main_kernel(
         x_ref[0], ln_s_ref, ln_b_ref, w1_ref, b1_ref, eps_ln, cdt
     )
     dz = g_ref[0].astype(cdt)
+    if has_mask:
+        dz = dz * mk_ref[0][:, None]
     dy = jax.lax.dot_general(
         dz, w2_ref[...], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
     v32 = v.astype(jnp.float32)
-    dv32 = dy * coef1_ref[...] + v32 * coef2_ref[...]
+    if has_mask:
+        # stats path saw v*m, so its cotangent carries m^2 (m is 0/1)
+        mk32 = mk_ref[0][:, None].astype(jnp.float32)
+        stats_v = v32 * (mk32 * mk32)
+    else:
+        stats_v = v32
+    dv32 = dy * coef1_ref[...] + stats_v * coef2_ref[...]
     du32 = dv32 * _gelu_grad_f32(u.astype(jnp.float32))
     du = du32.astype(cdt)
 
@@ -280,8 +361,8 @@ def _fixed_spec(shape):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _fused_mlp_grn(cfg, x, shortcut, ln_s, ln_b, w1, b1, gg, gb, w2, b2):
-    out, _ = _fwd(cfg, x, shortcut, ln_s, ln_b, w1, b1, gg, gb, w2, b2)
+def _fused_mlp_grn(cfg, x, shortcut, mask, ln_s, ln_b, w1, b1, gg, gb, w2, b2):
+    out, _ = _fwd(cfg, x, shortcut, mask, ln_s, ln_b, w1, b1, gg, gb, w2, b2)
     return out
 
 
@@ -293,7 +374,7 @@ def _grn_coeffs(ss, gg, eps_grn):
     return gx, m, nx
 
 
-def _fwd(cfg, x, shortcut, ln_s, ln_b, w1, b1, gg, gb, w2, b2):
+def _fwd(cfg, x, shortcut, mask, ln_s, ln_b, w1, b1, gg, gb, w2, b2):
     (eps_ln, eps_grn, fwd_cap, bwd_cap, interpret) = cfg
     bsz, s, c = x.shape
     m = w1.shape[1]
@@ -301,12 +382,19 @@ def _fwd(cfg, x, shortcut, ln_s, ln_b, w1, b1, gg, gb, w2, b2):
     ts = pick_s_tile(s, fwd_cap)
     w1c, b1c, w2c, b2c = (a.astype(cdt) for a in (w1, b1, w2, b2))
     grid = (bsz, s // ts)
-    kw = dict(eps_ln=eps_ln, cdt=cdt)
+    has_mask = mask is not None
+    kw = dict(eps_ln=eps_ln, cdt=cdt, has_mask=has_mask)
+    mask_in = []
+    mask_spec = []
+    if has_mask:
+        mask_in = [mask.astype(cdt)]
+        mask_spec = [pl.BlockSpec((1, ts), lambda b, t: (b, t))]
     ss = pl.pallas_call(
         functools.partial(_stats_kernel, **kw),
         grid=grid,
         in_specs=[
             _tile_spec(ts, c),
+            *mask_spec,
             _fixed_spec((c,)),
             _fixed_spec((c,)),
             _fixed_spec((c, m)),
@@ -315,7 +403,7 @@ def _fwd(cfg, x, shortcut, ln_s, ln_b, w1, b1, gg, gb, w2, b2):
         out_specs=_perb_spec(m),
         out_shape=jax.ShapeDtypeStruct((bsz, m), jnp.float32),
         interpret=interpret,
-    )(x, ln_s, ln_b, w1c, b1c)
+    )(x, *mask_in, ln_s, ln_b, w1c, b1c)
     _, _, nx = _grn_coeffs(ss, gg, eps_grn)
     nxb = nx.astype(cdt)
     out = pl.pallas_call(
@@ -324,6 +412,7 @@ def _fwd(cfg, x, shortcut, ln_s, ln_b, w1, b1, gg, gb, w2, b2):
         in_specs=[
             _tile_spec(ts, c),
             _tile_spec(ts, c),
+            *mask_spec,
             _fixed_spec((c,)),
             _fixed_spec((c,)),
             _fixed_spec((c, m)),
@@ -337,20 +426,26 @@ def _fwd(cfg, x, shortcut, ln_s, ln_b, w1, b1, gg, gb, w2, b2):
         out_specs=_tile_spec(ts, c),
         out_shape=jax.ShapeDtypeStruct((bsz, s, c), cdt),
         interpret=interpret,
-    )(x, shortcut, ln_s, ln_b, w1c, b1c, nxb, gg, gb, w2c, b2c)
-    return out, (x, ln_s, ln_b, w1, b1, gg, gb, w2, b2, ss)
+    )(x, shortcut, *mask_in, ln_s, ln_b, w1c, b1c, nxb, gg, gb, w2c, b2c)
+    return out, (x, mask, ln_s, ln_b, w1, b1, gg, gb, w2, b2, ss)
 
 
 def _bwd(cfg, res, g):
     (eps_ln, eps_grn, fwd_cap, bwd_cap, interpret) = cfg
-    x, ln_s, ln_b, w1, b1, gg, gb, w2, b2, ss = res
+    x, mask, ln_s, ln_b, w1, b1, gg, gb, w2, b2, ss = res
     bsz, s, c = x.shape
     m = w1.shape[1]
     cdt = x.dtype
     ts = pick_s_tile(s, bwd_cap)
     w1c, b1c, w2c, b2c = (a.astype(cdt) for a in (w1, b1, w2, b2))
     grid = (bsz, s // ts)
-    kw = dict(eps_ln=eps_ln, cdt=cdt)
+    has_mask = mask is not None
+    kw = dict(eps_ln=eps_ln, cdt=cdt, has_mask=has_mask)
+    mask_in = []
+    mask_spec = []
+    if has_mask:
+        mask_in = [mask.astype(cdt)]
+        mask_spec = [pl.BlockSpec((1, ts), lambda b, t: (b, t))]
     gx, mn, nx = _grn_coeffs(ss, gg, eps_grn)
     nxb = nx.astype(cdt)
     p, dbg_row, dw2, db2_row = pl.pallas_call(
@@ -359,6 +454,7 @@ def _bwd(cfg, res, g):
         in_specs=[
             _tile_spec(ts, c),
             _tile_spec(ts, c),
+            *mask_spec,
             _fixed_spec((c,)),
             _fixed_spec((c,)),
             _fixed_spec((c, m)),
@@ -381,7 +477,7 @@ def _bwd(cfg, res, g):
             jax.ShapeDtypeStruct((1, c), jnp.float32),
         ],
         interpret=interpret,
-    )(x, g, ln_s, ln_b, w1c, b1c, nxb, gg, gb, w2c)
+    )(x, g, *mask_in, ln_s, ln_b, w1c, b1c, nxb, gg, gb, w2c)
     gg32 = gg.astype(jnp.float32)
     # GRN cotangents from the accumulated P[b, m] = sum_s dy * v:
     #   A = dnx = gamma * P;     dgamma = sum_b P * nx;   dbeta from pass C
@@ -398,6 +494,7 @@ def _bwd(cfg, res, g):
         in_specs=[
             _tile_spec(ts, c),
             _tile_spec(ts, c),
+            *mask_spec,
             _fixed_spec((c,)),
             _fixed_spec((c,)),
             _fixed_spec((c, m)),
@@ -421,11 +518,13 @@ def _bwd(cfg, res, g):
             jax.ShapeDtypeStruct((1, c), jnp.float32),
         ],
         interpret=interpret,
-    )(x, g, ln_s, ln_b, w1c, b1c, w2c, coef1, coef2)
+    )(x, g, *mask_in, ln_s, ln_b, w1c, b1c, w2c, coef1, coef2)
     dsc = g.astype(x.dtype)
+    dmask = None if mask is None else jnp.zeros_like(mask)
     return (
         dx,
         dsc,
+        dmask,
         dls_row[0].astype(ln_s.dtype),
         dlb_row[0].astype(ln_b.dtype),
         dw1.astype(w1.dtype),
@@ -452,6 +551,7 @@ def fused_mlp_grn(
     w2: Array,
     b2: Array,
     *,
+    mask: Array | None = None,
     eps_ln: float = 1e-6,
     eps_grn: float = 1e-6,
     fwd_tile_cap: int = 512,
@@ -464,17 +564,22 @@ def fused_mlp_grn(
     ``x``/``shortcut`` are ``(B, S, C)`` (spatial flattened) in the
     block's compute dtype; parameters keep their natural (f32) dtype and
     are cast to the compute dtype exactly where the unfused flax modules
-    cast them. Gradients for all ten array arguments are defined via a
+    cast them. ``mask`` (0/1 floats, ``(B, S)``) enables the FCMAE masked
+    semantics: GRN statistics over mask-zeroed activations and the MLP
+    branch zeroed before the residual add (MaskedConvNeXtV2Block,
+    fcmae.py). Gradients for all array arguments are defined via a
     hand-derived VJP that recomputes fc1 per tile (pinned against
     autodiff of the unfused block in tests/test_fused_block.py).
     """
     if x.ndim != 3 or shortcut.shape != x.shape:
         raise ValueError(f"expected (B, S, C) pairs, got {x.shape} / {shortcut.shape}")
+    if mask is not None and mask.shape != x.shape[:2]:
+        raise ValueError(f"mask must be (B, S), got {mask.shape}")
     if pick_s_tile(x.shape[1], fwd_tile_cap) is None:
         raise ValueError(f"no multiple-of-8 tile divides S={x.shape[1]}")
     cfg = (eps_ln, eps_grn, fwd_tile_cap, bwd_tile_cap, bool(interpret))
     return _fused_mlp_grn(
-        cfg, x, shortcut, ln_scale, ln_bias, w1, b1, grn_gamma, grn_beta, w2, b2
+        cfg, x, shortcut, mask, ln_scale, ln_bias, w1, b1, grn_gamma, grn_beta, w2, b2
     )
 
 
@@ -490,11 +595,13 @@ def reference_mlp_grn(
     w2: Array,
     b2: Array,
     *,
+    mask: Array | None = None,
     eps_ln: float = 1e-6,
     eps_grn: float = 1e-6,
 ) -> Array:
     """Pure-jnp oracle replicating the unfused flax block segment
-    op-for-op (LayerNorm/Dense/GRN dtype promotion included)."""
+    op-for-op (LayerNorm/Dense/GRN dtype promotion included; masked
+    semantics match MaskedConvNeXtV2Block/MaskedGRN)."""
     cdt = x.dtype
     x32 = x.astype(jnp.float32)
     mu = jnp.mean(x32, axis=-1, keepdims=True)
@@ -508,17 +615,20 @@ def reference_mlp_grn(
         + b1.astype(cdt)
     )
     v = _gelu_exact(u)
-    v32 = v.astype(jnp.float32)
-    gx = jnp.sqrt(jnp.sum(v32 * v32, axis=1, keepdims=True))
+    vs = v if mask is None else v * mask.astype(cdt)[..., None]
+    vs32 = vs.astype(jnp.float32)
+    gx = jnp.sqrt(jnp.sum(vs32 * vs32, axis=1, keepdims=True))
     nx = gx / (jnp.mean(gx, axis=-1, keepdims=True) + eps_grn)
     t = v * nx.astype(cdt)
     y = (
         grn_gamma.astype(jnp.float32) * t.astype(jnp.float32)
         + grn_beta.astype(jnp.float32)
-        + v32
+        + v.astype(jnp.float32)
     ).astype(cdt)
     z = (
         jnp.dot(y, w2.astype(cdt), preferred_element_type=jnp.float32).astype(cdt)
         + b2.astype(cdt)
     )
+    if mask is not None:
+        z = z * mask.astype(cdt)[..., None]
     return shortcut + z
