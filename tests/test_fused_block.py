@@ -171,6 +171,38 @@ def test_fcmae_pretraining_fused_equivalence():
         fb.FORCE_INTERPRET = False
 
 
+def test_contrastive_encoder_fused_mlp_equivalence():
+    """ContrastiveEncoder(fused_mlp=True) on a v2 backbone matches the
+    unfused forward on the same parameters (v1 backbones fall back: the
+    fused kernel requires GRN and no layer scale)."""
+    from viscy_tpu.models.contrastive.encoder import ContrastiveEncoder
+    from viscy_tpu.ops.pallas import fused_block as fb
+
+    cfg = dict(
+        backbone="convnextv2_test",
+        in_channels=1,
+        in_stack_depth=5,
+        stem_kernel_size=(5, 4, 4),
+        stem_stride=(5, 4, 4),
+        embedding_dim=128,
+        projection_dim=32,
+    )
+    m0 = ContrastiveEncoder(**cfg)
+    m1 = ContrastiveEncoder(**cfg, fused_mlp=True)
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(0, 1, (2, 1, 5, 32, 32)).astype(np.float32)
+    )
+    fb.FORCE_INTERPRET = True
+    try:
+        v = m0.init(jax.random.PRNGKey(0), x)
+        e0, p0 = m0.apply(v, x)
+        e1, p1 = m1.apply(v, x)
+        np.testing.assert_allclose(np.asarray(e0), np.asarray(e1), rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(p0), np.asarray(p1), rtol=1e-5, atol=1e-5)
+    finally:
+        fb.FORCE_INTERPRET = False
+
+
 def test_no_divisor_raises():
     args = _make_args(s=36)
     with pytest.raises(ValueError):

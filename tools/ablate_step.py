@@ -29,7 +29,7 @@ def build_and_time(graft, benchmod, variant: str) -> float:
     if variant.startswith("b") and variant[1:].isdigit():
         b = int(variant[1:])
     n_steps = int(os.environ.get("ABL_STEPS", "10"))
-    if variant == "remat":
+    if variant in ("remat", "fused"):
         from viscy_tpu.apps.cytoland.engine import VSUNet
         from viscy_tpu.training.losses.mixed_loss import MixedLoss
 
@@ -39,7 +39,8 @@ def build_and_time(graft, benchmod, variant: str) -> float:
                 in_channels=1, out_channels=2, encoder_blocks=(3, 3, 9, 3),
                 dims=(96, 192, 384, 768), decoder_conv_blocks=2,
                 stem_kernel_size=(5, 4, 4), in_stack_depth=15,
-                pretraining=False, dtype="bfloat16", remat=True,
+                pretraining=False, dtype="bfloat16",
+                remat=variant == "remat", fused_mlp=variant == "fused",
             ),
             loss_function=MixedLoss(l1_alpha=0.5, l2_alpha=0.0, ms_dssim_alpha=0.5),
             lr=2e-5, schedule="WarmupCosine", warmup_steps=30,
