@@ -35,6 +35,11 @@ def time_batch(graft, batch: int, n_steps: int) -> tuple[float, float]:
     import numpy as np
 
     module = graft._flagship()
+    if os.environ.get("INFER_FUSED", "0") == "1":
+        # rebuild the flax model with the fused ConvNeXt MLP kernel on
+        module.model = type(module.model)(
+            **{**module.model_config, "fused_mlp": True}
+        )
     shape = (batch, 1, 15, 384, 384)
     x_host = np.random.default_rng(0).random(shape, np.float32)
     variables = module.init_variables(jax.random.PRNGKey(0), {"source": x_host[:2]})
