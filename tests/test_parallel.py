@@ -159,3 +159,20 @@ def test_tp_model_axis():
     state = shard_train_state(state, mesh, "tp", min_elems=2**10)
     loss_tp, _ = _run_steps(module, state, batch, mesh)
     assert loss_tp == pytest.approx(loss_ref, rel=1e-4)
+
+
+def test_dp_predict_matches_single_device():
+    """Sliding-window inference shards batches over the data axis with a
+    replicated state (trainer.predict -> shard_batch): per-window outputs
+    are identical to the single-device forward (SURVEY §5: large-volume
+    inference scales across chips over ICI)."""
+    module, state, batch, mesh8 = _setup(8)
+    pred_fn = jax.jit(lambda state, batch: module.predict_step(state.variables, batch))
+    sharded = shard_batch({"source": batch["source"]}, mesh8)
+    assert len(sharded["source"].sharding.device_set) == 8
+    out8 = jax.device_get(pred_fn(state, sharded))
+
+    module1, state1, _, mesh1 = _setup(1)
+    single = shard_batch({"source": batch["source"]}, mesh1)
+    out1 = jax.device_get(pred_fn(state1, single))
+    np.testing.assert_allclose(out8, out1, rtol=1e-5, atol=1e-6)
