@@ -104,6 +104,25 @@ def test_fused_crop_offset(vol):
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
 
 
+def test_nopad_dma_matches_padded(vol):
+    """The NOPAD_DMA path (DMA only the logical extent, no materialized
+    lane-pad of the HBM volume) is value-identical to the default padded
+    path for unaligned plane widths (40 % 128 != 0)."""
+    from viscy_tpu.ops.pallas import warp3d
+
+    rng = np.random.default_rng(7)
+    scale = jnp.asarray(rng.uniform(0.8, 1.2, (B, 3)), jnp.float32)
+    mats = compose_affine_3d(scale=scale)
+    padded = affine_warp_3d_pallas(vol, mats, OUT, kz=5, interpret=True)
+    assert not warp3d.NOPAD_DMA
+    warp3d.NOPAD_DMA = True
+    try:
+        nopad = affine_warp_3d_pallas(vol, mats, OUT, kz=5, interpret=True)
+    finally:
+        warp3d.NOPAD_DMA = False
+    np.testing.assert_array_equal(np.asarray(nopad), np.asarray(padded))
+
+
 def test_non_square_rejected(vol):
     mats = compose_affine_3d(batch=B)
     with pytest.raises(ValueError):

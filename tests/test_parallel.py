@@ -176,3 +176,95 @@ def test_dp_predict_matches_single_device():
     single = shard_batch({"source": batch["source"]}, mesh1)
     out1 = jax.device_get(pred_fn(state1, single))
     np.testing.assert_allclose(out8, out1, rtol=1e-5, atol=1e-6)
+
+
+def _with_mesh(n, fn):
+    """Run fn with an active n-device mesh, restoring the previous mesh."""
+    from viscy_tpu.parallel import mesh as mesh_mod
+
+    prev = mesh_mod._ACTIVE_MESH
+    try:
+        mesh_mod.make_mesh(data=n, model=1, devices=jax.devices()[:n])
+        return fn()
+    finally:
+        mesh_mod._ACTIVE_MESH = prev
+
+
+def test_data_parallel_call_fused_kernel_matches_direct():
+    """The shard_map wrapper around the fused MLP kernel (Pallas/Mosaic has
+    no GSPMD partitioning rule) is value-identical to the direct call."""
+    from viscy_tpu.ops.pallas.fused_block import fused_mlp_grn
+    from viscy_tpu.parallel.mesh import data_parallel_call
+
+    rng = np.random.default_rng(0)
+    b, s, c, m = 8, 32, 16, 48
+    x = jnp.asarray(rng.normal(0, 1, (b, s, c)).astype(np.float32))
+    sc = jnp.asarray(rng.normal(0, 1, (b, s, c)).astype(np.float32))
+    params = (
+        jnp.ones((c,)), jnp.zeros((c,)),
+        jnp.asarray(rng.normal(0, 0.1, (c, m)).astype(np.float32)), jnp.zeros((m,)),
+        jnp.zeros((m,)), jnp.zeros((m,)),
+        jnp.asarray(rng.normal(0, 0.1, (m, c)).astype(np.float32)), jnp.zeros((c,)),
+    )
+    fn = lambda xb, sb, *p: fused_mlp_grn(xb, sb, *p, interpret=True)
+    direct = fn(x, sc, *params)
+    wrapped = _with_mesh(8, lambda: data_parallel_call(fn, (x, sc), params))
+    np.testing.assert_allclose(np.asarray(wrapped), np.asarray(direct), rtol=1e-6)
+    # indivisible batch falls back to the direct call
+    odd = _with_mesh(8, lambda: data_parallel_call(fn, (x[:3], sc[:3]), params))
+    np.testing.assert_allclose(np.asarray(odd), np.asarray(direct[:3]), rtol=1e-6)
+
+
+def test_data_parallel_call_warp_matches_direct():
+    """The Pallas affine warp under shard_map equals the direct call."""
+    from viscy_tpu.ops.pallas.warp3d import affine_warp_3d_pallas
+    from viscy_tpu.parallel.mesh import data_parallel_call
+
+    rng = np.random.default_rng(1)
+    vol = jnp.asarray(rng.random((8, 1, 8, 40, 40), np.float32))
+    mats = jnp.tile(jnp.eye(3, 4, dtype=jnp.float32), (8, 1, 1))
+    mats = mats.at[:, 1, 3].set(jnp.linspace(-2, 2, 8))
+    fn = lambda v, m: affine_warp_3d_pallas(v, m, (6, 32, 32), kz=3, interpret=True)
+    direct = fn(vol, mats)
+    wrapped = _with_mesh(8, lambda: data_parallel_call(fn, (vol, mats)))
+    np.testing.assert_allclose(np.asarray(wrapped), np.asarray(direct), rtol=1e-6)
+
+
+def test_fused_model_dp_under_active_mesh():
+    """Full FCMAE forward with fused_mlp=True on a sharded batch under an
+    active 8-device mesh (the fused call routes through shard_map inside
+    the jitted forward) matches the meshless forward."""
+    from viscy_tpu.models.unet.fcmae import FullyConvolutionalMAE
+    from viscy_tpu.ops.pallas import fused_block as fb
+    from viscy_tpu.parallel.mesh import make_mesh as _mk
+
+    cfg = dict(
+        in_channels=1,
+        out_channels=1,
+        encoder_blocks=(1, 1, 1, 1),
+        dims=(8, 16, 32, 64),
+        stem_kernel_size=(5, 4, 4),
+        in_stack_depth=5,
+        pretraining=False,
+        fused_mlp=True,
+    )
+    model = FullyConvolutionalMAE(**cfg)
+    x = jnp.asarray(
+        np.random.default_rng(2).normal(0, 1, (8, 1, 5, 32, 32)).astype(np.float32)
+    )
+    fb.FORCE_INTERPRET = True
+    try:
+        v = model.init(jax.random.PRNGKey(0), x)
+        y_ref = jax.device_get(model.apply(v, x))
+
+        def run():
+            mesh = make_mesh(data=8, model=1, devices=jax.devices()[:8])
+            xs = shard_batch({"x": x}, mesh)["x"]
+            assert len(xs.sharding.device_set) == 8
+            vr = replicate(v, mesh)
+            return jax.device_get(jax.jit(model.apply)(vr, xs))
+
+        y_mesh = _with_mesh(8, run)
+        np.testing.assert_allclose(y_mesh, y_ref, rtol=1e-5, atol=1e-6)
+    finally:
+        fb.FORCE_INTERPRET = False

@@ -303,21 +303,24 @@ def _try_fused_mlp(
     w1, b1 = _DenseParams(dim, hidden, name="fc1", parent=parent)()
     gg, gb = _GRNParams(hidden, name="grn", parent=parent)()
     w2, b2 = _DenseParams(hidden, dim, name="fc2", parent=parent)()
-    mask = None if mask2d is None else mask2d.astype(x.dtype).reshape(b, h * w)
-    out = fused_mlp_grn(
-        x.reshape(b, h * w, c),
-        shortcut.reshape(b, h * w, c),
-        ln_s,
-        ln_b,
-        w1,
-        b1,
-        gg,
-        gb,
-        w2,
-        b2,
-        mask=mask,
-        interpret=interpret,
-    )
+    params = (ln_s, ln_b, w1, b1, gg, gb, w2, b2)
+    # shard_map over the data axis: the GSPMD partitioner has no rule for
+    # the Mosaic custom call and would otherwise all-gather the batch
+    from viscy_tpu.parallel.mesh import data_parallel_call
+
+    if mask2d is None:
+        out = data_parallel_call(
+            lambda xb, sb, *p: fused_mlp_grn(xb, sb, *p, interpret=interpret),
+            (x.reshape(b, h * w, c), shortcut.reshape(b, h * w, c)),
+            params,
+        )
+    else:
+        mask = mask2d.astype(x.dtype).reshape(b, h * w)
+        out = data_parallel_call(
+            lambda xb, sb, mb, *p: fused_mlp_grn(xb, sb, *p, mask=mb, interpret=interpret),
+            (x.reshape(b, h * w, c), shortcut.reshape(b, h * w, c), mask),
+            params,
+        )
     return out.reshape(b, h, w, c)
 
 

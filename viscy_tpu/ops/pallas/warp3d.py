@@ -65,6 +65,13 @@ Array = jax.Array
 
 _LANE = 128
 
+# When True, skip the XLA-level lane-pad of the HBM volume and DMA only the
+# logical (Xi, Yi) extent into the padded VMEM slab. Saves a full-volume HBM
+# copy for non-128-multiple plane widths, but sub-tile HBM->VMEM copies are
+# unvalidated on hardware (round-2 measurement: Mosaic DMA slices must be
+# lane-tile-aligned) — default off until an on-chip A/B confirms it.
+NOPAD_DMA = False
+
 
 def _ceil_to(v: int, m: int) -> int:
     return (v + m - 1) // m * m
@@ -226,6 +233,7 @@ def _warp_kernel(
     in_shape: tuple[int, int, int],
     out_shape: tuple[int, int, int],
     zero_pad: bool,
+    hbm_padded: bool,
 ):
     Zi, Yi, Xi = in_shape
     Zo, Yo, Xo = out_shape
@@ -235,6 +243,7 @@ def _warp_kernel(
     # slab arrives y-in-lanes (the Y-pass gathers along lanes directly) and
     # the DMA slice is tile-aligned; gathers only index the logical widths
     Xi_pad8 = _ceil_to(Xi, 8)
+    Yi_padL = _ceil_to(Yi, _LANE)
     b = pl.program_id(0)
     zo = pl.program_id(1)
     n_steps = pl.num_programs(0) * pl.num_programs(1)
@@ -245,8 +254,14 @@ def _warp_kernel(
         b2 = jax.lax.div(step_idx, Zo)
         z2 = jax.lax.rem(step_idx, Zo)
         zb2 = zb_ref[b2, z2]
+        # with an unpadded HBM volume, copy only the logical (Xi, Yi)
+        # extent: the slab's padding rows and lanes are never gathered
+        # (indices are clipped to the logical widths)
+        dst = slab_ref.at[slot_idx]
+        if not hbm_padded and (Xi_pad8, Yi_padL) != (Xi, Yi):
+            dst = slab_ref.at[slot_idx, :, :, pl.ds(0, Xi), pl.ds(0, Yi)]
         return pltpu.make_async_copy(
-            vol_ref.at[b2, :, pl.ds(zb2, kz)], slab_ref.at[slot_idx], sems.at[slot_idx]
+            vol_ref.at[b2, :, pl.ds(zb2, kz)], dst, sems.at[slot_idx]
         )
 
     # double-buffered slab pipeline: program i waits on the copy issued by
@@ -366,11 +381,15 @@ def affine_warp_3d_pallas(
 
     # store the volume with (y, x) transposed so the Y pass gathers along
     # lanes straight out of the slab (saves kz in-kernel transposes per
-    # program), padded so the slab DMA slice is tile-aligned in HBM
+    # program). By default the HBM copy is lane-padded so the slab DMA is
+    # tile-aligned; with NOPAD_DMA the DMA instead copies only the logical
+    # extent into the padded VMEM scratch (no materialized pad — pending
+    # on-chip validation, see the module flag)
     Xi_pad8 = _ceil_to(Xi, 8)
     Yi_padL = _ceil_to(Yi, _LANE)
     vol_t = jnp.swapaxes(vol.astype(jnp.float32), -1, -2)
-    if (Xi_pad8, Yi_padL) != (Xi, Yi):
+    hbm_padded = (Xi_pad8, Yi_padL) != (Xi, Yi) and not NOPAD_DMA
+    if hbm_padded:
         vol_t = jnp.pad(
             vol_t, [(0, 0), (0, 0), (0, 0), (0, Xi_pad8 - Xi), (0, Yi_padL - Yi)]
         )
@@ -394,6 +413,7 @@ def affine_warp_3d_pallas(
         in_shape=in_shape,
         out_shape=tuple(out_shape),
         zero_pad=(padding_mode == "zeros"),
+        hbm_padded=hbm_padded,
     )
     out = pl.pallas_call(
         kernel,

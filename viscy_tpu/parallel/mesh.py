@@ -84,6 +84,44 @@ def replicate(tree: Any, mesh: Mesh | None = None) -> Any:
     )
 
 
+def active_mesh() -> Mesh | None:
+    """The active mesh, or None — unlike ``get_mesh`` this never creates one."""
+    return _ACTIVE_MESH
+
+
+def data_parallel_call(fn, sharded_args: tuple, replicated_args: tuple = ()):
+    """Run ``fn(*sharded_args, *replicated_args)`` with each sharded arg's
+    leading (batch) axis mapped over the active mesh's ``data`` axis via
+    ``jax.shard_map``.
+
+    Pallas kernels lower to Mosaic custom calls that the GSPMD partitioner
+    has no sharding rule for: called directly inside a jitted step with
+    batch-sharded operands, the partitioner would all-gather the operands
+    onto every device and run the kernel fully replicated. Wrapping the
+    call in shard_map keeps each device on its own batch shard (the
+    kernels used here are per-sample independent, so no collective is
+    needed). Falls back to a direct call when no mesh is active, the data
+    axis is 1, or the batch doesn't divide the axis.
+    """
+    mesh = _ACTIVE_MESH
+    if mesh is None or mesh.shape.get("data", 1) == 1:
+        return fn(*sharded_args, *replicated_args)
+    n = mesh.shape["data"]
+    b = sharded_args[0].shape[0]
+    if b % n != 0 or any(a.shape[0] != b for a in sharded_args):
+        return fn(*sharded_args, *replicated_args)
+    wrapped = jax.shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=tuple(P("data") for _ in sharded_args)
+        + tuple(P() for _ in replicated_args),
+        out_specs=P("data"),
+        # pallas_call out_shapes carry no varying-mesh-axes metadata
+        check_vma=False,
+    )
+    return wrapped(*sharded_args, *replicated_args)
+
+
 def local_batch_slice(global_index_count: int, process_index: int | None = None) -> slice:
     """Host-local shard of a global index space (multi-host input pipeline).
 

@@ -256,15 +256,21 @@ class BatchedRandAffined(RandTransform):
         kz = self._select_pallas(spatial, out_shape, offset)
         if kz is not None:
             from viscy_tpu.ops.pallas.warp3d import affine_warp_3d_pallas
+            from viscy_tpu.parallel.mesh import data_parallel_call
 
-            warped = affine_warp_3d_pallas(
-                stacked,
-                matrices,
-                tuple(out_shape),
-                kz=kz,
-                out_offset=offset,
-                padding_mode=self.padding_mode,
-                interpret=self._pallas_interpret,
+            # shard_map over the data axis: GSPMD has no partitioning rule
+            # for the Mosaic custom call and would otherwise all-gather
+            warped = data_parallel_call(
+                lambda v, m: affine_warp_3d_pallas(
+                    v,
+                    m,
+                    tuple(out_shape),
+                    kz=kz,
+                    out_offset=offset,
+                    padding_mode=self.padding_mode,
+                    interpret=self._pallas_interpret,
+                ),
+                (stacked, matrices),
             )
         else:
             grids = affine_grid_3d(matrices, spatial, out_shape, out_offset=offset)
