@@ -268,3 +268,80 @@ def test_fused_model_dp_under_active_mesh():
         np.testing.assert_allclose(y_mesh, y_ref, rtol=1e-5, atol=1e-6)
     finally:
         fb.FORCE_INTERPRET = False
+
+
+def test_sharded_fov_forward_matches_unsharded():
+    """Spatially sharded full-FOV inference (Y split over the data axis,
+    GSPMD conv halo exchanges) is exact vs the single-device forward,
+    including an uneven deepest-stage extent (288/32 = 9 rows over 8
+    shards), and the min_height guard falls back bit-identically."""
+    from viscy_tpu.apps.cytoland.prediction import sharded_fov_forward
+
+    module, state, _, _ = _setup(1)
+    src = jnp.asarray(
+        np.random.default_rng(3).random((1, 1, 5, 288, 64), np.float32)
+    )
+    fwd = lambda s: module._pad_forward_crop(state.variables, s)
+    ref = jax.device_get(fwd(src))
+
+    def run():
+        mesh = make_mesh(data=8, model=1, devices=jax.devices()[:8])
+        out = sharded_fov_forward(fwd, src, mesh=mesh)
+        assert len(out.sharding.device_set) == 8
+        return jax.device_get(out)
+
+    out8 = _with_mesh(8, run)
+    assert out8.shape == ref.shape
+    np.testing.assert_allclose(out8, ref, rtol=1e-5, atol=1e-6)
+    # no active mesh: plain fallback, bit-identical
+    from viscy_tpu.parallel import mesh as mesh_mod
+
+    prev = mesh_mod._ACTIVE_MESH
+    mesh_mod._ACTIVE_MESH = None
+    try:
+        fallback = jax.device_get(sharded_fov_forward(fwd, src))
+    finally:
+        mesh_mod._ACTIVE_MESH = prev
+    np.testing.assert_array_equal(fallback, ref)
+    # min_height guard (GSPMD near-empty-shard edge): short FOV falls back
+    guarded = _with_mesh(
+        8,
+        lambda: jax.device_get(
+            sharded_fov_forward(
+                fwd,
+                src,
+                mesh=make_mesh(data=8, model=1, devices=jax.devices()[:8]),
+                min_height=512,
+            )
+        ),
+    )
+    np.testing.assert_array_equal(guarded, ref)
+
+
+def test_vsunet_fov_shard_predict_step():
+    """VSUNet(fov_shard=True) routes predict_step through the spatially
+    sharded path under an active multi-device mesh (taking precedence
+    over tile_yx) and matches the meshless full-frame prediction, also
+    under jit (the trainer jits predict_step)."""
+    module, state, _, _ = _setup(1)
+    module.fov_shard = True
+    module.tile_yx = (32, 32)  # would tile; fov_shard must take precedence
+    src = jnp.asarray(
+        np.random.default_rng(4).random((1, 1, 5, 288, 64), np.float32)
+    )
+    module.fov_shard = False
+    ref = jax.device_get(module._full_frame_predict(state.variables, {"source": src}))
+    module.fov_shard = True
+
+    def run():
+        mesh = make_mesh(data=8, model=1, devices=jax.devices()[:8])
+        # the trainer replicates state over the active mesh before predict
+        vr = replicate(state.variables, mesh)
+        eager = module.predict_step(vr, {"source": src})
+        jitted = jax.jit(module.predict_step)(vr, {"source": src})
+        return jax.device_get(eager), jax.device_get(jitted)
+
+    eager, jitted = _with_mesh(8, run)
+    np.testing.assert_allclose(eager, ref, rtol=1e-5, atol=1e-6)
+    # GSPMD reduction-order noise under the fully jitted path
+    np.testing.assert_allclose(jitted, ref, rtol=1e-4, atol=1e-5)

@@ -96,6 +96,7 @@ class VSUNet(TrainModule):
         predict_overlap: tuple[int, int, int] = (4, 256, 256),
         tile_yx: Sequence[int] | None = None,
         tile_batch: int = 72,
+        fov_shard: bool = False,
         channels_last_loss: bool = False,
         bf16_loss: bool = False,
         encoder_only: bool = False,
@@ -159,6 +160,12 @@ class VSUNet(TrainModule):
         # docs/STATUS.md round-3 sweep)
         self.tile_yx = tuple(tile_yx) if tile_yx else None
         self.tile_batch = tile_batch
+        # latency-oriented multi-chip serving: shard ONE full FOV along Y
+        # over the active mesh's data axis (GSPMD conv halo exchanges)
+        # instead of tiling — exact full-frame output, 1/n per-chip
+        # activation memory (prediction.sharded_fov_forward). Takes
+        # precedence over tile_yx when a multi-device mesh is active.
+        self.fov_shard = fov_shard
         # experimental: compute the training loss in the head's packed
         # pre-shuffle phase layout so the differentiated prediction never
         # transposes (ops/ssim._ms_ssim_phase). Default OFF: on v5e the
@@ -321,6 +328,21 @@ class VSUNet(TrainModule):
 
     def predict_step(self, variables, batch):
         source = batch["source"]
+        if self.fov_shard:
+            from viscy_tpu.parallel.mesh import active_mesh
+
+            mesh = active_mesh()
+            if mesh is not None and mesh.shape.get("data", 1) > 1:
+                from viscy_tpu.apps.cytoland.prediction import sharded_fov_forward
+
+                return sharded_fov_forward(
+                    lambda s: self._full_frame_predict(variables, {**batch, "source": s}),
+                    source,
+                    mesh=mesh,
+                    # every device must keep >=1 row of the deepest
+                    # feature map (GSPMD near-empty-shard guard)
+                    min_height=mesh.shape["data"] * 2 ** self.model.num_blocks,
+                )
         if self.tile_yx is not None and (
             source.shape[-2] > self.tile_yx[0] or source.shape[-1] > self.tile_yx[1]
         ):
@@ -328,11 +350,15 @@ class VSUNet(TrainModule):
 
             def tile_fwd(tiles):
                 # tiles match tile_yx, so the re-entry takes the plain path
-                return self.predict_step(variables, {**batch, "source": tiles})
+                return self._full_frame_predict(variables, {**batch, "source": tiles})
 
             return tiled_forward_yx(
                 tile_fwd, source, tile=self.tile_yx, tile_batch=self.tile_batch
             )
+        return self._full_frame_predict(variables, batch)
+
+    def _full_frame_predict(self, variables, batch):
+        source = batch["source"]
         if self.test_time_augmentations:
             preds = []
             orig_yx = source.shape[-2:]

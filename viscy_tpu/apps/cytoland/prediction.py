@@ -102,6 +102,72 @@ def tiled_forward_yx(
     return acc / wacc
 
 
+def sharded_fov_forward(
+    fwd,
+    x: Array,
+    mesh=None,
+    axis: str = "data",
+    min_height: int | None = None,
+) -> Array:
+    """Full-FOV forward with the Y dimension sharded across mesh devices.
+
+    Latency-oriented multi-chip serving path, complementary to
+    ``tiled_forward_yx`` (throughput-oriented): instead of batching
+    overlapping tiles per chip, ONE large FOV is split along Y over the
+    mesh's ``axis`` and XLA/GSPMD partitions the convolutions with halo
+    exchanges (collective-permutes over ICI). The result is numerically
+    the unsharded ``fwd(x)`` — same zero-pad extents, same global GRN/
+    norm statistics, no overlap recompute, no feather blending — at ~1/n
+    the per-chip activation memory, so FOVs too large for a single
+    chip's HBM become servable. GSPMD handles Y extents that do not
+    divide the axis (uneven last shard) transparently; no host-side
+    padding is applied, because changing the padded extent would change
+    the model's global-statistics ops (e.g. GRN spatial norms) and break
+    exactness with the single-chip path.
+
+    Falls back to a direct call when no multi-device mesh is active, or
+    when ``min_height`` is given and ``x`` is shorter: FOVs whose deepest
+    feature map has fewer Y rows than mesh devices produced WRONG values
+    under GSPMD (XLA CPU, jax 0.8: H=64 through a 32x-downsampling net
+    over 4/8 shards diverged by ~0.3; H>=96 was exact) — callers should
+    pass ``n_devices * total_stride`` so every device keeps at least one
+    deepest-stage row. Small FOVs don't benefit from spatial sharding
+    anyway.
+
+    Parameters
+    ----------
+    fwd : Callable[[Array], Array]
+        Full-frame forward mapping ``(B, C, D, H, W)`` to
+        ``(B, C', D', H, W)`` (same spatial size, e.g. a pad+crop
+        wrapped model forward).
+    x : Array
+        Input ``(B, C, D, H, W)``.
+    min_height : int | None
+        Fall back to the direct call when ``x.shape[-2]`` is smaller.
+    """
+    from viscy_tpu.parallel.mesh import active_mesh
+
+    mesh = mesh or active_mesh()
+    if mesh is None or mesh.shape.get(axis, 1) == 1:
+        return fwd(x)
+    if min_height is not None and x.shape[-2] < min_height:
+        return fwd(x)
+    spec = jax.NamedSharding(mesh, jax.sharding.PartitionSpec(None, None, None, axis, None))
+
+    def run(xp):
+        xp = jax.lax.with_sharding_constraint(xp, spec)
+        out = fwd(xp)
+        return jax.lax.with_sharding_constraint(out, spec)
+
+    if isinstance(x, jax.core.Tracer):
+        # already under an outer jit (e.g. the trainer's jitted
+        # predict_step): the sharding constraints direct GSPMD directly
+        return run(x)
+    # eager call: jit so the model weights are replicated onto the
+    # mesh instead of clashing with the sharded input's device set
+    return jax.jit(run)(jax.device_put(x, spec))
+
+
 def rotation_tta_transforms(n: int = 4):
     """Forward/inverse 90-degree YX rotations (reference ``engine.py:75``)."""
     if n < 1:
