@@ -16,7 +16,9 @@ fori_loop chain inflated batch-16 by ~70%, see docs/STATUS.md round 3):
 
 Usage: PYTHONPATH=/root/repo:/root/.axon_site python tools/ablate_infer.py
 Env: INFER_BATCHES (comma list, default "8,16,24,32,48,54,64,72,96"),
-     INFER_STEPS (8).
+     INFER_STEPS (8), INFER_FUSED=1 (fused ConvNeXt MLP kernel),
+     INFER_TILE_SWEEP=1 (+ INFER_TILES list) to sweep the YX tile size
+     at ~constant pixels/call instead of the batch sweep.
 """
 
 from __future__ import annotations
@@ -26,6 +28,60 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def time_tile(graft, tile: int, batch: int, n_steps: int) -> float:
+    """Per-call forward time (ms) for (batch, 1, 15, tile, tile) windows."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    module = graft._flagship()
+    x_host = np.random.default_rng(0).random((batch, 1, 15, tile, tile), np.float32)
+    variables = module.init_variables(jax.random.PRNGKey(0), {"source": x_host[:2]})
+    x = jnp.asarray(x_host)
+    fwd = jax.jit(lambda v, x: module.forward(v, x))
+    for _ in range(2):
+        out = fwd(variables, x)
+    float(jax.device_get(out[0, 0, 0, 0, 0]))
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        out = fwd(variables, x)
+    float(jax.device_get(out[0, 0, 0, 0, 0]))
+    return (time.perf_counter() - t0) / n_steps * 1e3
+
+
+def tile_sweep(graft, n_steps: int) -> None:
+    """Sweep the YX tile size at roughly constant pixels per call.
+
+    The batch sweep fixed tile=384 (the shipped default). Tile size
+    trades overlap waste (32-px feathered overlaps: useful fraction
+    ~((t-32)/t)^2 interior) against MXU tiling efficiency and batch
+    granularity; with the pad factor fixed to the true total stride
+    (32), any 32-multiple tile runs unpadded through the real predict
+    path, so this sweep is now meaningful end-to-end.
+    """
+    from viscy_tpu.apps.cytoland.prediction import tile_positions
+
+    tiles = [int(t) for t in os.environ.get("INFER_TILES", "320,384,448,512,640").split(",")]
+    for t in tiles:
+        n_yx = len(tile_positions(2048, t, 32)) ** 2
+        windows_per_fov = 6 * n_yx
+        # ~constant pixels per call vs the b72@384 reference point
+        batch = int(
+            os.environ.get("INFER_TILE_BATCH", "0")
+        ) or max(2, round(72 * (384 / t) ** 2 / 2) * 2)
+        try:
+            ms = time_tile(graft, t, batch, n_steps)
+        except Exception as e:
+            print(f"tile {t:4d}: FAILED {type(e).__name__}: {e}")
+            continue
+        fovs = 1e3 / (ms / batch * windows_per_fov)
+        print(
+            f"tile {t:4d}: batch {batch:3d}  {ms:8.1f} ms/call"
+            f"  {ms / batch:5.2f} ms/window x {windows_per_fov:3d}/FOV"
+            f"  -> {fovs:.3f} FOVs/s"
+        )
 
 
 def time_batch(graft, batch: int, n_steps: int) -> tuple[float, float]:
@@ -82,6 +138,10 @@ def main() -> None:
     spec.loader.exec_module(graft)
 
     print(f"backend={jax.default_backend()} device={jax.devices()[0].device_kind}")
+    n_steps_env = int(os.environ.get("INFER_STEPS", "8"))
+    if os.environ.get("INFER_TILE_SWEEP", "0") == "1":
+        tile_sweep(graft, n_steps_env)
+        return
     batches = [
         int(b)
         for b in os.environ.get("INFER_BATCHES", "8,16,24,32,48,54,64,72,96").split(",")

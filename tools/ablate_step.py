@@ -49,6 +49,11 @@ def build_and_time(graft, benchmod, variant: str) -> float:
         module = graft._flagship(tiny=benchmod._TINY)
     if variant == "phase_loss":
         module.channels_last_loss = True
+    if variant == "bf16_loss":
+        # byte cut on the HBM-bound step: the loss's full-voxel reads
+        # (pred + target, the largest tensors) ship half the bytes; all
+        # loss math still reduces in f32 (engine._compute_loss)
+        module.bf16_loss = True
     rng = np.random.default_rng(0)
     batch = {
         "source": rng.random((b, 1, *benchmod.STACK), np.float32),
