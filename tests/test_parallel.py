@@ -236,7 +236,6 @@ def test_fused_model_dp_under_active_mesh():
     the jitted forward) matches the meshless forward."""
     from viscy_tpu.models.unet.fcmae import FullyConvolutionalMAE
     from viscy_tpu.ops.pallas import fused_block as fb
-    from viscy_tpu.parallel.mesh import make_mesh as _mk
 
     cfg = dict(
         in_channels=1,
@@ -286,7 +285,7 @@ def test_sharded_fov_forward_matches_unsharded():
 
     def run():
         mesh = make_mesh(data=8, model=1, devices=jax.devices()[:8])
-        out = sharded_fov_forward(fwd, src, mesh=mesh)
+        out = sharded_fov_forward(fwd, src, min_height=256, mesh=mesh)
         assert len(out.sharding.device_set) == 8
         return jax.device_get(out)
 
@@ -299,7 +298,7 @@ def test_sharded_fov_forward_matches_unsharded():
     prev = mesh_mod._ACTIVE_MESH
     mesh_mod._ACTIVE_MESH = None
     try:
-        fallback = jax.device_get(sharded_fov_forward(fwd, src))
+        fallback = jax.device_get(sharded_fov_forward(fwd, src, min_height=256))
     finally:
         mesh_mod._ACTIVE_MESH = prev
     np.testing.assert_array_equal(fallback, ref)

@@ -279,3 +279,31 @@ def test_writer_concurrent_flush_equivalence(tmp_path):
         assert serial[name].shape == concurrent[name].shape
         np.testing.assert_allclose(serial[name], concurrent[name], atol=1e-6)
         assert serial[name][1, :, :depth].std() > 0  # t=1 landed too
+
+
+def test_pad_forward_crop_alignment_identity():
+    """_pad_forward_crop must be spatially aligned for non-divisible
+    inputs: with an identity forward, the output IS the input. The
+    reference pads symmetrically (MONAI DivisiblePad method=symmetric,
+    cytoland engine.py:48-53) and inverts exactly; an end-only pad with
+    a center crop returns content shifted by pad/2 (regression)."""
+    import jax.numpy as jnp
+
+    from viscy_tpu.apps.cytoland.engine import (
+        VSUNet,
+        _center_crop_to_shape,
+        _divisible_pad,
+    )
+
+    module = VSUNet(architecture="2D", model_config={"in_channels": 1, "out_channels": 1})
+    module.forward = lambda variables, x, **kw: x  # identity net
+    src = jnp.asarray(
+        np.random.default_rng(0).random((1, 1, 1, 40, 52), np.float32)
+    )
+    out = module._pad_forward_crop({}, src)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(src))
+    # the pad/crop pair is an exact inverse on its own
+    padded = _divisible_pad(src, 16)
+    assert padded.shape[-2:] == (48, 64)
+    roundtrip = _center_crop_to_shape(padded, src.shape[2:])
+    np.testing.assert_array_equal(np.asarray(roundtrip), np.asarray(src))

@@ -30,13 +30,23 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _build_module(graft):
+    """Flagship module, honoring INFER_FUSED=1 (fused ConvNeXt MLP)."""
+    module = graft._flagship()
+    if os.environ.get("INFER_FUSED", "0") == "1":
+        module.model = type(module.model)(
+            **{**module.model_config, "fused_mlp": True}
+        )
+    return module
+
+
 def time_tile(graft, tile: int, batch: int, n_steps: int) -> float:
     """Per-call forward time (ms) for (batch, 1, 15, tile, tile) windows."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    module = graft._flagship()
+    module = _build_module(graft)
     x_host = np.random.default_rng(0).random((batch, 1, 15, tile, tile), np.float32)
     variables = module.init_variables(jax.random.PRNGKey(0), {"source": x_host[:2]})
     x = jnp.asarray(x_host)
@@ -90,12 +100,7 @@ def time_batch(graft, batch: int, n_steps: int) -> tuple[float, float]:
     import jax.numpy as jnp
     import numpy as np
 
-    module = graft._flagship()
-    if os.environ.get("INFER_FUSED", "0") == "1":
-        # rebuild the flax model with the fused ConvNeXt MLP kernel on
-        module.model = type(module.model)(
-            **{**module.model_config, "fused_mlp": True}
-        )
+    module = _build_module(graft)
     shape = (batch, 1, 15, 384, 384)
     x_host = np.random.default_rng(0).random(shape, np.float32)
     variables = module.init_variables(jax.random.PRNGKey(0), {"source": x_host[:2]})

@@ -51,14 +51,22 @@ class MaskedMSELoss:
 
 
 def _divisible_pad(x: Array, factor: int, pad_z: bool = False) -> Array:
-    """Pad trailing YX (and optionally Z) up to multiples of ``factor``."""
+    """Pad YX (and optionally Z) up to multiples of ``factor``.
+
+    Pads SYMMETRICALLY (floor before, ceil after) like the reference's
+    MONAI ``DivisiblePad(method="symmetric")`` (cytoland engine.py:48-53),
+    so ``_center_crop_to_shape`` is its exact inverse — an end-only pad
+    with a center crop would return predictions shifted by pad/2 for
+    non-divisible inputs."""
     z, y, xx = x.shape[-3:]
     pz = (-z) % factor if pad_z else 0
     py = (-y) % factor
     px = (-xx) % factor
     if not (pz or py or px):
         return x
-    pad = [(0, 0)] * (x.ndim - 3) + [(0, pz), (0, py), (0, px)]
+    pad = [(0, 0)] * (x.ndim - 3) + [
+        (p // 2, p - p // 2) for p in (pz, py, px)
+    ]
     return jnp.pad(x, pad)
 
 
@@ -317,9 +325,17 @@ class VSUNet(TrainModule):
         }
 
     # -- prediction -----------------------------------------------------------------
-    def _pad_forward_crop(self, variables, source: Array) -> Array:
+    def _pad_forward_crop(self, variables, source: Array, factor: int | None = None) -> Array:
+        """Divisible-pad, forward, center-crop.
+
+        ``factor`` defaults to the reference-compatible ``2**num_blocks``
+        (the padded extent feeds GRN global statistics, so full-image
+        predictions only match the reference when padded identically);
+        the tiled path — which has no reference analog — passes the
+        model's true ``total_stride`` instead so 384^2 tiles run
+        unpadded."""
         original = source.shape[2:]
-        factor = 2 ** self.model.num_blocks
+        factor = factor or 2 ** self.model.num_blocks
         padded = _divisible_pad(
             source, factor, pad_z=getattr(self.model, "downsamples_z", False)
         )
@@ -341,7 +357,7 @@ class VSUNet(TrainModule):
                     mesh=mesh,
                     # every device must keep >=1 row of the deepest
                     # feature map (GSPMD near-empty-shard guard)
-                    min_height=mesh.shape["data"] * 2 ** self.model.num_blocks,
+                    min_height=mesh.shape["data"] * self._total_stride(),
                 )
         if self.tile_yx is not None and (
             source.shape[-2] > self.tile_yx[0] or source.shape[-1] > self.tile_yx[1]
@@ -349,22 +365,30 @@ class VSUNet(TrainModule):
             from viscy_tpu.apps.cytoland.prediction import tiled_forward_yx
 
             def tile_fwd(tiles):
-                # tiles match tile_yx, so the re-entry takes the plain path
-                return self._full_frame_predict(variables, {**batch, "source": tiles})
+                # tiles match tile_yx, so the re-entry takes the plain
+                # path; pad to the TRUE stride (not the reference-compat
+                # factor) so 384^2 tiles run unpadded
+                return self._full_frame_predict(
+                    variables, {**batch, "source": tiles}, factor=self._total_stride()
+                )
 
             return tiled_forward_yx(
                 tile_fwd, source, tile=self.tile_yx, tile_batch=self.tile_batch
             )
         return self._full_frame_predict(variables, batch)
 
-    def _full_frame_predict(self, variables, batch):
+    def _total_stride(self) -> int:
+        """The model's true YX downsampling factor (minimal divisibility)."""
+        return getattr(self.model, "total_stride", None) or 2 ** self.model.num_blocks
+
+    def _full_frame_predict(self, variables, batch, factor: int | None = None):
         source = batch["source"]
         if self.test_time_augmentations:
             preds = []
             orig_yx = source.shape[-2:]
             for k in range(4):
                 aug = jnp.rot90(source, k=k, axes=(-2, -1))
-                p = self._pad_forward_crop(variables, aug)
+                p = self._pad_forward_crop(variables, aug, factor=factor)
                 p = jnp.rot90(p, k=4 - k, axes=(-2, -1))
                 preds.append(_center_crop_to_shape(p, (p.shape[-3], *orig_yx)))
             stacked = jnp.stack(preds)
@@ -374,7 +398,7 @@ class VSUNet(TrainModule):
                 return jnp.median(stacked, axis=0)
             log_preds = jnp.log(stacked + 1e-9)
             return jnp.exp(log_preds.sum(axis=0))
-        return self._pad_forward_crop(variables, source)
+        return self._pad_forward_crop(variables, source, factor=factor)
 
     # -- optimizer ----------------------------------------------------------------------
     def configure_optimizers(self, total_steps: int):

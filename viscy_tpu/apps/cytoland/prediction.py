@@ -105,9 +105,9 @@ def tiled_forward_yx(
 def sharded_fov_forward(
     fwd,
     x: Array,
+    min_height: int,
     mesh=None,
     axis: str = "data",
-    min_height: int | None = None,
 ) -> Array:
     """Full-FOV forward with the Y dimension sharded across mesh devices.
 
@@ -126,13 +126,14 @@ def sharded_fov_forward(
     exactness with the single-chip path.
 
     Falls back to a direct call when no multi-device mesh is active, or
-    when ``min_height`` is given and ``x`` is shorter: FOVs whose deepest
+    when ``x`` is shorter than ``min_height``: FOVs whose deepest
     feature map has fewer Y rows than mesh devices produced WRONG values
     under GSPMD (XLA CPU, jax 0.8: H=64 through a 32x-downsampling net
-    over 4/8 shards diverged by ~0.3; H>=96 was exact) — callers should
-    pass ``n_devices * total_stride`` so every device keeps at least one
-    deepest-stage row. Small FOVs don't benefit from spatial sharding
-    anyway.
+    over 4/8 shards diverged by ~0.3; H>=96 was exact) — pass
+    ``n_devices * total_stride`` so every device keeps at least one
+    deepest-stage row (``min_height`` is required precisely so this
+    regime cannot be entered silently). Small FOVs don't benefit from
+    spatial sharding anyway.
 
     Parameters
     ----------
@@ -142,15 +143,16 @@ def sharded_fov_forward(
         wrapped model forward).
     x : Array
         Input ``(B, C, D, H, W)``.
-    min_height : int | None
-        Fall back to the direct call when ``x.shape[-2]`` is smaller.
+    min_height : int
+        Fall back to the direct call when ``x.shape[-2]`` is smaller
+        (pass ``n_devices * model_total_stride``).
     """
     from viscy_tpu.parallel.mesh import active_mesh
 
     mesh = mesh or active_mesh()
     if mesh is None or mesh.shape.get(axis, 1) == 1:
         return fwd(x)
-    if min_height is not None and x.shape[-2] < min_height:
+    if x.shape[-2] < min_height:
         return fwd(x)
     spec = jax.NamedSharding(mesh, jax.sharding.PartitionSpec(None, None, None, axis, None))
 
@@ -163,8 +165,11 @@ def sharded_fov_forward(
         # already under an outer jit (e.g. the trainer's jitted
         # predict_step): the sharding constraints direct GSPMD directly
         return run(x)
-    # eager call: jit so the model weights are replicated onto the
-    # mesh instead of clashing with the sharded input's device set
+    # eager call: jit so the model weights are replicated onto the mesh
+    # instead of clashing with the sharded input's device set. NOTE:
+    # `run` is a fresh closure, so each EAGER call re-traces/compiles —
+    # serving loops must jit their own predict wrapper (the trainer
+    # does) and let the Tracer branch above handle sharding.
     return jax.jit(run)(jax.device_put(x, spec))
 
 

@@ -299,6 +299,18 @@ def _try_fused_mlp(
         or not fits_vmem(h * w, dim, hidden)
     ):
         return None
+    # under a multi-device mesh the kernel runs via shard_map over the
+    # data axis (data_parallel_call); when the batch cannot shard (e.g.
+    # a spatially sharded fov_shard predict with b=1), the direct-call
+    # fallback would make GSPMD all-gather the operands and run the
+    # kernel fully replicated — defeating sharding entirely. Fall back
+    # to the unfused modules, which GSPMD partitions normally. Must be
+    # decided BEFORE parameter declaration (shared variable tree).
+    from viscy_tpu.parallel.mesh import active_mesh
+
+    mesh = active_mesh()
+    if mesh is not None and mesh.shape.get("data", 1) > 1 and b % mesh.shape["data"]:
+        return None
     ln_s, ln_b = _LNParams(dim, name="norm", parent=parent)()
     w1, b1 = _DenseParams(dim, hidden, name="fc1", parent=parent)()
     gg, gb = _GRNParams(hidden, name="grn", parent=parent)()

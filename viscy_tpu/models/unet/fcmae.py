@@ -250,14 +250,21 @@ class FullyConvolutionalMAE(nn.Module):
 
     @property
     def num_blocks(self) -> int:
-        """log2 of the minimal 2^k divisibility of the input YX extents:
-        the stem stride times one 2x downsample per later stage (= the
-        encoder's true total stride). The reference computes
-        ``len(dims) * log2(stem)`` (fcmae.py:515, marked TODO there) =
-        2^8 for the production config, which over-pads 384^2 predict
-        tiles to 512^2 (1.78x pixels) in the pad-forward-crop path; the
-        true requirement is 2^5 = total_stride."""
-        return int(math.log2(self.stem_kernel_size[-1])) + len(self.dims) - 1
+        """Reference-compatible divisible-pad exponent
+        (``len(dims) * log2(stem)``, fcmae.py:515 — marked TODO there,
+        2^8 for the production config). Deliberately kept: the padded
+        extent feeds GRN's global spatial statistics, so full-image
+        predictions are only numerically comparable to the reference
+        when padded to the same extent. Paths with no reference analog
+        (tiled YX windows) pad to ``total_stride`` (2^5), the true
+        requirement, instead — see VSUNet._pad_forward_crop."""
+        return len(self.dims) * int(math.log2(self.stem_kernel_size[-1]))
+
+    @property
+    def total_stride(self) -> int:
+        """True YX downsampling factor (stem stride x one 2x per later
+        stage): the minimal divisibility the forward actually needs."""
+        return int(self.stem_kernel_size[-1] * 2 ** (len(self.dims) - 1))
 
     @property
     def out_stack_depth(self) -> int:

@@ -42,8 +42,16 @@ class UNeXt2(nn.Module):
 
     @property
     def num_blocks(self) -> int:
-        """2-times downscaling factor of the smallest feature map."""
+        """Reference-compatible divisible-pad exponent (hardcoded 6 like
+        reference unext2.py:72-74; padded extent feeds GRN global stats,
+        so full-image predictions must pad identically to match)."""
         return 6
+
+    @property
+    def total_stride(self) -> int:
+        """True YX downsampling: stem stride x one 2x per later ConvNeXt
+        stage (the minimal divisibility the forward actually needs)."""
+        return int(self.stem_kernel_size[-1] * 2 ** (len(self._dims()[0]) - 1))
 
     def _dims(self) -> tuple[tuple[int, ...], tuple[int, ...]]:
         if self.backbone not in CONVNEXT_ARCHS:
