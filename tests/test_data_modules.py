@@ -310,3 +310,57 @@ def test_native_uint16_transfer(tmp_path):
         np.testing.assert_allclose(
             np.asarray(out16[k]), np.asarray(out32[k]), atol=1e-5
         )
+
+
+def test_train_patch_shape_validation(preprocessed_hcs_dataset):
+    """With no device augmentations to do the cropping, a train source
+    window that does not match (z_window_size, *yx_patch_size) must raise
+    an actionable error at trace time (reference hcs.py:710-719), not
+    crash deep inside XLA shape rules; a configured spatial crop lifts
+    the check."""
+    import re
+
+    import jax
+    import pytest
+
+    from viscy_tpu.data import HCSDataModule
+    from viscy_tpu.transforms import BatchedRandSpatialCropd
+
+    dm = HCSDataModule(
+        preprocessed_hcs_dataset,
+        source_channel="Phase",
+        target_channel="GFP",
+        z_window_size=4,
+        batch_size=2,
+        num_workers=0,
+        yx_patch_size=(16, 16),
+        augmentations=[],
+    )
+    rng = np.random.default_rng(0)
+    bad = {
+        "source": jnp.asarray(rng.random((2, 1, 4, 20, 24), np.float32)),
+        "target": jnp.asarray(rng.random((2, 1, 4, 20, 24), np.float32)),
+    }
+    with pytest.raises(ValueError, match=re.escape("yx_patch_size=[16, 16]")):
+        dm.device_transform(bad, jax.random.PRNGKey(0), stage="train")
+    good = {"source": jnp.asarray(rng.random((2, 1, 4, 16, 16), np.float32))}
+    out = dm.device_transform(good, jax.random.PRNGKey(0), stage="train")
+    assert out["source"].shape == (2, 1, 4, 16, 16)
+    # val/predict pass through uncropped (reference: only training checks)
+    out = dm.device_transform(bad, jax.random.PRNGKey(0), stage="val")
+    assert out["source"].shape == (2, 1, 4, 20, 24)
+
+    dm_crop = HCSDataModule(
+        preprocessed_hcs_dataset,
+        source_channel="Phase",
+        target_channel="GFP",
+        z_window_size=4,
+        batch_size=2,
+        num_workers=0,
+        yx_patch_size=(16, 16),
+        augmentations=[
+            BatchedRandSpatialCropd(keys=["source", "target"], roi_size=(-1, 16, 16))
+        ],
+    )
+    out = dm_crop.device_transform(dict(bad), jax.random.PRNGKey(0), stage="train")
+    assert out["source"].shape == (2, 1, 4, 16, 16)

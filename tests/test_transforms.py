@@ -353,3 +353,12 @@ def test_rand_gaussian_noise_tensor_variants():
     np.testing.assert_allclose(
         np.asarray(t0({"img": x}, jax.random.PRNGKey(1))["img"]), 0.0
     )
+
+
+def test_crop_roi_minus_one_keeps_dim():
+    """MONAI semantics: roi_size=-1 keeps that dim's full extent."""
+    data = _batch()
+    out = T.BatchedCenterSpatialCropd(keys=["source"], roi_size=(-1, 16, 16))(data)
+    assert out["source"].shape == (4, 2, data["source"].shape[2], 16, 16)
+    out = T.BatchedRandSpatialCropd(keys=["source"], roi_size=(-1, 8, 8))(data, KEY)
+    assert out["source"].shape == (4, 2, data["source"].shape[2], 8, 8)

@@ -425,6 +425,23 @@ class HCSDataModule(DataModule):
             batch = self._device_compose(batch, key)
         elif stage == "val" and self._val_device_compose is not None:
             batch = self._val_device_compose(batch, key)
+        if stage == "train" and self._device_compose is None and "source" in batch:
+            # reference hcs.py:710-719: with no device augmentations to do
+            # the cropping, a source window that does not match the
+            # configured patch shape must fail HERE with an actionable
+            # message, not deep inside XLA shape rules (this runs at trace
+            # time — shapes are static, so it costs nothing per step)
+            expected = (self.z_window_size, *self.yx_patch_size)
+            actual = tuple(batch["source"].shape[2:])
+            if actual != expected:
+                raise ValueError(
+                    f"Source spatial shape {actual} does not match expected "
+                    f"{expected} (z_window_size={self.z_window_size}, "
+                    f"yx_patch_size={list(self.yx_patch_size)}). "
+                    "Configure augmentations with a spatial crop (e.g. "
+                    "BatchedCenterSpatialCropd / BatchedRandSpatialCropd) "
+                    "to match yx_patch_size."
+                )
         if self.target_2d and "target" in batch:
             z_index = self.z_window_size // 2
             batch = dict(batch)

@@ -52,7 +52,8 @@ def center_crop(x: Array, roi: Sequence[int]) -> Array:
     roi = _roi3(roi)
     slices = [slice(None)] * (x.ndim - 3)
     for size, r in zip(x.shape[-3:], roi):
-        r = min(r, size)
+        # MONAI semantics: roi_size=-1 keeps the full extent of that dim
+        r = size if r < 0 else min(r, size)
         start = (size - r) // 2
         slices.append(slice(start, start + r))
     return x[tuple(slices)]
@@ -79,7 +80,10 @@ class BatchedRandSpatialCropd(RandTransform):
         first = data[self.first_key(data)]
         b = first.shape[0]
         spatial = first.shape[-3:]
-        roi = tuple(min(r, s) for r, s in zip(self.roi_size, spatial))
+        # MONAI semantics: roi_size=-1 keeps the full extent of that dim
+        roi = tuple(
+            s if r < 0 else min(r, s) for r, s in zip(self.roi_size, spatial)
+        )
         if self.random_center:
             maxs = jnp.array([s - r for s, r in zip(spatial, roi)])
             starts = (
