@@ -53,7 +53,7 @@ class ContrastiveModule(TrainModule):
         log_embeddings_every_n_epochs: int | None = 10,
         pca_color_keys=None,
         log_negative_metrics_every_n_epochs: int = 2,
-        example_input_array_shape: Sequence[int] = (1, 2, 15, 256, 256),
+        example_input_array_shape: Sequence[int] | None = None,
         ckpt_path: str | None = None,
         freeze_backbone: bool = False,
         auxiliary_heads: dict | None = None,
@@ -66,6 +66,20 @@ class ContrastiveModule(TrainModule):
         self.loss_function = loss_function if loss_function is not None else TripletMarginLoss(0.5)
         self.lr = lr
         self.schedule = schedule
+        if example_input_array_shape is None:
+            # the reference defaults to (1, 2, 15, 256, 256) (engine.py:49)
+            # where the example only feeds model summaries; here it
+            # initializes parameters, so a channel/depth mismatch with the
+            # configured encoder would crash in the stem fold — derive the
+            # default from the encoder instead (explicit values still win,
+            # matching reference configs that set it)
+            example_input_array_shape = (
+                1,
+                getattr(encoder, "in_channels", 2),
+                getattr(encoder, "in_stack_depth", 15),
+                256,
+                256,
+            )
         self.example_input_array_shape = tuple(example_input_array_shape)
         self.ckpt_path = ckpt_path
         self.freeze_backbone = freeze_backbone
