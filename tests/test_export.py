@@ -65,3 +65,36 @@ def test_export_with_variables_arg(tiny_module, tmp_path):
     fn = load_exported(out)
     got = np.asarray(fn(variables, x))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_export_dynamic_yx(tmp_path):
+    """Models exposing total_stride export symbolic YX (reference ONNX
+    dynamic_axes num_rows/num_cols, trainer.py:124-130): one artifact
+    serves any stride-multiple spatial extent."""
+    module = VSUNet(
+        architecture="fcmae",
+        model_config=dict(
+            in_channels=1,
+            out_channels=1,
+            encoder_blocks=(1, 1),
+            dims=(8, 16),
+            decoder_conv_blocks=1,
+            stem_kernel_size=(5, 4, 4),
+            in_stack_depth=5,
+            pretraining=False,
+        ),
+    )
+    out = export_model(
+        module,
+        {"export_path": str(tmp_path / "model.stablehlo"), "embed_params": True},
+    )
+    fn = load_exported(out)
+    import jax
+
+    variables = module.init_variables(jax.random.PRNGKey(0), module.example_input())
+    for shape in [(1, 1, 5, 32, 32), (2, 1, 5, 64, 48)]:
+        x = np.random.default_rng(0).random(shape, np.float32)
+        got = np.asarray(fn(x))
+        assert got.shape == (shape[0], 1, *shape[2:])
+        want = np.asarray(module.forward(variables, x))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)

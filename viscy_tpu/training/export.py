@@ -48,22 +48,50 @@ def export_model(module, export_cfg: dict) -> Path:
     from jax import export as jax_export
 
     x = jnp.asarray(example["source"])
-    # dynamic batch dimension (reference exports dynamic axes in ONNX)
-    batch = jax_export.symbolic_shape("b")[0]
-    x_poly = jax.ShapeDtypeStruct((batch, *x.shape[1:]), x.dtype)
-    if export_cfg.get("embed_params", False):
-        # self-contained artifact (the ONNX analog: weights baked in) —
-        # consumers call it with just the input batch, see load_exported
-        fn = jax.jit(lambda inp: module.forward(variables, inp))
-        exported = jax_export.export(fn)(x_poly)
-    else:
+    # dynamic axes mirroring the reference ONNX export (trainer.py:124-130:
+    # batch_size, num_rows, num_cols; channels/depth stay static — conv
+    # weight shapes bake them in). YX are exported as multiples of the
+    # model's total stride (the same divisibility contract the predict
+    # path guarantees via divisible pad); models without a known stride,
+    # or forwards XLA cannot shape-polymorphize, fall back to a static
+    # spatial extent with just the batch symbolic.
+    stride = getattr(getattr(module, "model", None), "total_stride", None)
+
+    def poly_spec(dims: str):
+        sym = jax_export.symbolic_shape(dims)
+        b = sym[0]
+        if len(sym) == 3:
+            h, w = sym[1], sym[2]
+            shape = (b, *x.shape[1:-2], stride * h, stride * w)
+        else:
+            shape = (b, *x.shape[1:])
+        return jax.ShapeDtypeStruct(shape, x.dtype)
+
+    x_poly = poly_spec("b, h, w") if stride else poly_spec("b")
+    def do_export(spec):
+        if export_cfg.get("embed_params", False):
+            # self-contained artifact (the ONNX analog: weights baked in) —
+            # consumers call it with just the input batch, see load_exported
+            fn = jax.jit(lambda inp: module.forward(variables, inp))
+            return jax_export.export(fn)(spec)
         fn = jax.jit(lambda v, inp: module.forward(v, inp))
-        exported = jax_export.export(fn)(
+        return jax_export.export(fn)(
             jax.tree_util.tree_map(
                 lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), variables
             ),
-            x_poly,
+            spec,
         )
+
+    try:
+        exported = do_export(x_poly)
+    except Exception:
+        if not stride:
+            raise
+        _logger.warning(
+            "Shape-polymorphic YX export failed; retrying with static "
+            "spatial extents (batch stays dynamic)"
+        )
+        exported = do_export(poly_spec("b"))
     out.write_bytes(exported.serialize())
     _logger.info(f"Serialized StableHLO module to {out}")
     return out
