@@ -112,6 +112,17 @@ class _Attrs:
     def __contains__(self, key: str) -> bool:
         return key in self.asdict()
 
+    def __iter__(self):
+        # dict-like protocol: without this, ``for k in zattrs`` falls back
+        # to __getitem__(0) and raises a confusing KeyError
+        return iter(self.asdict())
+
+    def keys(self):
+        return self.asdict().keys()
+
+    def items(self):
+        return self.asdict().items()
+
     def __setitem__(self, key: str, value) -> None:
         d = self.asdict()
         d[key] = value
