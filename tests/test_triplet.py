@@ -152,3 +152,25 @@ def test_contrastive_predict_embeddings(tracks_dataset, tmp_path):
     assert ds["projections"].shape[1] == 8
     assert len(ds["index"]) == ds["features"].shape[0]
     assert "track_id" in ds["index"].columns
+
+
+def test_convert_to_anndata_spec_store(tracks_dataset, tmp_path):
+    """convert_to_anndata writes a real spec-compliant AnnData zarr (via
+    anndata_lite when the anndata package is absent), not a bespoke
+    bundle (reference trainer.py:187)."""
+    from viscy_tpu.evaluation.anndata_lite import read_anndata_zarr
+    from viscy_tpu.preprocess.precompute import convert_to_anndata
+
+    dm = _dm(tracks_dataset)
+    module = _tiny_module(TripletMarginLoss(0.5))
+    out = tmp_path / "emb"
+    writer = EmbeddingWriter(str(out), compute_pca=False)
+    trainer = Trainer(default_root_dir=tmp_path / "logs", callbacks=[writer])
+    trainer.predict(module, dm)
+
+    converted = convert_to_anndata(out, tmp_path / "emb_ad.zarr")
+    ad = read_anndata_zarr(converted)
+    src = read_embedding_dataset(out)
+    np.testing.assert_allclose(ad.X, np.asarray(src["features"]), rtol=1e-6)
+    assert "projections" in ad.obsm
+    assert list(ad.obs["track_id"]) == list(src["index"]["track_id"])

@@ -54,27 +54,33 @@ def precompute_normalized(
 def convert_to_anndata(
     embeddings_path: str | Path, output_path: str | Path
 ) -> Path:
-    """Convert an embedding dataset to AnnData h5ad/zarr when anndata is
-    installed; otherwise write a parquet+npz bundle with the same content
-    (reference ``trainer.py:187``)."""
+    """Convert an embedding dataset to an AnnData zarr store (reference
+    ``trainer.py:187``): via the installed anndata package when present,
+    otherwise through the in-repo spec-compliant writer
+    (``evaluation.anndata_lite``) — either way downstream AnnData readers
+    get a real store, not a bespoke bundle."""
     from viscy_tpu.training.callbacks.embedding_writer import read_embedding_dataset
 
     ds = read_embedding_dataset(embeddings_path)
     output_path = Path(output_path)
+    obs = ds["index"] if "index" in ds else ds.obs
     try:
         import anndata as ad
 
-        adata = ad.AnnData(X=ds["features"], obs=ds["index"])
+        adata = ad.AnnData(X=np.asarray(ds["features"]), obs=obs)
         if "projections" in ds:
-            adata.obsm["projections"] = ds["projections"]
+            adata.obsm["projections"] = np.asarray(ds["projections"])
         adata.write_zarr(output_path)
     except ImportError:
-        output_path.mkdir(parents=True, exist_ok=True)
-        np.savez(
-            output_path / "X.npz",
-            X=ds["features"],
-            **({"projections": ds["projections"]} if "projections" in ds else {}),
+        from viscy_tpu.evaluation.anndata_lite import AnnDataLite, write_anndata_zarr
+
+        obsm = (
+            {"projections": np.asarray(ds["projections"])}
+            if "projections" in ds
+            else None
         )
-        ds["index"].to_parquet(output_path / "obs.parquet")
-        _logger.warning("anndata not installed; wrote npz+parquet bundle instead")
+        write_anndata_zarr(
+            output_path,
+            AnnDataLite(np.asarray(ds["features"]), obs=obs.reset_index(drop=True), obsm=obsm),
+        )
     return output_path
