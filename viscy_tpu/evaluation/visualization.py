@@ -361,6 +361,14 @@ class EmbeddingVisualizationApp:
                         self.image_cache[key] = processed
                 except Exception as e:
                     _logger.error(f"Error caching batch for {fov_name}: {e}")
+        if not self.image_cache and any(self.filtered_tracks_by_fov.values()):
+            _logger.warning(
+                "Cached 0 images despite candidate tracks: cells whose "
+                f"{self.yx_patch_size} patch would cross the FOV border are "
+                "filtered out by the triplet dataset — if every cell sits "
+                "near an edge (small FOVs), pass a smaller yx_patch_size/"
+                "--patch-size"
+            )
         _logger.info(f"Cached {len(self.image_cache)} images")
         if self.cache_path:
             self.save_cache()
