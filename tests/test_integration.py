@@ -217,3 +217,32 @@ def test_predict_write_input_channels(preprocessed_hcs_dataset, tmp_path):
     assert img.shape[1] == 2
     # source center slice written in channel 0
     assert np.abs(img[0, 0, 6]).sum() > 0
+
+
+def test_trainer_test_stage_metrics(preprocessed_hcs_dataset, tmp_path):
+    """viscy test: full-FOV windows through test_step produce the reference
+    metric suite (MAE/MSE/pearson/cosine/SSIM-21, engine.py:373-389) in
+    logged_metrics and metrics.csv."""
+    import json
+
+    dm = _datamodule(
+        preprocessed_hcs_dataset,
+        include_fov_names=["A/1/0"],
+        augmentations=[],
+        batch_size=2,
+    )
+    module = VSUNet(
+        architecture="fcmae",
+        model_config=dict(TINY_FCMAE, pretraining=False),
+        loss_function=MixedLoss(l1_alpha=1.0, ms_dssim_alpha=0.0),
+        lr=1e-4,
+    )
+    trainer = Trainer(default_root_dir=tmp_path / "logs")
+    metrics = trainer.test(module, dm)
+    for key in ("loss", "metrics/mae", "metrics/mse", "metrics/pearson", "metrics/cosine", "metrics/ssim"):
+        assert key in metrics and np.isfinite(metrics[key]), key
+    rows = [
+        json.loads(line)
+        for line in (trainer.logger.log_dir / "metrics.csv").read_text().splitlines()
+    ]
+    assert any("test/metrics/ssim" in r for r in rows)

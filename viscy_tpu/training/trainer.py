@@ -447,6 +447,15 @@ class Trainer:
                 cb.on_test_batch_end(self, module, host, batch, i)
         mean_metrics = {k: float(np.mean(v)) for k, v in agg.items()}
         self.logger.log_metrics({f"test/{k}": v for k, v in mean_metrics.items()}, self.global_step)
+        # console summary like Lightning's end-of-test table
+        if mean_metrics:
+            width = max(len(k) for k in mean_metrics)
+            lines = "\n".join(
+                f"  test/{k:<{width}}  {v:.6f}" for k, v in sorted(mean_metrics.items())
+            )
+            _logger.info(f"Test metrics (mean over {len(next(iter(agg.values())))} batches):\n{lines}")
+        else:
+            _logger.warning("Test stage saw zero batches — nothing to report")
         for cb in self.callbacks:
             cb.on_test_end(self, module, mean_metrics)
         return mean_metrics
