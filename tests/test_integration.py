@@ -246,3 +246,73 @@ def test_trainer_test_stage_metrics(preprocessed_hcs_dataset, tmp_path):
         for line in (trainer.logger.log_dir / "metrics.csv").read_text().splitlines()
     ]
     assert any("test/metrics/ssim" in r for r in rows)
+
+
+def test_trainer_test_stage_segmentation_leg(preprocessed_hcs_dataset, tmp_path):
+    """With ground_truth_masks configured (MaskTestDataset finds a
+    *_p###_z#_cp_masks.png for the window's center slice), the test stage
+    adds the reference segmentation suite (engine.py:400-424) computed on
+    natively segmented instances."""
+    from PIL import Image
+
+    mask_dir = tmp_path / "masks"
+    mask_dir.mkdir()
+    rng = np.random.default_rng(0)
+    # blobs at the window-center z for every z window of FOVs in column 1
+    labels = np.zeros((64, 64), np.int16)
+    labels[8:20, 8:20] = 1
+    labels[30:50, 30:50] = 2
+    for z in range(2, 10):
+        Image.fromarray(labels).save(mask_dir / f"img_p001_z{z}_cp_masks.png")
+
+    dm = _datamodule(
+        preprocessed_hcs_dataset,
+        include_fov_names=["A/1/0"],
+        augmentations=[],
+        batch_size=1,
+        ground_truth_masks=str(mask_dir),
+    )
+    module = VSUNet(
+        architecture="fcmae",
+        model_config=dict(TINY_FCMAE, pretraining=False),
+        loss_function=MixedLoss(l1_alpha=1.0, ms_dssim_alpha=0.0),
+        lr=1e-4,
+    )
+    trainer = Trainer(default_root_dir=tmp_path / "logs")
+    metrics = trainer.test(module, dm)
+    for key in (
+        "metrics/accuracy",
+        "metrics/dice_score",
+        "metrics/jaccard",
+        "metrics/mAP",
+        "metrics/mAP_50",
+        "metrics/mAP_75",
+        "metrics/mAR_100",
+    ):
+        assert key in metrics and np.isfinite(metrics[key]), key
+    # the GT masks themselves must score perfectly through the same path
+    host = module.test_step_host(
+        trainer.state.variables,
+        {
+            "source": np.zeros((1, 1, 5, 64, 64), np.float32),
+            "target": np.zeros((1, 1, 5, 64, 64), np.float32),
+            "labels": labels,
+        },
+    )
+    assert host  # computed
+    module2 = VSUNet(
+        architecture="fcmae",
+        model_config=dict(TINY_FCMAE, pretraining=False),
+        test_evaluate_cellpose=True,
+    )
+    module2._instance_segment = lambda pred2d: labels.astype(np.int32)
+    perfect = module2.test_step_host(
+        None,
+        {
+            "source": np.zeros((1, 1, 5, 64, 64), np.float32),
+            "target": np.zeros((1, 1, 5, 64, 64), np.float32),
+            "labels": labels,
+        },
+    )
+    assert perfect["metrics/mAP"] == 1.0
+    assert perfect["metrics/dice_score"] == 1.0

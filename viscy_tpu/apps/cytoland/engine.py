@@ -191,6 +191,11 @@ class VSUNet(TrainModule):
         if encoder_only and ckpt_path is None:
             _logger.warning("encoder_only=True has no effect without ckpt_path")
         self.encoder_only = encoder_only
+        # segmentation leg of the test stage (reference engine.py:344-370)
+        self.test_cellpose_model_path = test_cellpose_model_path
+        self.test_cellpose_diameter = test_cellpose_diameter
+        self.test_evaluate_cellpose = test_evaluate_cellpose
+        self._cellpose_model = None
 
     # -- init ----------------------------------------------------------------
     def example_input(self) -> dict:
@@ -322,6 +327,73 @@ class VSUNet(TrainModule):
             "metrics/pearson": pearson,
             "metrics/cosine": cosine,
             "metrics/ssim": ssim,
+        }
+
+    # -- test stage, segmentation leg (host-side) -----------------------------------
+    def _instance_segment(self, pred2d):
+        """Instance labels from a predicted nuclei image: CellPose when a
+        model is configured AND installed (reference engine.py:392-398),
+        otherwise the native EDT-watershed pipeline (documented deviation:
+        cellpose is an optional extra in both stacks)."""
+        import numpy as np
+
+        if self.test_cellpose_model_path is not None and self._cellpose_model is None:
+            try:
+                from cellpose.models import CellposeModel
+
+                self._cellpose_model = CellposeModel(
+                    model_type=self.test_cellpose_model_path
+                )
+            except ImportError as e:
+                raise ImportError(
+                    "CellPose not installed; omit test_cellpose_model_path to "
+                    "use the native watershed instance segmentation"
+                ) from e
+        if self._cellpose_model is not None:
+            masks = self._cellpose_model.eval(
+                np.asarray(pred2d), channels=[0, 0], diameter=self.test_cellpose_diameter
+            )[0]
+            return np.asarray(masks).astype(np.int32)
+        from viscy_tpu.apps.dynacell.eval.segmentation import segment_nucleus_instances
+
+        return segment_nucleus_instances(np.asarray(pred2d))
+
+    def test_step_host(self, variables, batch) -> dict:
+        """Host-side extension of ``test_step``: when the MaskTestDataset
+        found a ground-truth mask (``labels`` in the batch), segment the
+        prediction into instances and log the reference's segmentation
+        suite (engine.py:400-424: binary accuracy/dice/jaccard + COCO
+        mAP/mAP_50/mAP_75/mAR_100). Instance matching is not jittable, so
+        this runs outside the compiled step; like the reference it scores
+        the first sample of the batch."""
+        if "labels" not in batch:
+            return {}
+        import numpy as np
+
+        from viscy_tpu.evaluation.metrics import mean_average_precision
+
+        source = jnp.asarray(np.asarray(batch["source"])[:1])
+        target = np.asarray(batch["target"])[:1]
+        center = target.shape[-3] // 2
+        if self.test_evaluate_cellpose:
+            pred2d = target[0, 0, center]
+        else:
+            pred2d = np.asarray(self.forward(variables, source))[0, 0, center]
+        labels = np.asarray(batch["labels"])
+        if labels.ndim == 3:
+            labels = labels[0]
+        pred_labels = self._instance_segment(pred2d)
+        pb, tb = pred_labels > 0, labels > 0
+        tp = float(np.logical_and(pb, tb).sum())
+        coco = mean_average_precision(pred_labels, labels.astype(np.int32))
+        return {
+            "metrics/accuracy": float((pb == tb).mean()),
+            "metrics/dice_score": float(2 * tp / max(pb.sum() + tb.sum(), 1)),
+            "metrics/jaccard": float(tp / max(np.logical_or(pb, tb).sum(), 1)),
+            "metrics/mAP": float(coco["map"]),
+            "metrics/mAP_50": float(coco["map_50"]),
+            "metrics/mAP_75": float(coco["map_75"]),
+            "metrics/mAR_100": float(coco["mar_100"]),
         }
 
     # -- prediction -----------------------------------------------------------------

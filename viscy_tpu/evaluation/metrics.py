@@ -104,8 +104,10 @@ def labels_to_masks(labels: np.ndarray) -> np.ndarray:
 
 def _mask_iou_matrix(pred: np.ndarray, target: np.ndarray) -> np.ndarray:
     """Pairwise IoU between (P, H, W) and (T, H, W) boolean mask stacks."""
-    p = pred.reshape(pred.shape[0], -1).astype(np.float64)
-    t = target.reshape(target.shape[0], -1).astype(np.float64)
+    # explicit flat extent: reshape(n, -1) cannot infer -1 when n == 0
+    # (no predicted/target instances must yield an empty IoU, not a crash)
+    p = pred.reshape(pred.shape[0], int(np.prod(pred.shape[1:]))).astype(np.float64)
+    t = target.reshape(target.shape[0], int(np.prod(target.shape[1:]))).astype(np.float64)
     inter = p @ t.T
     union = p.sum(1)[:, None] + t.sum(1)[None, :] - inter
     return np.where(union > 0, inter / np.maximum(union, 1), 0.0)

@@ -438,9 +438,19 @@ class Trainer:
             self.load_checkpoint(ckpt_path, module)
         test_step = jax.jit(lambda state, batch: module.test_step(state.variables, batch))
         agg: dict[str, list[float]] = {}
+        host_step = getattr(module, "test_step_host", None)
         for i, batch in self._iter_loader(datamodule.test_dataloader(), None):
             metrics = jax.device_get(test_step(self.state, batch))
             host = {k: float(np.mean(v)) for k, v in metrics.items()}
+            if host_step is not None:
+                # host-side metrics (e.g. instance-segmentation matching)
+                # are not jittable; modules opt in via test_step_host
+                host.update(
+                    {
+                        k: float(np.mean(v))
+                        for k, v in host_step(self.state.variables, batch).items()
+                    }
+                )
             for k, v in host.items():
                 agg.setdefault(k, []).append(v)
             for cb in self.callbacks:
