@@ -154,7 +154,9 @@ def run_subcommand(subcommand: str, config_path: str, ckpt_path: str | None = No
     if subcommand == "fit":
         trainer.fit(model, datamodule, ckpt_path=ckpt)
     elif subcommand == "validate":
-        trainer.validate(model, datamodule, ckpt_path=ckpt)
+        metrics = trainer.validate(model, datamodule, ckpt_path=ckpt)
+        for k, v in sorted(metrics.items()):
+            _logger.info(f"  {k}  {v:.6f}")
     elif subcommand == "test":
         trainer.test(model, datamodule, ckpt_path=ckpt)
     elif subcommand == "predict":
