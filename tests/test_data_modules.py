@@ -364,3 +364,30 @@ def test_train_patch_shape_validation(preprocessed_hcs_dataset):
     )
     out = dm_crop.device_transform(dict(bad), jax.random.PRNGKey(0), stage="train")
     assert out["source"].shape == (2, 1, 4, 16, 16)
+
+
+def test_train_patch_shape_validation_intensity_only(preprocessed_hcs_dataset):
+    """Intensity-only device augmentations cannot change the shape, so the
+    actionable patch-shape error must still fire (code-review finding)."""
+    import re
+
+    import jax
+    import pytest
+
+    from viscy_tpu.data import HCSDataModule
+    from viscy_tpu.transforms import BatchedRandGaussianNoised
+
+    dm = HCSDataModule(
+        preprocessed_hcs_dataset,
+        source_channel="Phase",
+        target_channel="GFP",
+        z_window_size=4,
+        batch_size=2,
+        num_workers=0,
+        yx_patch_size=(16, 16),
+        augmentations=[BatchedRandGaussianNoised(keys=["source"], prob=1.0, std=0.1)],
+    )
+    rng = np.random.default_rng(0)
+    bad = {"source": jnp.asarray(rng.random((2, 1, 4, 20, 24), np.float32))}
+    with pytest.raises(ValueError, match=re.escape("yx_patch_size=[16, 16]")):
+        dm.device_transform(bad, jax.random.PRNGKey(0), stage="train")

@@ -172,5 +172,7 @@ def test_convert_to_anndata_spec_store(tracks_dataset, tmp_path):
     ad = read_anndata_zarr(converted)
     src = read_embedding_dataset(out)
     np.testing.assert_allclose(ad.X, np.asarray(src["features"]), rtol=1e-6)
-    assert "projections" in ad.obsm
+    # X_projections matches EmbeddingWriter's obsm key, so converted
+    # stores round-trip through the same readers
+    assert "X_projections" in ad.obsm
     assert list(ad.obs["track_id"]) == list(src["index"]["track_id"])

@@ -372,13 +372,20 @@ class VSUNet(TrainModule):
 
         from viscy_tpu.evaluation.metrics import mean_average_precision
 
-        source = jnp.asarray(np.asarray(batch["source"])[:1])
-        target = np.asarray(batch["target"])[:1]
-        center = target.shape[-3] // 2
         if self.test_evaluate_cellpose:
-            pred2d = target[0, 0, center]
+            target = np.asarray(batch["target"])[:1]
+            pred2d = target[0, 0, target.shape[-3] // 2]
         else:
-            pred2d = np.asarray(self.forward(variables, source))[0, 0, center]
+            source = jnp.asarray(np.asarray(batch["source"])[:1])
+            if not hasattr(self, "_test_host_fwd"):
+                # second forward per labeled batch (the jitted test_step's
+                # prediction stays inside its compiled program); jit it so
+                # the cost is one compiled call, not eager op dispatch
+                self._test_host_fwd = jax.jit(self.forward)
+            pred = np.asarray(self._test_host_fwd(variables, source))
+            # slice the PREDICTION's own center: out_stack_depth can differ
+            # from the target window depth (e.g. 2.5D out_stack_depth=1)
+            pred2d = pred[0, 0, pred.shape[-3] // 2]
         labels = np.asarray(batch["labels"])
         if labels.ndim == 3:
             labels = labels[0]
@@ -386,7 +393,7 @@ class VSUNet(TrainModule):
         pb, tb = pred_labels > 0, labels > 0
         tp = float(np.logical_and(pb, tb).sum())
         coco = mean_average_precision(pred_labels, labels.astype(np.int32))
-        return {
+        out = {
             "metrics/accuracy": float((pb == tb).mean()),
             "metrics/dice_score": float(2 * tp / max(pb.sum() + tb.sum(), 1)),
             "metrics/jaccard": float(tp / max(np.logical_or(pb, tb).sum(), 1)),
@@ -395,6 +402,10 @@ class VSUNet(TrainModule):
             "metrics/mAP_75": float(coco["map_75"]),
             "metrics/mAR_100": float(coco["mar_100"]),
         }
+        # empty-vs-empty label pairs yield NaN AP (no GT instances to
+        # rank against); drop them so the trainer's mean over batches is
+        # not poisoned for the whole run
+        return {k: v for k, v in out.items() if np.isfinite(v)}
 
     # -- prediction -----------------------------------------------------------------
     def _pad_forward_crop(self, variables, source: Array, factor: int | None = None) -> Array:

@@ -425,12 +425,16 @@ class HCSDataModule(DataModule):
             batch = self._device_compose(batch, key)
         elif stage == "val" and self._val_device_compose is not None:
             batch = self._val_device_compose(batch, key)
-        if stage == "train" and self._device_compose is None and "source" in batch:
-            # reference hcs.py:710-719: with no device augmentations to do
-            # the cropping, a source window that does not match the
-            # configured patch shape must fail HERE with an actionable
-            # message, not deep inside XLA shape rules (this runs at trace
-            # time — shapes are static, so it costs nothing per step)
+        has_spatial_aug = any(
+            getattr(t, "is_spatial", False) for t in self._device_augmentations
+        )
+        if stage == "train" and not has_spatial_aug and "source" in batch:
+            # reference hcs.py:710-719: with no spatial device augmentation
+            # to do the cropping (intensity-only lists cannot change the
+            # shape), a source window that does not match the configured
+            # patch shape must fail HERE with an actionable message, not
+            # deep inside XLA shape rules (this runs at trace time —
+            # shapes are static, so it costs nothing per step)
             expected = (self.z_window_size, *self.yx_patch_size)
             actual = tuple(batch["source"].shape[2:])
             if actual != expected:

@@ -26,8 +26,10 @@ def convert(
     overwrite: bool = False,
     return_anndata: bool = False,
 ):
-    """Convert an embedding dataset to AnnData zarr (or the npz+parquet
-    fallback bundle when anndata is absent; reference ``annotation.py:16``)."""
+    """Convert an embedding dataset to an AnnData zarr store (reference
+    ``annotation.py:16``) — via the anndata package when installed,
+    otherwise through the in-repo spec-compliant writer
+    (``evaluation.anndata_lite``)."""
     from viscy_tpu.preprocess.precompute import convert_to_anndata
     from viscy_tpu.training.callbacks.embedding_writer import write_embedding_dataset
 
@@ -51,7 +53,10 @@ def convert(
 
             return ad.read_zarr(result)
         except ImportError:
-            return None
+            # same X/obs/var/obsm surface, readable without the package
+            from viscy_tpu.evaluation.anndata_lite import read_anndata_zarr
+
+            return read_anndata_zarr(result)
     return None
 
 

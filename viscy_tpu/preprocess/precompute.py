@@ -64,18 +64,20 @@ def convert_to_anndata(
     ds = read_embedding_dataset(embeddings_path)
     output_path = Path(output_path)
     obs = ds["index"] if "index" in ds else ds.obs
+    # obsm key X_projections matches EmbeddingWriter's stores, so a
+    # converted store round-trips through the same readers
     try:
         import anndata as ad
 
         adata = ad.AnnData(X=np.asarray(ds["features"]), obs=obs)
         if "projections" in ds:
-            adata.obsm["projections"] = np.asarray(ds["projections"])
+            adata.obsm["X_projections"] = np.asarray(ds["projections"])
         adata.write_zarr(output_path)
     except ImportError:
         from viscy_tpu.evaluation.anndata_lite import AnnDataLite, write_anndata_zarr
 
         obsm = (
-            {"projections": np.asarray(ds["projections"])}
+            {"X_projections": np.asarray(ds["projections"])}
             if "projections" in ds
             else None
         )

@@ -84,12 +84,14 @@ def export_model(module, export_cfg: dict) -> Path:
 
     try:
         exported = do_export(x_poly)
-    except Exception:
+    except Exception as e:
         if not stride:
             raise
         _logger.warning(
-            "Shape-polymorphic YX export failed; retrying with static "
-            "spatial extents (batch stays dynamic)"
+            "Shape-polymorphic YX export failed "
+            f"({type(e).__name__}: {e}); retrying with static spatial "
+            "extents (batch stays dynamic) — the artifact will only "
+            "accept the example spatial shape"
         )
         exported = do_export(poly_spec("b"))
     out.write_bytes(exported.serialize())
