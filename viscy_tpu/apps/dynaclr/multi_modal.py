@@ -42,7 +42,7 @@ class JointEncoderModule(TrainModule):
         temperature: float = 0.07,
         lr: float = 1e-3,
         schedule: Literal["WarmupCosine", "Constant"] = "Constant",
-        example_input_array_shape: Sequence[int] = (1, 1, 15, 224, 224),
+        example_input_array_shape: Sequence[int] | None = None,
     ) -> None:
         if isinstance(source_encoder, dict):
             source_encoder = ContrastiveEncoder(**source_encoder)
@@ -52,13 +52,25 @@ class JointEncoderModule(TrainModule):
         self.temperature = temperature
         self.lr = lr
         self.schedule = schedule
-        self.example_input_array_shape = tuple(example_input_array_shape)
+        # the example initializes parameters here (not just summaries), so
+        # channel/depth must match each encoder's stem — derive per-encoder
+        # defaults; an explicit shape still wins for both inputs
+        self.example_input_array_shape = (
+            tuple(example_input_array_shape) if example_input_array_shape else None
+        )
+
+    def _example_shape(self, encoder) -> tuple[int, ...]:
+        if self.example_input_array_shape is not None:
+            return self.example_input_array_shape
+        return (1, encoder.in_channels, encoder.in_stack_depth, 224, 224)
 
     def example_input(self) -> dict:
         import numpy as np
 
-        x = np.zeros(self.example_input_array_shape, np.float32)
-        return {"source": x, "target": x.copy()}
+        return {
+            "source": np.zeros(self._example_shape(self.model.source_encoder), np.float32),
+            "target": np.zeros(self._example_shape(self.model.target_encoder), np.float32),
+        }
 
     def init_with_rngs(self, rngs: dict, batch: dict) -> dict:
         return jax.jit(self.model.init, static_argnames=("train",))(
