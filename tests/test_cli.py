@@ -1,6 +1,7 @@
 """CLI, config composition, and class_path instantiation tests
 (reference ``viscy-utils/tests/test_cli.py``)."""
 
+import os
 import subprocess
 import sys
 from pathlib import Path
@@ -185,3 +186,27 @@ def test_format_markdown_table_and_sections(tmp_path):
     import jax.numpy as jnp
 
     assert to_numpy(jnp.ones((2,))).sum() == 2.0
+
+
+@pytest.mark.slow
+def test_examples_run_offline(tmp_path):
+    """The shipped example scripts run end-to-end with no inputs (synthetic
+    fixtures, tiny models) — the user-facing quick-start contract."""
+    import subprocess
+    import sys
+
+    for script in ("quick_start.py", "dynaclr_embeddings.py"):
+        env = dict(
+            os.environ,
+            VISCY_OUT=str(tmp_path / script.replace(".py", "")),
+            JAX_PLATFORMS="cpu",
+        )
+        proc = subprocess.run(
+            [sys.executable, str(Path(__file__).parent.parent / "examples" / script)],
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=900,
+            cwd=tmp_path,
+        )
+        assert proc.returncode == 0, f"{script}:\n{proc.stderr[-2000:]}"
