@@ -136,3 +136,31 @@ def test_cell_division_triplet_dataset(tmp_path):
     arr0 = np.load(files[0])
     np.testing.assert_allclose(sample["anchor"], arr0[0], rtol=1e-6)
     np.testing.assert_allclose(sample["positive"], arr0[1], rtol=1e-6)
+
+
+def test_segmentation_metrics_via_trainer_test(tmp_path):
+    """SegmentationMetrics2D declares jit_test_step=False — its host-side
+    instance matching (POD/VOI) cannot trace under jit, and trainer.test
+    must run it eagerly (regression: it crashed with
+    TracerArrayConversionError)."""
+    from viscy_tpu.apps.cytoland.evaluation import SegmentationMetrics2D
+    from viscy_tpu.data.segmentation import SegmentationDataModule
+    from viscy_tpu.training.trainer import Trainer
+    from viscy_tpu.zarr_io.store import open_ome_zarr as _open
+
+    labels = np.zeros((1, 1, 1, 32, 32), np.float32)
+    labels[..., 4:12, 4:12] = 1
+    labels[..., 18:28, 18:28] = 2
+    for side in ("pred", "target"):
+        plate = _open(
+            tmp_path / f"{side}.zarr", layout="hcs", mode="w-", channel_names=["seg"]
+        )
+        plate.create_position("A", "1", "0").create_image("0", labels)
+    dm = SegmentationDataModule(
+        tmp_path / "pred.zarr", tmp_path / "target.zarr", "seg", "seg"
+    )
+    trainer = Trainer(default_root_dir=tmp_path / "logs")
+    metrics = trainer.test(SegmentationMetrics2D(), dm)
+    assert metrics["test_metrics/dice"] == 1.0
+    assert metrics["test_metrics/jaccard"] == 1.0
+    assert metrics["test_metrics/voi"] == 0.0

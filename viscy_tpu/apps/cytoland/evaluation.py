@@ -21,6 +21,9 @@ _logger = logging.getLogger("viscy_tpu")
 class SegmentationMetrics2D(TrainModule):
     """Test runner over SegmentationDataModule batches (batch_size=1)."""
 
+    # instance matching (POD/VOI) is host math — the trainer must not jit it
+    jit_test_step = False
+
     def __init__(self, aggregate_epoch: bool = False) -> None:
         self.aggregate_epoch = aggregate_epoch
         self.model = None

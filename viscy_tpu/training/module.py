@@ -27,6 +27,11 @@ class TrainModule:
     # extra rng streams the model consumes during training (e.g. "dropout", "mask")
     rng_keys: tuple[str, ...] = ("dropout",)
 
+    # set False when test_step does host-side math (instance matching,
+    # scipy) that cannot run under jax.jit — the trainer then calls it
+    # eagerly on host batches
+    jit_test_step: bool = True
+
     def example_input(self) -> dict:
         """A minimal batch (host numpy) used for variable initialization."""
         raise NotImplementedError

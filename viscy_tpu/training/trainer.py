@@ -436,7 +436,14 @@ class Trainer:
             self.state = self._init_state(module, datamodule, 1)
         if ckpt_path:
             self.load_checkpoint(ckpt_path, module)
-        test_step = jax.jit(lambda state, batch: module.test_step(state.variables, batch))
+        if getattr(module, "jit_test_step", True):
+            test_step = jax.jit(
+                lambda state, batch: module.test_step(state.variables, batch)
+            )
+        else:
+            # host-side metric modules (e.g. SegmentationMetrics2D instance
+            # matching) cannot trace under jit
+            test_step = lambda state, batch: module.test_step(state.variables, batch)
         agg: dict[str, list[float]] = {}
         host_step = getattr(module, "test_step_host", None)
         for i, batch in self._iter_loader(datamodule.test_dataloader(), None):
