@@ -1,0 +1,90 @@
+"""Import-level compatibility with the reference packages.
+
+The config layer already remaps ``class_path`` strings
+(``training.instantiate._MODULE_ALIASES``); this module gives reference
+*Python code* the same treatment, so scripts and notebooks written
+against the reference packages run unchanged:
+
+    from viscy_data.hcs import HCSDataModule
+    from viscy_transforms import NormalizeSampled
+    from cytoland.engine import FcmaeUNet
+
+Top-level stub packages (``viscy_data/``, ``cytoland/``, ...) each call
+:func:`alias_self` on import, which installs one shared meta-path finder
+and replaces the stub in ``sys.modules`` with the real viscy_tpu module.
+The finder resolves every aliased dotted path to the EXISTING viscy_tpu
+module object (meta-path finders run before path-based import, so
+submodules like ``viscy_data.hcs`` can never be double-imported from the
+target package's ``__path__``).
+"""
+
+from __future__ import annotations
+
+import importlib
+import sys
+from importlib.abc import Loader, MetaPathFinder
+from importlib.machinery import ModuleSpec
+
+from viscy_tpu.training.instantiate import _MODULE_ALIASES
+
+# import-only additions: reference modules whose viscy_tpu home does not
+# follow the prefix rewrite (longest prefix wins, same as the config remap)
+IMPORT_ALIASES: dict[str, str] = {
+    **_MODULE_ALIASES,
+    "viscy": "viscy_tpu",
+    "viscy.unet": "viscy_tpu.models.unet",
+    "viscy_utils.evaluation": "viscy_tpu.evaluation",
+    "viscy_utils.preprocess": "viscy_tpu.preprocess",
+    "viscy_data._typing": "viscy_tpu.data.typing",
+    "viscy_data._utils": "viscy_tpu.data.utils",
+    "viscy_data.foreground_masks": "viscy_tpu.data.sliding_window",
+    "qc": "viscy_tpu.apps.qc",
+    "airtable_utils": "viscy_tpu.apps.airtable_utils",
+}
+
+
+def _resolve(fullname: str) -> str | None:
+    for prefix in sorted(IMPORT_ALIASES, key=len, reverse=True):
+        if fullname == prefix or fullname.startswith(prefix + "."):
+            return IMPORT_ALIASES[prefix] + fullname[len(prefix):]
+    return None
+
+
+class _AliasFinder(MetaPathFinder, Loader):
+    """Resolves aliased names to existing viscy_tpu modules (no re-exec)."""
+
+    def find_spec(self, fullname, path=None, target=None):
+        real = _resolve(fullname)
+        if real is None:
+            return None
+        try:
+            importlib.import_module(real)
+        except ModuleNotFoundError as e:
+            raise ModuleNotFoundError(
+                f"{fullname!r} is a reference-compat alias for {real!r}, "
+                f"which does not exist in viscy_tpu ({e}). See "
+                "docs/MIGRATION.md for the import mapping."
+            ) from e
+        return ModuleSpec(fullname, self, origin=f"alias:{real}")
+
+    def create_module(self, spec):
+        return sys.modules[_resolve(spec.name)]
+
+    def exec_module(self, module):  # module already initialized
+        pass
+
+
+_FINDER = _AliasFinder()
+
+
+def install_import_aliases() -> None:
+    """Idempotently install the alias finder at the head of sys.meta_path."""
+    if not any(isinstance(f, _AliasFinder) for f in sys.meta_path):
+        sys.meta_path.insert(0, _FINDER)
+
+
+def alias_self(stub_name: str) -> None:
+    """Called from a top-level stub package's ``__init__``: install the
+    finder and make the stub name resolve to its viscy_tpu target."""
+    install_import_aliases()
+    sys.modules[stub_name] = importlib.import_module(_resolve(stub_name))
