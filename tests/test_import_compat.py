@@ -51,3 +51,117 @@ def test_alias_error_names_the_mapping():
 
     with pytest.raises(ModuleNotFoundError, match="reference-compat alias"):
         import viscy_data.no_such_module  # noqa: F401
+
+
+def test_subpackage_export_parity():
+    """Every name exported by a reference subpackage __init__ resolves on
+    the aliased viscy_tpu module (deep surface parity — the top-level
+    export test misses subpackages like viscy_utils.callbacks)."""
+    import ast
+    import importlib
+    import pathlib
+
+    ref_roots = {
+        "viscy_data": "/root/reference/packages/viscy-data/src/viscy_data",
+        "viscy_models": "/root/reference/packages/viscy-models/src/viscy_models",
+        "viscy_transforms": "/root/reference/packages/viscy-transforms/src/viscy_transforms",
+        "viscy_utils": "/root/reference/packages/viscy-utils/src/viscy_utils",
+        "cytoland": "/root/reference/applications/cytoland/src/cytoland",
+        "dynaclr": "/root/reference/applications/dynaclr/src/dynaclr",
+        "dynacell": "/root/reference/applications/dynacell/src/dynacell",
+    }
+    if not pathlib.Path(next(iter(ref_roots.values()))).exists():
+        import pytest
+
+        pytest.skip("reference tree not available")
+
+    def exported_names(init_path):
+        tree = ast.parse(pathlib.Path(init_path).read_text())
+        names = set()
+        for node in ast.walk(tree):
+            if isinstance(node, ast.Assign):
+                for t in node.targets:
+                    if getattr(t, "id", None) == "__all__":
+                        try:
+                            names |= set(ast.literal_eval(node.value))
+                        except Exception:
+                            pass
+        if not names:
+            for node in ast.iter_child_nodes(tree):
+                if isinstance(node, ast.ImportFrom):
+                    names |= {a.asname or a.name for a in node.names}
+        return names
+
+    problems = []
+    for pkg, root in ref_roots.items():
+        for init in sorted(pathlib.Path(root).rglob("__init__.py")):
+            rel = init.parent.relative_to(root)
+            subpkg = pkg if str(rel) == "." else f"{pkg}." + str(rel).replace("/", ".")
+            want = exported_names(init)
+            if not want:
+                continue
+            try:
+                mod = importlib.import_module(subpkg)
+            except Exception as e:
+                problems.append(f"{subpkg}: import failed ({e})")
+                continue
+            missing = sorted(w for w in want if not hasattr(mod, w))
+            if missing:
+                problems.append(f"{subpkg}: missing {missing}")
+    assert not problems, "\n".join(problems)
+
+
+def test_experiment_registry_from_cell_index(tmp_path):
+    """ExperimentRegistry validates and resolves z-ranges/scale factors from
+    a cell-index parquet (reference dynaclr/data/experiment.py:26)."""
+    import numpy as np
+    import pandas as pd
+
+    from viscy_tpu.apps.dynaclr.experiment import ExperimentRegistry
+    from viscy_tpu.zarr_io.synthetic import build_hcs_plate
+
+    plate = build_hcs_plate(
+        tmp_path / "exp.zarr", ["Phase", "GFP"], zyx_shape=(8, 32, 32),
+        rows=("A",), cols=("1",), fovs=("0",), num_timepoints=2,
+    )
+    rows = []
+    for t in range(2):
+        rows.append(
+            dict(
+                experiment="expA", store_path=str(plate), well="A/1", fov="0",
+                fov_name="A/1/0", track_id=1, t=t, id=t, y=16.0, x=16.0,
+                z=4.0, parent_track_id=-1, parent_id=-1,
+                perturbation="mock", channel_name="Phase", marker="phase",
+                interval_minutes=30.0, pixel_size_xy_um=0.5, pixel_size_z_um=1.0,
+            )
+        )
+    idx_path = tmp_path / "index.parquet"
+    pd.DataFrame(rows).to_parquet(idx_path)
+    registry, df = ExperimentRegistry.from_cell_index(
+        idx_path, z_window=4, reference_pixel_size_xy_um=0.25
+    )
+    assert registry.z_ranges["expA"] == (2, 6)  # centered 4-window of 8
+    assert registry.scale_factors["expA"] == (1.0, 0.5, 0.5)
+    assert registry.tau_range_frames("expA", (1.0, 2.0)) == (2, 4)
+    assert registry.get_experiment("expA").channels == ["Phase"]
+    sub = registry.subset(["expA"])
+    assert [e.name for e in sub.experiments] == ["expA"]
+    assert len(df) == 2
+
+
+def test_rewrite_zarr_rechunks(tmp_path):
+    import numpy as np
+
+    from viscy_tpu.apps.dynacell.preprocess import rewrite_zarr
+    from viscy_tpu.zarr_io.store import open_ome_zarr
+    from viscy_tpu.zarr_io.synthetic import build_hcs_plate
+
+    src = build_hcs_plate(
+        tmp_path / "src.zarr", ["Phase"], zyx_shape=(4, 16, 16),
+        rows=("A",), cols=("1",), fovs=("0",), num_timepoints=1,
+    )
+    rewrite_zarr(src, tmp_path / "dst.zarr", chunks=(1, 1, 2, 8, 8), version="0.4")
+    out = open_ome_zarr(tmp_path / "dst.zarr", mode="r")
+    name, pos = next(out.positions())
+    src_pos = open_ome_zarr(src, mode="r")[name]
+    np.testing.assert_array_equal(np.asarray(pos["0"][:]), np.asarray(src_pos["0"][:]))

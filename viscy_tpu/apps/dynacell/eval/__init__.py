@@ -30,3 +30,11 @@ from viscy_tpu.apps.dynacell.eval.spectral import (  # noqa: F401
     radial_power_spectrum,
     spectral_pcc,
 )
+from viscy_tpu.apps.dynacell.eval.cache import (  # noqa: F401
+    CACHE_SCHEMA_VERSION,
+    CachePaths,
+    StaleCacheError,
+    cache_paths,
+    load_manifest,
+    save_manifest,
+)

@@ -181,3 +181,72 @@ def to_latex(
         lines.extend([body, "\\end{table}"])
         return "\n".join(lines)
     return body
+
+
+def metric_comparison_barplot(
+    model_results: dict,
+    metrics: list[str] | None = None,
+    save_path=None,
+    pixel_csv: str = "pixel_metrics.csv",
+    mask_csv: str = "mask_metrics.csv",
+):
+    """Grouped bar chart comparing models across metrics (reference
+    ``dynacell/reporting/figures.py:24``): one bar group per metric, one
+    bar per model with a std error bar; models with no results are
+    omitted with a warning; an all-empty input yields a 'No data' figure."""
+    import logging
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    logger = logging.getLogger("viscy_tpu")
+    if metrics is None:
+        metrics = PIXEL_METRICS + MASK_METRICS
+
+    model_data = {}
+    for name, results_dir in model_results.items():
+        agg, available = load_and_aggregate(
+            Path(results_dir), metrics, pixel_csv=pixel_csv, mask_csv=mask_csv
+        )
+        if agg.empty:
+            logger.warning(
+                "Model %r has no evaluation results in %s - omitting from plot.",
+                name,
+                results_dir,
+            )
+            continue
+        model_data[name] = {
+            "mean": agg.loc["mean", available],
+            "std": agg.loc["std", available],
+        }
+
+    if not model_data:
+        fig, ax = plt.subplots()
+        ax.text(0.5, 0.5, "No data", ha="center", va="center")
+        return fig
+
+    all_available = set()
+    for stats in model_data.values():
+        all_available.update(stats["mean"].index)
+    plot_metrics = [m for m in metrics if m in all_available]
+    n_models = len(model_data)
+    n_metrics = len(plot_metrics)
+
+    fig, ax = plt.subplots(figsize=(max(8, n_metrics * 1.5), 5))
+    x = range(n_metrics)
+    width = 0.8 / n_models
+    for i, (name, stats) in enumerate(model_data.items()):
+        offsets = [xi + i * width - (n_models - 1) * width / 2 for xi in x]
+        means = stats["mean"].reindex(plot_metrics)
+        stds = stats["std"].reindex(plot_metrics)
+        ax.bar(offsets, means, width, yerr=stds, capsize=3, label=name)
+    ax.set_xticks(list(x))
+    ax.set_xticklabels(plot_metrics, rotation=30, ha="right")
+    ax.set_ylabel("metric value")
+    ax.legend()
+    fig.tight_layout()
+    if save_path is not None:
+        fig.savefig(save_path, dpi=150, bbox_inches="tight")
+    return fig

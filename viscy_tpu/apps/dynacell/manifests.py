@@ -14,7 +14,9 @@ import os
 from pathlib import Path
 
 import yaml
-from pydantic import BaseModel
+from pydantic import BaseModel, model_validator
+
+from viscy_tpu.data.collection import ChannelEntry
 
 _ENV_VAR = "DYNACELL_MANIFEST_ROOTS"
 REQUIRED_REF_KEYS: tuple[str, ...] = ("dataset", "target")
@@ -178,3 +180,132 @@ def resolve_dataset_ref(
         cell_segmentation_path=target.stores.cell_segmentation,
         gt_cache_dir=target.stores.gt_cache_dir,
     )
+
+
+# -- reference-named aliases (dynacell/data/manifests.py) --------------------------
+StoreLocations = TargetStores
+TargetConfig = TargetEntry
+
+
+class SplitDefinition(BaseModel):
+    """Train/val/test FOV split for one organelle (reference
+    ``data/manifests.py:98``); declared counts must match listed FOVs."""
+
+    split_version: str
+    random_seed: int
+    source_stores: list[Path] | None = None
+    selection_criteria: dict | None = None
+    train: dict
+    test: dict
+    val: dict | None = None
+
+    @model_validator(mode="after")
+    def _check_counts(self) -> "SplitDefinition":
+        for split_name in ("train", "val", "test"):
+            split = getattr(self, split_name)
+            if split is None:
+                continue
+            fovs = split.get("fovs", [])
+            if fovs and "count" in split and len(fovs) != split["count"]:
+                raise ValueError(
+                    f"{split_name} declares count={split['count']} but has "
+                    f"{len(fovs)} FOVs."
+                )
+        return self
+
+
+def load_splits(split_path: Path | str) -> SplitDefinition:
+    """Load + validate a split definition YAML (reference ``:143``)."""
+    import yaml
+
+    with open(split_path) as f:
+        return SplitDefinition.model_validate(yaml.safe_load(f))
+
+
+def get_target(manifest: DatasetManifest, target_name: str) -> TargetConfig:
+    """Look up one organelle target in a manifest (reference ``:159``)."""
+    if target_name not in manifest.targets:
+        raise TargetNotFoundError(
+            f"Target {target_name!r} not in manifest {manifest.name!r}; "
+            f"have {sorted(manifest.targets)}"
+        )
+    return manifest.targets[target_name]
+
+
+# -- frozen benchmark collections + specs (dynacell/data/{collections,specs}.py) ---
+
+
+class CollectionProvenance(BaseModel):
+    """Airtable-derived provenance for a frozen collection (reference
+    ``data/collections.py``: stricter than viscy_data's — created_at/by
+    are required for benchmark traceability)."""
+
+    airtable_base_id: str | None = None
+    airtable_query: str | None = None
+    record_ids: list[str] = []
+    created_at: str
+    created_by: str
+
+
+class CollectionExperiment(BaseModel):
+    """One experiment within a benchmark collection."""
+
+    name: str
+    data_path: Path
+    channels: list[ChannelEntry]
+    perturbation_wells: dict[str, list[str]] | None = None
+    interval_minutes: float | None = None
+    start_hpi: float | None = None
+    marker: str | None = None
+    organelle: str | None = None
+    pixel_size_xy_um: float
+    pixel_size_z_um: float | None = None
+    exclude_fovs: list[str] = []
+
+
+class BenchmarkCollection(BaseModel):
+    """Frozen collection tying experiments to train/test FOV membership."""
+
+    name: str
+    description: str
+    provenance: CollectionProvenance
+    experiments: list[CollectionExperiment]
+    train_fovs: list[str] | None = None
+    test_fovs: list[str] | None = None
+
+
+# reference exports the collections provenance under the bare name
+Provenance = CollectionProvenance
+
+
+def load_collection(collection_path: Path | str) -> BenchmarkCollection:
+    """Load + validate a frozen benchmark collection YAML."""
+    import yaml
+
+    with open(collection_path) as f:
+        return BenchmarkCollection.model_validate(yaml.safe_load(f))
+
+
+class BenchmarkSpec(BaseModel):
+    """Executable benchmark recipe tying pipeline stages together
+    (reference ``data/specs.py:12``)."""
+
+    name: str
+    version: str
+    description: str
+    collection_path: Path
+    preprocess_configs: list[Path] = []
+    train_preset: str | None = None
+    predict_preset: str | None = None
+    evaluate_config: Path | None = None
+    report_config: Path | None = None
+    output_root: Path
+    checkpoint_path: Path | None = None
+
+
+def load_benchmark_spec(spec_path: Path | str) -> BenchmarkSpec:
+    """Load + validate a benchmark spec YAML."""
+    import yaml
+
+    with open(spec_path) as f:
+        return BenchmarkSpec.model_validate(yaml.safe_load(f))

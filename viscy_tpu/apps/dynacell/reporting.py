@@ -54,3 +54,17 @@ def to_markdown(df: pd.DataFrame, path: str | Path | None = None, floatfmt: str 
     if path is not None:
         Path(path).write_text(out)
     return out
+
+
+# reference dynacell.reporting package surface (tables + figures)
+from viscy_tpu.apps.dynacell.eval.tables import (  # noqa: E402,F401
+    FEATURE_METRICS,
+    HIGHER_IS_BETTER,
+    MASK_METRICS,
+    PIXEL_METRICS,
+    aggregate_metrics,
+    load_and_aggregate,
+    load_eval_results,
+    metric_comparison_barplot,
+    to_latex,
+)

@@ -9,7 +9,7 @@ projections from a :class:`ContrastiveEncoder`; predict returns
 from __future__ import annotations
 
 import logging
-from typing import Literal, Sequence
+from typing import Literal, Sequence, TypedDict
 
 import jax
 import jax.numpy as jnp
@@ -278,3 +278,12 @@ def _mean_cosine(a: Array, b: Array) -> Array:
     an = a / (jnp.linalg.norm(a, axis=1, keepdims=True) + 1e-8)
     bn = b / (jnp.linalg.norm(b, axis=1, keepdims=True) + 1e-8)
     return (an * bn).sum(axis=1).mean()
+
+
+class ContrastivePrediction(TypedDict):
+    """Output type of the contrastive prediction step (reference
+    ``dynaclr/engine.py:25``)."""
+
+    features: Array
+    projections: Array
+    index: list

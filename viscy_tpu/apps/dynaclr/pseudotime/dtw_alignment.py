@@ -452,3 +452,12 @@ def extract_dtw_pseudotime(results: list[AlignmentResult]) -> pd.DataFrame:
     """(fov_name, track_id, t, pseudotime) tidy frame for joining onto obs."""
     df = alignment_results_to_dataframe(results)
     return df[["fov_name", "track_id", "t", "pseudotime"]]
+
+
+DEFAULT_POSITIVE_CLASSES: dict[str, str] = {
+    "infection_state": "infected",
+    "organelle_state": "remodel",
+}
+"""Default mapping of annotation column -> positive class (reference
+``dtw_alignment.py:27``): used by signal builders when the caller does
+not pass ``positive_classes`` explicitly."""

@@ -183,3 +183,55 @@ def read_tau_event_band(template_path: str | Path, flavor: str = "default") -> t
     if band is None:
         raise KeyError(f"flavor {flavor!r} has no tau_event_band (no time calibration at save time)")
     return float(band[0]), float(band[1])
+
+
+def find_embedding_zarr(pred_dir: str | Path, pattern: str) -> str:
+    """Find the single embedding zarr matching ``pattern`` in ``pred_dir``
+    (reference ``pseudotime/io.py:58``). A pattern ending in ``"_*.zarr"``
+    is retried with the trailing underscore dropped, covering dataset_ids
+    that exactly equal the zarr basename; zero or multiple matches raise
+    ``FileNotFoundError``."""
+    import glob
+
+    matches = glob.glob(str(Path(pred_dir) / pattern))
+    if len(matches) == 0 and pattern.endswith("_*.zarr"):
+        relaxed = pattern[: -len("_*.zarr")] + "*.zarr"
+        matches = glob.glob(str(Path(pred_dir) / relaxed))
+    if len(matches) == 0:
+        raise FileNotFoundError(f"No zarr matching {pattern} in {pred_dir}")
+    if len(matches) > 1:
+        names = sorted(Path(m).name for m in matches)
+        raise FileNotFoundError(f"Multiple zarrs match {pattern}: {names}")
+    return matches[0]
+
+
+def get_dynaclr_versions() -> dict[str, str]:
+    """Code/library versions stamped into template zarrs for provenance
+    (reference ``pseudotime/io.py:102``; stack-appropriate fields: the DTW
+    kernel here is the in-repo native C++ DP + jax/numpy, not
+    dtaidistance/sklearn)."""
+    import subprocess
+
+    sha = "unknown"
+    try:
+        result = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True,
+            text=True,
+            cwd=Path(__file__).parent,
+            timeout=10,
+        )
+        if result.returncode == 0:
+            sha = result.stdout.strip()
+    except Exception:
+        pass
+    import jax
+
+    from viscy_tpu.native import native_available
+
+    return {
+        "viscy_tpu_git_sha": sha,
+        "jax_version": jax.__version__,
+        "numpy_version": np.__version__,
+        "native_dtw_kernel": str(bool(native_available())),
+    }

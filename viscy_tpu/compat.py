@@ -38,6 +38,18 @@ IMPORT_ALIASES: dict[str, str] = {
     "viscy_data._typing": "viscy_tpu.data.typing",
     "viscy_data._utils": "viscy_tpu.data.utils",
     "viscy_data.foreground_masks": "viscy_tpu.data.sliding_window",
+    "dynaclr.data.experiment": "viscy_tpu.apps.dynaclr.experiment",
+    "viscy_models.celldiff.modules": "viscy_tpu.models.celldiff",
+    "dynacell.data": "viscy_tpu.apps.dynacell.manifests",
+    "dynacell.data.manifests": "viscy_tpu.apps.dynacell.manifests",
+    "dynacell.data.collections": "viscy_tpu.apps.dynacell.manifests",
+    "dynacell.data.specs": "viscy_tpu.apps.dynacell.manifests",
+    "dynacell.data.resolver": "viscy_tpu.apps.dynacell.manifests",
+    "dynacell.preprocess": "viscy_tpu.apps.dynacell.preprocess",
+    "dynacell.evaluation": "viscy_tpu.apps.dynacell.eval",
+    "dynacell.reporting": "viscy_tpu.apps.dynacell.reporting",
+    "dynacell.reporting.figures": "viscy_tpu.apps.dynacell.eval.tables",
+    "dynacell.reporting.tables": "viscy_tpu.apps.dynacell.eval.tables",
     "qc": "viscy_tpu.apps.qc",
     "airtable_utils": "viscy_tpu.apps.airtable_utils",
 }

@@ -89,3 +89,11 @@ class Collection(BaseModel):
         if output_path is not None:
             write_cell_index(df, output_path)
         return df
+
+
+class ChannelEntry(BaseModel):
+    """One channel with its biological marker label
+    (reference ``viscy_data/collection.py`` ChannelEntry)."""
+
+    name: str
+    marker: str

@@ -24,7 +24,11 @@ from viscy_tpu.evaluation.distance import (
     calculate_cosine_similarity_cell,
     compute_track_displacement,
 )
-from viscy_tpu.evaluation.annotation import convert, load_annotation
+from viscy_tpu.evaluation.annotation import (
+    convert,
+    load_annotation,
+    load_annotation_anndata,
+)
 from viscy_tpu.evaluation.zarr_utils import (
     append_to_embedding_dataset,
     merge_csv_into_obs,

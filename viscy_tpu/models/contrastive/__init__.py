@@ -1,6 +1,6 @@
 """Contrastive encoders and losses (DynaCLR)."""
 
-from viscy_tpu.models.contrastive.encoder import ContrastiveEncoder
+from viscy_tpu.models.contrastive.encoder import ContrastiveEncoder, projection_mlp
 from viscy_tpu.models.contrastive.loss import NTXentHCL, NTXentLoss, ntxent_loss
 from viscy_tpu.models.contrastive.resnet3d import ResNet3dEncoder
 
@@ -10,4 +10,5 @@ __all__ = [
     "NTXentHCL",
     "ntxent_loss",
     "ResNet3dEncoder",
+    "projection_mlp",
 ]

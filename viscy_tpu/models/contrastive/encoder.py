@@ -68,3 +68,24 @@ class ContrastiveEncoder(nn.Module):
             name="projection",
         )(embedding, train)
         return embedding, projection
+
+
+def projection_mlp(in_dims: int, hidden_dims: int, out_dims: int):
+    """Two-layer BN projection MLP (reference ``encoder.py:15``).
+
+    .. deprecated::
+        Kept for surface parity with the reference, which deprecates it in
+        favor of ``MLP``; returns the same ``ProjectionMLP`` module the
+        encoder uses internally.
+    """
+    import warnings
+
+    from viscy_tpu.models.components.heads import ProjectionMLP
+
+    warnings.warn(
+        "projection_mlp() is deprecated; use viscy_tpu.models.components."
+        "heads.MLP instead.",
+        DeprecationWarning,
+        stacklevel=2,
+    )
+    return ProjectionMLP(in_dims=in_dims, hidden_dims=hidden_dims, out_dims=out_dims)

@@ -87,3 +87,98 @@ def mean_logit(logits) -> Array:
     return jnp.concatenate(
         [x.reshape(-1).astype(jnp.float32) for x in _as_list(logits)]
     ).mean()
+
+
+# -- reference-named API (viscy_models/gan/losses.py) ------------------------------
+# Exact per-scale math of the reference functions (mean across scales); the
+# mode-dispatch gan_loss_d/gan_loss_g above predate these and remain for the
+# dynacell engine's config surface.
+
+
+def lsgan_d_loss(d_real, d_fake) -> Array:
+    """Multi-scale LSGAN discriminator loss (reference losses.py:44):
+    per scale ``0.5 * (mean((real-1)^2) + mean(fake^2))``, mean across scales."""
+    per_scale = [
+        0.5 * (jnp.mean((r.astype(jnp.float32) - 1.0) ** 2) + jnp.mean(f.astype(jnp.float32) ** 2))
+        for r, f in zip(_as_list(d_real), _as_list(d_fake))
+    ]
+    return jnp.stack(per_scale).mean()
+
+
+def lsgan_g_loss(d_fake) -> Array:
+    """Multi-scale LSGAN generator loss: per scale ``mean((fake-1)^2)``."""
+    per_scale = [jnp.mean((f.astype(jnp.float32) - 1.0) ** 2) for f in _as_list(d_fake)]
+    return jnp.stack(per_scale).mean()
+
+
+def nonsat_d_loss(d_real, d_fake) -> Array:
+    """Multi-scale non-saturating (softplus) discriminator loss
+    (StyleGAN2: ``softplus(-real) + softplus(fake)`` per scale)."""
+    per_scale = [
+        jnp.mean(jax.nn.softplus(-r.astype(jnp.float32)))
+        + jnp.mean(jax.nn.softplus(f.astype(jnp.float32)))
+        for r, f in zip(_as_list(d_real), _as_list(d_fake))
+    ]
+    return jnp.stack(per_scale).mean()
+
+
+def nonsat_g_loss(d_fake) -> Array:
+    """Multi-scale non-saturating generator loss: ``softplus(-fake)``."""
+    per_scale = [jnp.mean(jax.nn.softplus(-f.astype(jnp.float32))) for f in _as_list(d_fake)]
+    return jnp.stack(per_scale).mean()
+
+
+def rpgan_d_loss(d_real, d_fake) -> Array:
+    """Multi-scale RpGAN discriminator loss (R3GAN):
+    ``softplus(-(real - fake))`` per scale, patchwise pairing."""
+    per_scale = [
+        jnp.mean(jax.nn.softplus(-(r.astype(jnp.float32) - f.astype(jnp.float32))))
+        for r, f in zip(_as_list(d_real), _as_list(d_fake))
+    ]
+    return jnp.stack(per_scale).mean()
+
+
+def rpgan_g_loss(d_real, d_fake) -> Array:
+    """Multi-scale RpGAN generator loss: ``softplus(real - fake)`` per scale
+    (both computed against the post-D-update discriminator)."""
+    per_scale = [
+        jnp.mean(jax.nn.softplus(r.astype(jnp.float32) - f.astype(jnp.float32)))
+        for r, f in zip(_as_list(d_real), _as_list(d_fake))
+    ]
+    return jnp.stack(per_scale).mean()
+
+
+def _zero_centered_grad_penalty(discriminator, sample_input: Array) -> Array:
+    """Multi-scale Mescheder zero-centered gradient penalty
+    (reference losses.py:152): per scale ``||∇x D_scale(x)||^2`` summed over
+    channel+spatial dims, mean over batch, then mean across scales. The
+    torch version differentiates each scale separately; here one jacobian
+    per scale via indexed grads of the scale sums."""
+    x = jax.lax.stop_gradient(sample_input)
+    n_scales = len(_as_list(discriminator(x)))
+
+    per_scale = []
+    for i in range(n_scales):
+
+        def scale_sum(inp, idx=i):
+            return _as_list(discriminator(inp))[idx].astype(jnp.float32).sum()
+
+        grads = jax.grad(scale_sum)(x)
+        per_scale.append(
+            jnp.mean(jnp.sum(grads.reshape(grads.shape[0], -1) ** 2, axis=1))
+        )
+    return jnp.stack(per_scale).mean()
+
+
+def r1_penalty(discriminator, real_input: Array) -> Array:
+    """R1 zero-centered gradient penalty on real input (Mescheder 2018).
+
+    ``discriminator`` is a callable returning per-scale logits (bind model
+    variables first, e.g. ``lambda x: model.apply(v, x)``) — the JAX analog
+    of the reference's nn.Module argument."""
+    return _zero_centered_grad_penalty(discriminator, real_input)
+
+
+def r2_penalty(discriminator, fake_input: Array) -> Array:
+    """R2 penalty: same form as R1 but on fake samples (R3GAN)."""
+    return _zero_centered_grad_penalty(discriminator, fake_input)
