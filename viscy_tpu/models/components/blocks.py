@@ -243,18 +243,51 @@ class _LNParams(nn.Module):
         )
 
 
+def trunc_normal_init(std: float = 0.02):
+    """timm ``_init_weights`` weight init (trunc normal, std 0.02): the
+    reference applies it to every ConvNeXt stage's convs and linears
+    (reference blocks.py:72 ``stage.apply(timm.models.convnext._init_weights)``)."""
+    return nn.initializers.truncated_normal(stddev=std)
+
+
+def icnr_init(
+    upsample_factor: int,
+    upsample_dims: int,
+    init=nn.initializers.he_normal(),
+):
+    """ICNR initialization for sub-pixel (pixel-shuffle) convolutions
+    (reference ``components/blocks.py:14``, Aitken et al. 2017): the
+    ``upsample_factor**upsample_dims`` output channels feeding each
+    shuffled spatial phase start EQUAL, so the upsample is checkerboard-
+    free at init. Our shuffle layout puts a channel's phases consecutively
+    (``pixel_shuffle_2d``: k = c*r^2 + phase), so the sub-kernel repeats
+    blockwise along the output-channel axis. Falls back to ``init`` when
+    the channel count does not divide."""
+    scale = upsample_factor**upsample_dims
+
+    def initializer(key, shape, dtype=jnp.float32):
+        out = shape[-1]
+        if scale <= 1 or out % scale:
+            return init(key, shape, dtype)
+        sub = init(key, (*shape[:-1], out // scale), dtype)
+        return jnp.repeat(sub, scale, axis=-1)
+
+    return initializer
+
+
 class _DenseParams(nn.Module):
     """Parameter-tree stand-in for ``nn.Dense`` (kernel/bias)."""
 
     in_dim: int
     out_dim: int
+    kernel_init: object = None
 
     @nn.compact
     def __call__(self):
         return (
             self.param(
                 "kernel",
-                nn.initializers.lecun_normal(),
+                self.kernel_init or trunc_normal_init(),
                 (self.in_dim, self.out_dim),
             ),
             self.param("bias", nn.initializers.zeros, (self.out_dim,)),
@@ -314,7 +347,13 @@ def _try_fused_mlp(
     ln_s, ln_b = _LNParams(dim, name="norm", parent=parent)()
     w1, b1 = _DenseParams(dim, hidden, name="fc1", parent=parent)()
     gg, gb = _GRNParams(hidden, name="grn", parent=parent)()
-    w2, b2 = _DenseParams(hidden, dim, name="fc2", parent=parent)()
+    w2, b2 = _DenseParams(
+        hidden,
+        dim,
+        kernel_init=getattr(parent, "fc2_kernel_init", None),
+        name="fc2",
+        parent=parent,
+    )()
     params = (ln_s, ln_b, w1, b1, gg, gb, w2, b2)
     # shard_map over the data axis: the GSPMD partitioner has no rule for
     # the Mosaic custom call and would otherwise all-gather the batch
@@ -361,6 +400,9 @@ class ConvNeXtBlock(nn.Module):
     drop_path: float = 0.0
     dtype: object = None
     fused_mlp: bool = False
+    # override for fc2's kernel init (ICNR on blocks whose output feeds a
+    # pixel shuffle, reference blocks.py:73); default timm trunc normal
+    fc2_kernel_init: object = None
 
     @nn.compact
     def __call__(self, x: Array, deterministic: bool = True) -> Array:
@@ -371,6 +413,7 @@ class ConvNeXtBlock(nn.Module):
             feature_group_count=self.dim,
             padding=self.kernel_size // 2,
             dtype=self.dtype,
+            kernel_init=trunc_normal_init(),
             name="dwconv",
         )(x)
         hidden = self.mlp_ratio * self.dim
@@ -384,11 +427,18 @@ class ConvNeXtBlock(nn.Module):
             if out is not None:
                 return out
         x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
-        x = nn.Dense(hidden, dtype=self.dtype, name="fc1")(x)
+        x = nn.Dense(
+            hidden, dtype=self.dtype, kernel_init=trunc_normal_init(), name="fc1"
+        )(x)
         x = nn.gelu(x, approximate=False)
         if self.use_grn:
             x = GRN(hidden, name="grn")(x)
-        x = nn.Dense(self.dim, dtype=self.dtype, name="fc2")(x)
+        x = nn.Dense(
+            self.dim,
+            dtype=self.dtype,
+            kernel_init=self.fc2_kernel_init or trunc_normal_init(),
+            name="fc2",
+        )(x)
         if self.ls_init_value is not None:
             gamma = self.param(
                 "ls_gamma",
@@ -419,6 +469,9 @@ class ConvNeXtStage(nn.Module):
     drop_path_rates: Sequence[float] | None = None
     dtype: object = None
     fused_mlp: bool = False
+    # ICNR init for the LAST block's fc2 when this stage's output feeds a
+    # pixel shuffle (reference blocks.py:73)
+    last_fc2_init: object = None
 
     @nn.compact
     def __call__(self, x: Array, deterministic: bool = True) -> Array:
@@ -431,6 +484,7 @@ class ConvNeXtStage(nn.Module):
                 strides=(self.stride, self.stride),
                 padding="VALID",
                 dtype=self.dtype,
+                kernel_init=trunc_normal_init(),
                 name="downsample_conv",
             )(x)
         rates = self.drop_path_rates or [0.0] * self.depth
@@ -444,6 +498,7 @@ class ConvNeXtStage(nn.Module):
                 drop_path=rates[i],
                 dtype=self.dtype,
                 fused_mlp=self.fused_mlp,
+                fc2_kernel_init=self.last_fc2_init if i == self.depth - 1 else None,
                 name=f"block{i}",
             )(x, deterministic)
         return x
@@ -522,6 +577,10 @@ class UNeXt2UpStage(nn.Module):
             use_grn=self.use_grn,
             dtype=self.dtype,
             fused_mlp=self.fused_mlp,
+            # checkerboard-free init: this stage's output feeds the next
+            # pixel shuffle (reference blocks.py:103 conv_weight_init_factor
+            # = scale_factor when the upsample has no pre-conv, as here)
+            last_fc2_init=icnr_init(self.scale_factor, 2),
             name="conv",
         )(x, deterministic)
         return x

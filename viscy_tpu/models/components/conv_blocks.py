@@ -125,3 +125,16 @@ class ResnetBlock(nn.Module):
                 x = nn.Conv(self.out_channels, (1, 1, 1), name="res_proj")(x)
             h = h + x
         return h
+
+
+class ConvBlock2D(ConvBlock):
+    """Reference-named 2D variant (``conv_block_2d.py:11``) of the
+    dimension-generic :class:`ConvBlock`."""
+
+    kernel_size: Sequence[int] = (3, 3)
+
+
+class ConvBlock3D(ConvBlock):
+    """Reference-named 3D variant (``conv_block_3d.py:11``)."""
+
+    kernel_size: Sequence[int] = (3, 3, 3)

@@ -17,6 +17,7 @@ from einops import rearrange
 from flax import linen as nn
 
 from viscy_tpu.models.components.blocks import (
+    icnr_init,
     pad_pool_blur_2d,
     pad_pool_blur_packed,
     pixel_shuffle_2d,
@@ -56,6 +57,8 @@ class PixelToVoxelHead(nn.Module):
             (3, 3, 3),
             padding=((0, 0), (1, 1), (1, 1)),
             dtype=self.dtype,
+            # reference heads.py:627 normal_init (monai: N(0, 0.02))
+            kernel_init=nn.initializers.normal(stddev=0.02),
             name="conv0",
         )(x)
         # MONAI Convolution defaults: InstanceNorm + PReLU after the conv
@@ -63,7 +66,14 @@ class PixelToVoxelHead(nn.Module):
         x = nn.GroupNorm(num_groups=None, group_size=1, use_bias=False, use_scale=False, name="conv0_norm")(x)
         alpha = self.param("conv0_prelu", nn.initializers.constant(0.25), (1,))
         x = jnp.where(x >= 0, x, alpha * x)
-        x = nn.Conv(self.out_channels * 2**2, (1, 1, 1), dtype=self.dtype, name="conv1")(x)
+        x = nn.Conv(
+            self.out_channels * 2**2,
+            (1, 1, 1),
+            dtype=self.dtype,
+            # checkerboard-free sub-pixel init (reference heads.py:628)
+            kernel_init=icnr_init(2, 2),
+            name="conv1",
+        )(x)
         x = x.astype(jnp.float32)
         # per-slice pixel shuffle x2: (b, d, h, w, c*4) -> (b, d, 2h, 2w, c)
         x = rearrange(x, "b d h w (c i j) -> b d (h i) (w j) c", i=2, j=2)

@@ -28,6 +28,7 @@ from flax import linen as nn
 from viscy_tpu.models.components.blocks import (
     DropPath,
     UNeXt2Decoder,
+    trunc_normal_init,
 )
 from viscy_tpu.models.components.heads import PixelToVoxelHead, PixelToVoxelShuffleHead
 from viscy_tpu.models.components.stems import MaskedAdaptiveProjection, upsample_mask_2d
@@ -99,6 +100,7 @@ class MaskedConvNeXtV2Block(nn.Module):
             padding=self.kernel_size // 2,
             use_bias=False,
             dtype=self.dtype,
+            kernel_init=trunc_normal_init(),
             name="dwconv",
         )(x)
         if m is not None:
@@ -114,10 +116,10 @@ class MaskedConvNeXtV2Block(nn.Module):
             if out is not None:
                 return out
         x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
-        x = nn.Dense(hidden, dtype=self.dtype, name="fc1")(x)
+        x = nn.Dense(hidden, dtype=self.dtype, kernel_init=trunc_normal_init(), name="fc1")(x)
         x = nn.gelu(x, approximate=False)
         x = MaskedGRN(hidden, name="grn")(x, mask2d)
-        x = nn.Dense(self.dim, dtype=self.dtype, name="fc2")(x)
+        x = nn.Dense(self.dim, dtype=self.dtype, kernel_init=trunc_normal_init(), name="fc2")(x)
         if m is not None:
             x = x * m
         x = DropPath(self.drop_path, name="drop_path")(x, deterministic)
@@ -148,6 +150,7 @@ class MaskedConvNeXtV2Stage(nn.Module):
                 strides=(self.stride, self.stride),
                 padding="VALID",
                 dtype=self.dtype,
+                kernel_init=trunc_normal_init(),
                 name="downsample_conv",
             )(x)
         mask2d = None
