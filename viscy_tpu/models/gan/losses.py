@@ -95,9 +95,21 @@ def mean_logit(logits) -> Array:
 # dynacell engine's config surface.
 
 
+def _validate_scales(d_real, d_fake=None) -> None:
+    """Reference ``_validate_scales``: at least one scale, matching counts."""
+    if len(_as_list(d_real)) == 0:
+        raise ValueError("Expected at least one scale of logits.")
+    if d_fake is not None and len(_as_list(d_real)) != len(_as_list(d_fake)):
+        raise ValueError(
+            f"Number of scales must match: {len(_as_list(d_real))} vs "
+            f"{len(_as_list(d_fake))}"
+        )
+
+
 def lsgan_d_loss(d_real, d_fake) -> Array:
     """Multi-scale LSGAN discriminator loss (reference losses.py:44):
     per scale ``0.5 * (mean((real-1)^2) + mean(fake^2))``, mean across scales."""
+    _validate_scales(d_real, d_fake)
     per_scale = [
         0.5 * (jnp.mean((r.astype(jnp.float32) - 1.0) ** 2) + jnp.mean(f.astype(jnp.float32) ** 2))
         for r, f in zip(_as_list(d_real), _as_list(d_fake))
@@ -107,6 +119,7 @@ def lsgan_d_loss(d_real, d_fake) -> Array:
 
 def lsgan_g_loss(d_fake) -> Array:
     """Multi-scale LSGAN generator loss: per scale ``mean((fake-1)^2)``."""
+    _validate_scales(d_fake)
     per_scale = [jnp.mean((f.astype(jnp.float32) - 1.0) ** 2) for f in _as_list(d_fake)]
     return jnp.stack(per_scale).mean()
 
@@ -114,6 +127,7 @@ def lsgan_g_loss(d_fake) -> Array:
 def nonsat_d_loss(d_real, d_fake) -> Array:
     """Multi-scale non-saturating (softplus) discriminator loss
     (StyleGAN2: ``softplus(-real) + softplus(fake)`` per scale)."""
+    _validate_scales(d_real, d_fake)
     per_scale = [
         jnp.mean(jax.nn.softplus(-r.astype(jnp.float32)))
         + jnp.mean(jax.nn.softplus(f.astype(jnp.float32)))
@@ -124,6 +138,7 @@ def nonsat_d_loss(d_real, d_fake) -> Array:
 
 def nonsat_g_loss(d_fake) -> Array:
     """Multi-scale non-saturating generator loss: ``softplus(-fake)``."""
+    _validate_scales(d_fake)
     per_scale = [jnp.mean(jax.nn.softplus(-f.astype(jnp.float32))) for f in _as_list(d_fake)]
     return jnp.stack(per_scale).mean()
 
@@ -131,6 +146,7 @@ def nonsat_g_loss(d_fake) -> Array:
 def rpgan_d_loss(d_real, d_fake) -> Array:
     """Multi-scale RpGAN discriminator loss (R3GAN):
     ``softplus(-(real - fake))`` per scale, patchwise pairing."""
+    _validate_scales(d_real, d_fake)
     per_scale = [
         jnp.mean(jax.nn.softplus(-(r.astype(jnp.float32) - f.astype(jnp.float32))))
         for r, f in zip(_as_list(d_real), _as_list(d_fake))
@@ -141,6 +157,7 @@ def rpgan_d_loss(d_real, d_fake) -> Array:
 def rpgan_g_loss(d_real, d_fake) -> Array:
     """Multi-scale RpGAN generator loss: ``softplus(real - fake)`` per scale
     (both computed against the post-D-update discriminator)."""
+    _validate_scales(d_real, d_fake)
     per_scale = [
         jnp.mean(jax.nn.softplus(r.astype(jnp.float32) - f.astype(jnp.float32)))
         for r, f in zip(_as_list(d_real), _as_list(d_fake))
