@@ -34,6 +34,10 @@ IMPORT_ALIASES: dict[str, str] = {
     "viscy": "viscy_tpu",
     "viscy.unet": "viscy_tpu.models.unet",
     "viscy_utils.evaluation": "viscy_tpu.evaluation",
+    "viscy_utils.meta_utils": "viscy_tpu.preprocess.stats",
+    "viscy_utils.mp_utils": "viscy_tpu.preprocess.stats",
+    "viscy_utils.tensor_utils": "viscy_tpu.training.cli_utils",
+    "viscy_utils.log_embeddings": "viscy_tpu.training.log_images",
     "viscy_utils.preprocess": "viscy_tpu.preprocess",
     "viscy_data._typing": "viscy_tpu.data.typing",
     "viscy_data._utils": "viscy_tpu.data.utils",
