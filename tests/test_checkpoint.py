@@ -131,3 +131,33 @@ def test_encoder_only_transfer(preprocessed_hcs_dataset, tmp_path):
     assert all(np.allclose(a, b) for a, b in zip(flat_a, flat_b))
     # decoder stays freshly initialized (the shuffle head is param-free)
     assert loaded["params"]["decoder"] is variables["params"]["decoder"]
+
+
+def test_weights_only_checkpoint_restore(tmp_path):
+    """A {'params': ...} orbax payload (converted released checkpoints,
+    quick-start example) restores through load_checkpoint: weights land,
+    extra_vars/opt_state/step stay fresh."""
+    import jax
+    import orbax.checkpoint as ocp
+
+    from viscy_tpu.apps.cytoland.engine import VSUNet
+    from viscy_tpu.training.trainer import Trainer
+
+    module = VSUNet(
+        architecture="2D",
+        model_config={"in_channels": 1, "out_channels": 1},
+        example_input_yx_shape=(16, 16),
+    )
+    variables = module.init_variables(jax.random.PRNGKey(7), module.example_input())
+    ckpt_dir = (tmp_path / "weights_only").absolute()
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(ckpt_dir, {"params": jax.device_get(variables["params"])}, force=True)
+    ckptr.wait_until_finished()
+
+    trainer = Trainer(default_root_dir=tmp_path / "logs")
+    trainer.state = trainer._init_state(module, None, 1)
+    trainer.load_checkpoint(ckpt_dir, module)
+    restored_leaf = jax.tree_util.tree_leaves(trainer.state.params)[0]
+    want_leaf = jax.tree_util.tree_leaves(variables["params"])[0]
+    np.testing.assert_allclose(np.asarray(restored_leaf), np.asarray(want_leaf))
+    assert trainer.global_step == 0 and trainer.current_epoch == 0

@@ -391,3 +391,34 @@ def test_train_patch_shape_validation_intensity_only(preprocessed_hcs_dataset):
     bad = {"source": jnp.asarray(rng.random((2, 1, 4, 20, 24), np.float32))}
     with pytest.raises(ValueError, match=re.escape("yx_patch_size=[16, 16]")):
         dm.device_transform(bad, jax.random.PRNGKey(0), stage="train")
+
+
+def test_train_patch_shape_validation_shape_preserving_spatial(preprocessed_hcs_dataset):
+    """Shape-preserving spatial augs (flip) cannot crop either — the
+    actionable error must still fire (guard keys on changes_shape, not
+    is_spatial)."""
+    import re
+
+    import jax
+    import pytest
+
+    from viscy_tpu.data import HCSDataModule
+    from viscy_tpu.transforms import BatchedRandFlipd
+
+    dm = HCSDataModule(
+        preprocessed_hcs_dataset,
+        source_channel="Phase",
+        target_channel="GFP",
+        z_window_size=4,
+        batch_size=2,
+        num_workers=0,
+        yx_patch_size=(16, 16),
+        augmentations=[BatchedRandFlipd(keys=["source", "target"], prob=0.5)],
+    )
+    rng = np.random.default_rng(0)
+    bad = {
+        "source": jnp.asarray(rng.random((2, 1, 4, 20, 24), np.float32)),
+        "target": jnp.asarray(rng.random((2, 1, 4, 20, 24), np.float32)),
+    }
+    with pytest.raises(ValueError, match=re.escape("yx_patch_size=[16, 16]")):
+        dm.device_transform(bad, jax.random.PRNGKey(0), stage="train")

@@ -198,7 +198,8 @@ def metric_comparison_barplot(
 
     import matplotlib
 
-    matplotlib.use("Agg")
+    # don't clobber an interactive session's backend
+    matplotlib.use("Agg", force=False)
     import matplotlib.pyplot as plt
 
     logger = logging.getLogger("viscy_tpu")
@@ -225,6 +226,8 @@ def metric_comparison_barplot(
     if not model_data:
         fig, ax = plt.subplots()
         ax.text(0.5, 0.5, "No data", ha="center", va="center")
+        if save_path is not None:
+            fig.savefig(save_path, dpi=150, bbox_inches="tight")
         return fig
 
     all_available = set()

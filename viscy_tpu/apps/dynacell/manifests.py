@@ -189,7 +189,8 @@ TargetConfig = TargetEntry
 
 class SplitDefinition(BaseModel):
     """Train/val/test FOV split for one organelle (reference
-    ``data/manifests.py:98``); declared counts must match listed FOVs."""
+    ``data/manifests.py:98``); a declared count must match the FOV list
+    when one is given (reference skips the check for empty lists)."""
 
     split_version: str
     random_seed: int

@@ -37,7 +37,7 @@ def rewrite_zarr(
     medium stores, like the reference."""
     import numpy as np
 
-    from viscy_tpu.zarr_io.store import open_ome_zarr
+    from viscy_tpu.zarr_io.store import TransformationMeta, open_ome_zarr
 
     old = open_ome_zarr(input_path, mode="r")
     new = open_ome_zarr(
@@ -51,11 +51,20 @@ def rewrite_zarr(
         row, col, fov = name.split("/")
         new_pos = new.create_position(row, col, fov)
         data = np.asarray(old_pos["0"][:])
+        # carry the voxel scale through (reference copies the multiscale
+        # coordinate transforms; a silent reset to 1.0 um would corrupt
+        # every physical-space consumer of the rewritten store)
         new_pos.create_image(
             "0",
             data,
             chunks=tuple(chunks),
-            transform=getattr(old_pos, "transforms", None),
+            transform=[TransformationMeta(scale=list(old_pos.scale))],
             shard=shards_ratio is not None,
         )
         _logger.info("rewrote %s %s -> chunks=%s", name, data.shape, tuple(chunks))
+    if shards_ratio is not None:
+        _logger.info(
+            "sharded v3 layout enabled (shard extents follow the store's "
+            "chunk-doubling rule; shards_ratio=%s is advisory here)",
+            tuple(shards_ratio),
+        )

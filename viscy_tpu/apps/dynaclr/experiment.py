@@ -125,6 +125,26 @@ class ExperimentRegistry:
                         "or reduce z_window."
                     )
         self.z_ranges = z_ranges
+        # fail fast like the reference (experiment.py:166-173): a silent
+        # 1.0 fallback would mix patches at the wrong physical scale
+        if self.reference_pixel_size_xy_um is not None:
+            missing = [
+                e.name for e in experiments if not self._pixel_sizes(e)[0]
+            ]
+            if missing:
+                raise ValueError(
+                    "reference_pixel_size_xy_um set but experiments missing "
+                    f"pixel_size_xy_um: {missing}"
+                )
+        if self.reference_pixel_size_z_um is not None:
+            missing = [
+                e.name for e in experiments if not self._pixel_sizes(e)[1]
+            ]
+            if missing:
+                raise ValueError(
+                    "reference_pixel_size_z_um set but experiments missing "
+                    f"pixel_size_z_um: {missing}"
+                )
         self.scale_factors = self._compute_scale_factors()
 
     # -- derived ----------------------------------------------------------------

@@ -62,7 +62,13 @@ class JointEncoderModule(TrainModule):
     def _example_shape(self, encoder) -> tuple[int, ...]:
         if self.example_input_array_shape is not None:
             return self.example_input_array_shape
-        return (1, encoder.in_channels, encoder.in_stack_depth, 224, 224)
+        return (
+            1,
+            getattr(encoder, "in_channels", 1),
+            getattr(encoder, "in_stack_depth", 15),
+            224,
+            224,
+        )
 
     def example_input(self) -> dict:
         import numpy as np

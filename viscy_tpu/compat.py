@@ -28,9 +28,13 @@ from importlib.machinery import ModuleSpec
 from viscy_tpu.training.instantiate import _MODULE_ALIASES
 
 # import-only additions: reference modules whose viscy_tpu home does not
-# follow the prefix rewrite (longest prefix wins, same as the config remap)
+# follow the prefix rewrite (longest prefix wins, same as the config remap).
+# 'lightning.*' stays config-remap-only: hijacking the real lightning
+# package at import time would shadow it for the whole process when it IS
+# installed, and reference code importing it directly fails on the bare
+# 'lightning' parent anyway.
 IMPORT_ALIASES: dict[str, str] = {
-    **_MODULE_ALIASES,
+    **{k: v for k, v in _MODULE_ALIASES.items() if not k.startswith("lightning")},
     "viscy": "viscy_tpu",
     "viscy.unet": "viscy_tpu.models.unet",
     "viscy_utils.evaluation": "viscy_tpu.evaluation",
@@ -59,8 +63,16 @@ IMPORT_ALIASES: dict[str, str] = {
 }
 
 
+# longest-prefix order, computed once: the finder sits at the head of
+# sys.meta_path and runs for EVERY import in the process
+_SORTED_PREFIXES = sorted(IMPORT_ALIASES, key=len, reverse=True)
+_TOP_LEVEL = {p.split(".", 1)[0] for p in IMPORT_ALIASES}
+
+
 def _resolve(fullname: str) -> str | None:
-    for prefix in sorted(IMPORT_ALIASES, key=len, reverse=True):
+    if fullname.split(".", 1)[0] not in _TOP_LEVEL:
+        return None  # cheap reject for the ~all imports that are not aliases
+    for prefix in _SORTED_PREFIXES:
         if fullname == prefix or fullname.startswith(prefix + "."):
             return IMPORT_ALIASES[prefix] + fullname[len(prefix):]
     return None

@@ -425,16 +425,16 @@ class HCSDataModule(DataModule):
             batch = self._device_compose(batch, key)
         elif stage == "val" and self._val_device_compose is not None:
             batch = self._val_device_compose(batch, key)
-        has_spatial_aug = any(
-            getattr(t, "is_spatial", False) for t in self._device_augmentations
+        has_shape_aug = any(
+            getattr(t, "changes_shape", False) for t in self._device_augmentations
         )
-        if stage == "train" and not has_spatial_aug and "source" in batch:
-            # reference hcs.py:710-719: with no spatial device augmentation
-            # to do the cropping (intensity-only lists cannot change the
-            # shape), a source window that does not match the configured
-            # patch shape must fail HERE with an actionable message, not
-            # deep inside XLA shape rules (this runs at trace time —
-            # shapes are static, so it costs nothing per step)
+        if stage == "train" and not has_shape_aug and "source" in batch:
+            # reference hcs.py:710-719: with no shape-changing device
+            # augmentation to do the cropping (intensity/flip/affine lists
+            # preserve the shape), a source window that does not match the
+            # configured patch shape must fail HERE with an actionable
+            # message, not deep inside XLA shape rules (this runs at trace
+            # time — shapes are static, so it costs nothing per step)
             expected = (self.z_window_size, *self.yx_patch_size)
             actual = tuple(batch["source"].shape[2:])
             if actual != expected:

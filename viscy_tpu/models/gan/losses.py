@@ -169,18 +169,23 @@ def _zero_centered_grad_penalty(discriminator, sample_input: Array) -> Array:
     """Multi-scale Mescheder zero-centered gradient penalty
     (reference losses.py:152): per scale ``||∇x D_scale(x)||^2`` summed over
     channel+spatial dims, mean over batch, then mean across scales. The
-    torch version differentiates each scale separately; here one jacobian
-    per scale via indexed grads of the scale sums."""
+    torch version reuses one forward graph and backprops each scale from
+    it; the JAX analog is ONE ``jax.vjp`` forward with one pullback per
+    scale (seeded with ones on that scale, zeros elsewhere) — not n+1
+    separate forwards."""
     x = jax.lax.stop_gradient(sample_input)
-    n_scales = len(_as_list(discriminator(x)))
 
+    def fwd(inp):
+        return [s.astype(jnp.float32) for s in _as_list(discriminator(inp))]
+
+    scales, pullback = jax.vjp(fwd, x)
     per_scale = []
-    for i in range(n_scales):
-
-        def scale_sum(inp, idx=i):
-            return _as_list(discriminator(inp))[idx].astype(jnp.float32).sum()
-
-        grads = jax.grad(scale_sum)(x)
+    for i in range(len(scales)):
+        cotangents = [
+            jnp.ones_like(s) if j == i else jnp.zeros_like(s)
+            for j, s in enumerate(scales)
+        ]
+        (grads,) = pullback(cotangents)
         per_scale.append(
             jnp.mean(jnp.sum(grads.reshape(grads.shape[0], -1) ** 2, axis=1))
         )

@@ -596,14 +596,16 @@ class Trainer:
             # restore reproduces them structurally.
             restored = ckptr.restore(path.absolute())
             opt_state = self.state.opt_state
+        # weights-only payloads ({'params': ...} from converters/exports)
+        # carry no extra_vars/step/epoch — fall back to the fresh state's
         self.state = self.state.replace(
             params=restored["params"],
-            extra_vars=restored["extra_vars"],
+            extra_vars=restored.get("extra_vars", self.state.extra_vars),
             opt_state=opt_state,
-            step=jnp.asarray(restored["step"], jnp.int32),
+            step=jnp.asarray(restored.get("step", 0), jnp.int32),
         )
         self.state = replicate(self.state, self.mesh)
         # The payload records the just-completed epoch; resume at the next one
         # (Lightning semantics — re-running the saved epoch double-trains it).
-        self.current_epoch = int(restored["epoch"]) + 1
-        self.global_step = int(restored["step"])
+        self.current_epoch = int(restored.get("epoch", -1)) + 1
+        self.global_step = int(restored.get("step", 0))

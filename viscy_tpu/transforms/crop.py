@@ -63,6 +63,7 @@ class BatchedRandSpatialCropd(RandTransform):
     """Per-sample random crop with shared coordinates across keys."""
 
     is_spatial = True
+    changes_shape = True
 
     def __init__(
         self,
@@ -103,6 +104,7 @@ class BatchedCenterSpatialCropd(MapTransform):
     """Center crop shared across the batch."""
 
     is_spatial = True
+    changes_shape = True
 
     def __init__(
         self,
@@ -124,6 +126,7 @@ class BatchedDivisibleCropd(MapTransform):
     """Center-crop spatial dims down to the nearest multiple of ``k``."""
 
     is_spatial = True
+    changes_shape = True
 
     def __init__(
         self,
@@ -158,6 +161,7 @@ class BatchedRandWeightedCropd(RandTransform):
     """
 
     is_spatial = True
+    changes_shape = True
 
     def __init__(
         self,
@@ -212,6 +216,7 @@ class TiledSpatialCropSamplesd(MapTransform):
     """
 
     is_spatial = True
+    changes_shape = True
 
     def __init__(
         self,

@@ -28,6 +28,7 @@ class BatchedChannelWiseZReduction(Transform):
     """Reduce Z of a (B, C, Z, Y, X) batch: MIP or center slice per sample."""
 
     is_spatial = True
+    changes_shape = True
 
     def __init__(self, default_strategy: str = "mip") -> None:
         if default_strategy not in ("mip", "center"):
@@ -48,6 +49,7 @@ class BatchedChannelWiseZReductiond(MapTransform):
     """Dict version; optionally reads a per-sample ``labelfree_key`` mask."""
 
     is_spatial = True
+    changes_shape = True
 
     def __init__(
         self,

@@ -26,6 +26,7 @@ class BatchedZoom(Transform):
     """Resize the spatial dims of a (B, C, Z, Y, X) batch by a scale factor."""
 
     is_spatial = True
+    changes_shape = True
 
     def __init__(
         self,
@@ -53,6 +54,7 @@ class BatchedZoomd(MapTransform):
     """Dictionary wrapper for :class:`BatchedZoom`."""
 
     is_spatial = True
+    changes_shape = True
 
     def __init__(
         self,
