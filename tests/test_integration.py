@@ -157,7 +157,9 @@ def test_fit_with_fg_mask_spotlight(tmp_path):
         z_window_size=5,
         batch_size=2,
         num_workers=0,
-        yx_patch_size=(32, 32),
+        # must match the host crop below: with no shape-changing device
+        # augmentation the trainer validates source == (z, *yx_patch_size)
+        yx_patch_size=(24, 24),
         split_ratio=0.5,
         fg_mask_key="fg_mask",
         normalizations=[
