@@ -123,3 +123,45 @@ def test_livecell_test_dataset_masks(tmp_path):
     assert labels[4, 4] == 1
     assert labels[12, 12] == 2
     assert labels[0, 0] == 0
+
+
+def test_sliding_window_timepoint_statistics_normalize(tmp_path):
+    """NormalizeSampled(level='timepoint_statistics') uses each sample's OWN
+    timepoint stats (mirrors reference viscy-data test_hcs.py:649; stats
+    chosen so mis-selection is unmistakable)."""
+    from viscy_tpu.data.sliding_window import SlidingWindowDataset
+    from viscy_tpu.transforms.normalize import NormalizeSampled
+    from viscy_tpu.zarr_io.store import open_ome_zarr
+
+    path = tmp_path / "tp_stats.zarr"
+    rng = np.random.default_rng(0)
+    plate = open_ome_zarr(path, layout="hcs", mode="w", channel_names=["Phase", "Fluor"])
+    for fov_name in ("0", "1"):
+        pos = plate.create_position("A", "1", fov_name)
+        pos.create_image("0", rng.random((2, 2, 4, 16, 16)).astype(np.float32))
+    tp_stats = {"0": {"mean": 10.0, "std": 1.0}, "1": {"mean": 1000.0, "std": 100.0}}
+    norm = {ch: {"timepoint_statistics": tp_stats} for ch in ("Phase", "Fluor")}
+    plate2 = open_ome_zarr(path, mode="r+")
+    for _, fov in plate2.positions():
+        fov.zattrs["normalization"] = norm
+
+    store = open_ome_zarr(path, mode="r")
+    positions = [pos for _, pos in store.positions()]
+    channels = {"source": ["Phase"], "target": ["Fluor"]}
+    normalized = SlidingWindowDataset(
+        positions,
+        channels=channels,
+        z_window_size=4,
+        transform=NormalizeSampled(keys=["Phase"], level="timepoint_statistics"),
+    )
+    raw = SlidingWindowDataset(positions, channels=channels, z_window_size=4)
+    assert len(normalized) == 4  # 2 FOVs x 2 timepoints x 1 z-window
+    seen_t = set()
+    for idx in range(len(normalized)):
+        ns, rs = normalized[idx], raw[idx]
+        t = int(ns["index"][1])
+        seen_t.add(t)
+        mean, std = tp_stats[str(t)]["mean"], tp_stats[str(t)]["std"]
+        expected = (np.asarray(rs["source"]) - mean) / (std + 1e-8)
+        np.testing.assert_allclose(np.asarray(ns["source"]), expected, atol=1e-5)
+    assert seen_t == {0, 1}
