@@ -85,14 +85,58 @@ def fits_vmem(s: int, c: int, m: int, bwd_tile_cap: int = 256, budget: int = 14 
     return weights + tiles <= budget
 
 
+# XLA's own f32 erf rational approximation (Cephes-style, ErfImpl32 in
+# xla/hlo/builder/lib/math.cc): Mosaic has no lowering for the erf
+# primitive, so the kernels evaluate the same polynomial XLA expands it
+# to — measured max |diff| vs jax.lax.erf is 4.2e-7 over [-6, 6], and the
+# clamp bound is erfinv(1 - 2^-23) so the tails saturate at +/-1 exactly
+# like XLA's expansion.
+_ERF_ALPHA = (
+    0.00022905065861350646,
+    0.0034082910107109506,
+    0.050955695062380861,
+    0.18520832239976145,
+    1.128379143519084,
+)
+_ERF_BETA = (
+    -1.1791602954361697e-7,
+    0.000023547966471313185,
+    0.0010179625278914885,
+    0.014070470171167667,
+    0.11098505178285362,
+    0.49746925110067538,
+    1.0,
+)
+_ERF_CLAMP = 3.832506856900711  # erfinv(1 - 2^-23)
+
+
+def _erf_f32(x32: Array) -> Array:
+    x32 = jnp.clip(x32, -_ERF_CLAMP, _ERF_CLAMP)
+    x2 = x32 * x32
+
+    def poly(cs):
+        r = jnp.full_like(x2, cs[0])
+        for c in cs[1:]:
+            r = r * x2 + c
+        return r
+
+    return x32 * poly(_ERF_ALPHA) / poly(_ERF_BETA)
+
+
+def _erf(x: Array) -> Array:
+    # matches XLA's erf-on-narrow-dtype behavior: upcast to f32, evaluate,
+    # round back to the input dtype
+    return _erf_f32(x.astype(jnp.float32)).astype(x.dtype)
+
+
 def _gelu_exact(u: Array) -> Array:
     # jax.nn.gelu(approximate=False) on the compute dtype
-    return (u * (jax.lax.erf(u / _SQRT2) + 1) / 2).astype(u.dtype)
+    return (u * (_erf(u / _SQRT2) + 1) / 2).astype(u.dtype)
 
 
 def _gelu_grad_f32(u32: Array) -> Array:
     phi = jnp.exp(-0.5 * u32 * u32) * _INV_SQRT_2PI
-    cdf = 0.5 * (jax.lax.erf(u32 / _SQRT2) + 1.0)
+    cdf = 0.5 * (_erf_f32(u32 / _SQRT2) + 1.0)
     return cdf + u32 * phi
 
 
@@ -123,14 +167,14 @@ def _stats_kernel(*refs, eps_ln, cdt, has_mask):
     v, _, _, _, _ = _ln_fc1_gelu(x_ref[0], ln_s_ref, ln_b_ref, w1_ref, b1_ref, eps_ln, cdt)
     if has_mask:
         # MaskedGRN: statistics over mask-zeroed activations (fcmae.py:66)
-        v = v * mk_ref[0][:, None]
+        v = v * mk_ref[0]
     v32 = v.astype(jnp.float32)
 
     @pl.when(t == 0)
     def _init():
         ss_ref[...] = jnp.zeros_like(ss_ref)
 
-    ss_ref[...] += jnp.sum(v32 * v32, axis=0, keepdims=True)
+    ss_ref[0] += jnp.sum(v32 * v32, axis=0, keepdims=True)
 
 
 def _apply_kernel(*refs, eps_ln, cdt, has_mask):
@@ -168,7 +212,7 @@ def _apply_kernel(*refs, eps_ln, cdt, has_mask):
     v, _, _, _, _ = _ln_fc1_gelu(x_ref[0], ln_s_ref, ln_b_ref, w1_ref, b1_ref, eps_ln, cdt)
     # GRN apply, replicating blocks.GRN dtype promotion: t = v*nx in the
     # compute dtype, then f32 (gamma/beta are f32 params), cast back at fc2
-    t = v * nxb_ref[...]
+    t = v * nxb_ref[0]
     y32 = gg_ref[...].astype(jnp.float32) * t.astype(jnp.float32) + gb_ref[...].astype(
         jnp.float32
     ) + v.astype(jnp.float32)
@@ -179,7 +223,7 @@ def _apply_kernel(*refs, eps_ln, cdt, has_mask):
     )
     if has_mask:
         # masked block zeroes the MLP branch before the residual add
-        z = z * mk_ref[0][:, None]
+        z = z * mk_ref[0]
     out_ref[0] = sc_ref[0] + z
 
 
@@ -225,13 +269,13 @@ def _bwd_stats_kernel(*refs, eps_ln, cdt, has_mask):
     v, _, _, _, _ = _ln_fc1_gelu(x_ref[0], ln_s_ref, ln_b_ref, w1_ref, b1_ref, eps_ln, cdt)
     dz = g_ref[0].astype(cdt)
     if has_mask:
-        dz = dz * mk_ref[0][:, None]
+        dz = dz * mk_ref[0]
     # dy = dz @ w2^T: contract the C axis of both
     dy = jax.lax.dot_general(
         dz, w2_ref[...], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
     v32 = v.astype(jnp.float32)
-    tm = v * nxb_ref[...]
+    tm = v * nxb_ref[0]
     y = (
         gg_ref[...].astype(jnp.float32) * tm.astype(jnp.float32)
         + gb_ref[...].astype(jnp.float32)
@@ -248,7 +292,7 @@ def _bwd_stats_kernel(*refs, eps_ln, cdt, has_mask):
         dw2_ref[...] = jnp.zeros_like(dw2_ref)
         db2_ref[...] = jnp.zeros_like(db2_ref)
 
-    p_ref[...] += jnp.sum(dy * v32, axis=0, keepdims=True)
+    p_ref[0] += jnp.sum(dy * v32, axis=0, keepdims=True)
     dbg_ref[...] += jnp.sum(dy, axis=0, keepdims=True)
     # dw2 += y^T @ dz (contract the tile axis)
     dw2_ref[...] += jax.lax.dot_general(
@@ -301,18 +345,18 @@ def _bwd_main_kernel(*refs, eps_ln, cdt, has_mask):
     )
     dz = g_ref[0].astype(cdt)
     if has_mask:
-        dz = dz * mk_ref[0][:, None]
+        dz = dz * mk_ref[0]
     dy = jax.lax.dot_general(
         dz, w2_ref[...], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
     v32 = v.astype(jnp.float32)
     if has_mask:
         # stats path saw v*m, so its cotangent carries m^2 (m is 0/1)
-        mk32 = mk_ref[0][:, None].astype(jnp.float32)
+        mk32 = mk_ref[0].astype(jnp.float32)
         stats_v = v32 * (mk32 * mk32)
     else:
         stats_v = v32
-    dv32 = dy * coef1_ref[...] + stats_v * coef2_ref[...]
+    dv32 = dy * coef1_ref[0] + stats_v * coef2_ref[0]
     du32 = dv32 * _gelu_grad_f32(u.astype(jnp.float32))
     du = du32.astype(cdt)
 
@@ -353,7 +397,17 @@ def _tile_spec(ts, c):
 
 
 def _perb_spec(m):
-    return pl.BlockSpec((1, m), lambda b, t: (b, 0))
+    # per-sample row carried as (B, 1, M): Mosaic requires the block's last
+    # two dims be (8, 128)-divisible OR equal to the array dims — a (1, M)
+    # block over a (B, M) array violates the sublane rule on real TPUs
+    # (interpret mode does not check it), while (1, 1, M) over (B, 1, M)
+    # satisfies it exactly
+    return pl.BlockSpec((1, 1, m), lambda b, t: (b, 0, 0))
+
+
+def _mask_spec(ts):
+    # mask carried as (B, S, 1) for the same sublane-rule reason
+    return pl.BlockSpec((1, ts, 1), lambda b, t: (b, t, 0))
 
 
 def _fixed_spec(shape):
@@ -387,9 +441,9 @@ def _fwd(cfg, x, shortcut, mask, ln_s, ln_b, w1, b1, gg, gb, w2, b2):
     mask_in = []
     mask_spec = []
     if has_mask:
-        mask_in = [mask.astype(cdt)]
-        mask_spec = [pl.BlockSpec((1, ts), lambda b, t: (b, t))]
-    ss = pl.pallas_call(
+        mask_in = [mask.astype(cdt)[..., None]]
+        mask_spec = [_mask_spec(ts)]
+    ss3 = pl.pallas_call(
         functools.partial(_stats_kernel, **kw),
         grid=grid,
         in_specs=[
@@ -401,11 +455,12 @@ def _fwd(cfg, x, shortcut, mask, ln_s, ln_b, w1, b1, gg, gb, w2, b2):
             _fixed_spec((m,)),
         ],
         out_specs=_perb_spec(m),
-        out_shape=jax.ShapeDtypeStruct((bsz, m), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((bsz, 1, m), jnp.float32),
         interpret=interpret,
     )(x, *mask_in, ln_s, ln_b, w1c, b1c)
+    ss = ss3[:, 0]
     _, _, nx = _grn_coeffs(ss, gg, eps_grn)
-    nxb = nx.astype(cdt)
+    nxb = nx.astype(cdt)[:, None]
     out = pl.pallas_call(
         functools.partial(_apply_kernel, **kw),
         grid=grid,
@@ -444,11 +499,11 @@ def _bwd(cfg, res, g):
     mask_in = []
     mask_spec = []
     if has_mask:
-        mask_in = [mask.astype(cdt)]
-        mask_spec = [pl.BlockSpec((1, ts), lambda b, t: (b, t))]
+        mask_in = [mask.astype(cdt)[..., None]]
+        mask_spec = [_mask_spec(ts)]
     gx, mn, nx = _grn_coeffs(ss, gg, eps_grn)
-    nxb = nx.astype(cdt)
-    p, dbg_row, dw2, db2_row = pl.pallas_call(
+    nxb = nx.astype(cdt)[:, None]
+    p3, dbg_row, dw2, db2_row = pl.pallas_call(
         functools.partial(_bwd_stats_kernel, **kw),
         grid=grid,
         in_specs=[
@@ -471,13 +526,14 @@ def _bwd(cfg, res, g):
             _fixed_spec((1, c)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((bsz, m), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, 1, m), jnp.float32),
             jax.ShapeDtypeStruct((1, m), jnp.float32),
             jax.ShapeDtypeStruct((m, c), jnp.float32),
             jax.ShapeDtypeStruct((1, c), jnp.float32),
         ],
         interpret=interpret,
     )(x, g, *mask_in, ln_s, ln_b, w1c, b1c, nxb, gg, gb, w2c)
+    p = p3[:, 0]
     gg32 = gg.astype(jnp.float32)
     # GRN cotangents from the accumulated P[b, m] = sum_s dy * v:
     #   A = dnx = gamma * P;     dgamma = sum_b P * nx;   dbeta from pass C
@@ -518,7 +574,7 @@ def _bwd(cfg, res, g):
             jax.ShapeDtypeStruct((1, c), jnp.float32),
         ],
         interpret=interpret,
-    )(x, g, *mask_in, ln_s, ln_b, w1c, b1c, w2c, coef1, coef2)
+    )(x, g, *mask_in, ln_s, ln_b, w1c, b1c, w2c, coef1[:, None], coef2[:, None])
     dsc = g.astype(x.dtype)
     dmask = None if mask is None else jnp.zeros_like(mask)
     return (
