@@ -43,6 +43,31 @@ def _make_args(b=2, s=96, c=16, m=48, dtype=np.float32, seed=0):
     )
 
 
+def test_erf_polynomial_matches_lax_erf():
+    """Pin the kernel's erf expansion directly against jax.lax.erf.
+
+    reference_mlp_grn shares _gelu_exact with the kernel, so the
+    kernel-vs-oracle parity tests cannot catch a coefficient typo in the
+    polynomial — this op-level test can (max |diff| 4.2e-7 measured over
+    [-6, 6], plus the clamp-bound tails)."""
+    from viscy_tpu.ops.pallas.fused_block import _ERF_CLAMP, _erf_f32
+
+    x = jnp.concatenate(
+        [
+            jnp.linspace(-6.0, 6.0, 20001, dtype=jnp.float32),
+            jnp.asarray(
+                [-_ERF_CLAMP, _ERF_CLAMP, -10.0, 10.0, -1e30, 1e30, 0.0],
+                dtype=jnp.float32,
+            ),
+        ]
+    )
+    got = np.asarray(_erf_f32(x))
+    want = np.asarray(jax.lax.erf(x))
+    np.testing.assert_allclose(got, want, atol=5e-7, rtol=0)
+    # the tails overshoot 1 by at most one ULP (documented in fused_block.py)
+    assert np.max(np.abs(got)) <= np.float32(1.0 + 2.0**-23)
+
+
 def test_pick_s_tile():
     assert pick_s_tile(9216, 512) == 512
     assert pick_s_tile(2304, 512) == 384

@@ -88,9 +88,12 @@ def fits_vmem(s: int, c: int, m: int, bwd_tile_cap: int = 256, budget: int = 14 
 # XLA's own f32 erf rational approximation (Cephes-style, ErfImpl32 in
 # xla/hlo/builder/lib/math.cc): Mosaic has no lowering for the erf
 # primitive, so the kernels evaluate the same polynomial XLA expands it
-# to — measured max |diff| vs jax.lax.erf is 4.2e-7 over [-6, 6], and the
-# clamp bound is erfinv(1 - 2^-23) so the tails saturate at +/-1 exactly
-# like XLA's expansion.
+# to — measured max |diff| vs jax.lax.erf is 4.2e-7 over [-6, 6]. The
+# clamp bound is erfinv(1 - 2^-23): past it the polynomial matches XLA's
+# expansion bit-for-bit, which in f32 evaluates to +/-(1 + 2^-23) — one
+# ULP past 1, NOT saturated at exactly +/-1. GELU only consumes
+# 0.5*(1+erf), so the overshoot is harmless here; add a final clip if a
+# strict [-1, 1] range is ever required.
 _ERF_ALPHA = (
     0.00022905065861350646,
     0.0034082910107109506,
