@@ -195,11 +195,19 @@ def test_examples_run_offline(tmp_path):
     import subprocess
     import sys
 
+    repo_root = Path(__file__).parent.parent
     for script in ("quick_start.py", "dynaclr_embeddings.py"):
+        # The example subprocess runs with cwd=tmp_path, so viscy_tpu must be
+        # importable from its environment even when the package is not
+        # installed (fresh checkout): prepend the repo root to PYTHONPATH.
+        pythonpath = os.pathsep.join(
+            p for p in (str(repo_root), os.environ.get("PYTHONPATH", "")) if p
+        )
         env = dict(
             os.environ,
             VISCY_OUT=str(tmp_path / script.replace(".py", "")),
             JAX_PLATFORMS="cpu",
+            PYTHONPATH=pythonpath,
         )
         proc = subprocess.run(
             [sys.executable, str(Path(__file__).parent.parent / "examples" / script)],
