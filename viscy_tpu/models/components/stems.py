@@ -62,6 +62,7 @@ class StemDepthtoChannels(nn.Module):
     in_channels_encoder: int
     stem_kernel_size: tuple[int, int, int] = (5, 4, 4)
     stem_stride: tuple[int, int, int] = (5, 4, 4)
+    dtype: object = None
 
     def compute_stem_channels(self) -> int:
         out_depth = (
@@ -85,6 +86,7 @@ class StemDepthtoChannels(nn.Module):
             self.stem_kernel_size,
             strides=self.stem_stride,
             padding="VALID",
+            dtype=self.dtype,
             name="conv",
         )(x)
         return rearrange(x, "b d h w c -> b h w (c d)")

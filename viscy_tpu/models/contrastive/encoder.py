@@ -32,6 +32,10 @@ class ContrastiveEncoder(nn.Module):
     projection_dim: int = 128
     drop_path_rate: float = 0.0
     fused_mlp: bool = False
+    # activation compute dtype (bf16 halves HBM traffic on TPU; params and
+    # norm/GRN statistics stay f32) — mirrors the reference's bf16-mixed
+    # trainer precision (DynaCLR-3D-BagOfChannels-v2.yml:23)
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> tuple[Array, Array]:
@@ -40,12 +44,14 @@ class ContrastiveEncoder(nn.Module):
         depths, dims = CONVNEXT_ARCHS[self.backbone]
         use_grn = "v2" in self.backbone
 
+        dtype = jnp.dtype(self.dtype) if isinstance(self.dtype, str) else self.dtype
         x = StemDepthtoChannels(
             in_channels=self.in_channels,
             in_stack_depth=self.in_stack_depth,
             in_channels_encoder=dims[0],
             stem_kernel_size=self.stem_kernel_size,
             stem_stride=self.stem_stride,
+            dtype=dtype,
             name="stem",
         )(x)
         features = MultiscaleEncoder(
@@ -55,10 +61,13 @@ class ContrastiveEncoder(nn.Module):
             ls_init_value=None if use_grn else 1e-6,
             drop_path_rate=self.drop_path_rate,
             fused_mlp=self.fused_mlp,
+            dtype=dtype,
             name="encoder",
         )(x, deterministic=not train)
-        # classification-style head: global average pool -> LN -> fc
-        h = features[-1].mean(axis=(1, 2))
+        # classification-style head: global average pool -> LN -> fc; the
+        # pooled reduction and projection run in f32 (tiny tensors, and the
+        # NT-Xent similarity matrix is precision-sensitive)
+        h = features[-1].astype(jnp.float32).mean(axis=(1, 2))
         h = nn.LayerNorm(epsilon=1e-6, name="head_norm")(h)
         embedding = nn.Dense(self.embedding_dim, name="head_fc")(h)
         projection = ProjectionMLP(
