@@ -307,3 +307,104 @@ def test_pad_forward_crop_alignment_identity():
     assert padded.shape[-2:] == (48, 64)
     roundtrip = _center_crop_to_shape(padded, src.shape[2:])
     np.testing.assert_array_equal(np.asarray(roundtrip), np.asarray(src))
+
+
+class TestDeviceBlend:
+    """On-device feathered blending (DeviceFovAssembler): the TPU-first
+    redesign of the reference's host blend (prediction_writer.py:74-111) —
+    identical math on device, one D2H fetch per (fov, t)."""
+
+    class _DM:
+        source_channel = ["Phase"]
+        target_channel = ["A", "B"]
+        z_window_size = 5
+
+    class _Trainer:
+        pass
+
+    def _run(self, tmp_path, tag, *, device_blend, output_dtype="float32", preds=None):
+        from viscy_tpu.training.callbacks.prediction_writer import HCSPredictionWriter
+        from viscy_tpu.zarr_io import open_ome_zarr
+
+        trainer = self._Trainer()
+        trainer._active_datamodule = self._DM()
+        out = tmp_path / f"pred_{tag}.zarr"
+        w = HCSPredictionWriter(
+            str(out),
+            overwrite=True,
+            device_blend=device_blend,
+            output_dtype=output_dtype,
+        )
+        w.on_predict_start(trainer, None)
+        for i, (fov, t, z, p) in enumerate(preds):
+            arr = jnp.asarray(p) if device_blend else p
+            w.write_on_batch_end(trainer, None, arr[None], {"index": [(fov, t, z)]}, i)
+        w.on_predict_end(trainer, None)
+        plate = open_ome_zarr(out)
+        return {name: pos for name, pos in plate.positions()}
+
+    def _stream(self, seed=0, fovs=("A/1/0", "B/2/0"), times=(0, 1), depth=9, cz=5):
+        rng = np.random.default_rng(seed)
+        return [
+            (fov, t, z, rng.random((2, cz, 16, 16)).astype(np.float32))
+            for fov in fovs
+            for t in times
+            for z in range(depth - cz + 1)
+        ]
+
+    def test_device_blend_matches_host_path(self, tmp_path):
+        """device_blend=True (jax arrays in, on-device blend, per-FOV fetch)
+        must write the same store as the host assemble path — including the
+        FINAL fov, which only flushes at on_predict_end."""
+        preds = self._stream()
+        host = self._run(tmp_path, "host", device_blend=False, preds=preds)
+        dev = self._run(tmp_path, "dev", device_blend=True, preds=preds)
+        assert set(host) == set(dev)
+        for name in host:
+            a, b = np.asarray(host[name]["0"]), np.asarray(dev[name]["0"])
+            assert a.shape == b.shape
+            np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-5)
+            assert a[1, :, :9].std() > 0  # t=1 landed
+
+    def test_uint16_scaling_roundtrip(self, tmp_path):
+        """output_dtype='uint16' writes quantized slabs + per-(channel, t)
+        (lo, hi) ranges in .zattrs['prediction_scaling']; reconstruction is
+        within one quantization step of the float32 store."""
+        preds = self._stream(seed=3, fovs=("A/1/0",), times=(0,))
+        f32 = self._run(tmp_path, "f32", device_blend=True, preds=preds)
+        u16 = self._run(
+            tmp_path, "u16", device_blend=True, output_dtype="uint16", preds=preds
+        )
+        pos = u16["A/1/0"]
+        q = np.asarray(pos["0"])
+        assert q.dtype == np.uint16
+        scaling = pos.zattrs["prediction_scaling"]
+        ref = np.asarray(f32["A/1/0"]["0"])
+        for ci, label in enumerate(["A", "B"]):
+            lo = scaling[label]["0"]["lo"]
+            hi = scaling[label]["0"]["hi"]
+            rec = lo + q[0, ci].astype(np.float64) / 65535 * (hi - lo)
+            step = (hi - lo) / 65535
+            np.testing.assert_allclose(rec, ref[0, ci], atol=step + 1e-7)
+
+    def test_float16_dtype(self, tmp_path):
+        preds = self._stream(seed=4, fovs=("A/1/0",), times=(0,))
+        f16 = self._run(
+            tmp_path, "f16", device_blend=True, output_dtype="float16", preds=preds
+        )
+        f32 = self._run(tmp_path, "f32b", device_blend=True, preds=preds)
+        a = np.asarray(f16["A/1/0"]["0"])
+        assert a.dtype == np.float16
+        np.testing.assert_allclose(
+            a.astype(np.float32), np.asarray(f32["A/1/0"]["0"]), atol=1e-3
+        )
+
+    def test_trainer_keeps_predictions_on_device(self):
+        """The trainer must skip device_get when a callback sets
+        wants_device_predictions (and not when return_predictions=True)."""
+        from viscy_tpu.training.callbacks.prediction_writer import HCSPredictionWriter
+
+        w = HCSPredictionWriter("/tmp/unused.zarr", device_blend=True)
+        assert w.wants_device_predictions
+        w2 = HCSPredictionWriter("/tmp/unused.zarr", device_blend=False)
+        assert not w2.wants_device_predictions

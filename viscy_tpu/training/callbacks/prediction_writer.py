@@ -9,11 +9,14 @@ the device critical path.
 
 from __future__ import annotations
 
+import functools
 import logging
 from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
 from typing import Literal, Sequence
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from viscy_tpu.training.callbacks.base import Callback
@@ -21,7 +24,7 @@ from viscy_tpu.zarr_io.store import Position, open_ome_zarr
 
 _logger = logging.getLogger("viscy_tpu")
 
-__all__ = ["HCSPredictionWriter", "blend_in"]
+__all__ = ["HCSPredictionWriter", "blend_in", "DeviceFovAssembler"]
 
 
 def blend_in(old_stack: np.ndarray, new_stack: np.ndarray, z_slice: slice) -> np.ndarray:
@@ -43,6 +46,103 @@ def blend_in(old_stack: np.ndarray, new_stack: np.ndarray, z_slice: slice) -> np
     return old_stack * (factors - 1) / factors + new_stack / factors
 
 
+class DeviceFovAssembler:
+    """Blend overlapping z-window predictions into a device-resident slab.
+
+    The reference blends on host (``prediction_writer.py:74-111``) because
+    its forward pass lives there; the blend itself is elementwise, so on
+    TPU it belongs next to the forward — the host then fetches ONE final
+    (C, Z, Y, X) slab per (fov, t) instead of every overlapping window
+    (6x the bytes at production z overlap), and the numpy blend math
+    (measured ~35 s/FOV single-core at (2, 20, 2048, 2048)) disappears
+    entirely from the host path.
+
+    The per-window update is jitted once per (acc depth, z_start, window
+    depth) combination — a handful of tiny elementwise programs shared by
+    every FOV. Identical math to :func:`blend_in` (same factors, same
+    order), in f32 on device.
+
+    ``fetch_dtype``:
+
+    - ``"float32"`` (default): parity path, byte-identical semantics.
+    - ``"float16"``: half the D2H + write bytes; values cast at fetch.
+    - ``"uint16"``: half the bytes, integer codec path; the slab is
+      affinely scaled to [0, 65535] per (fov, t, channel) at fetch and
+      the (lo, hi) ranges are returned so the writer can record them.
+    """
+
+    def __init__(self, fetch_dtype: str = "float32") -> None:
+        if fetch_dtype not in ("float32", "float16", "uint16"):
+            raise ValueError(f"Unsupported fetch_dtype {fetch_dtype!r}")
+        self.fetch_dtype = fetch_dtype
+        self._acc: dict[tuple, object] = {}
+
+    # module-lifetime jit (NOT a per-call closure: jax.jit caches by
+    # function identity, so a fresh closure per window would recompile
+    # every update) — one compiled program per (acc depth, z_start,
+    # window depth) combination, shared by every FOV
+    @staticmethod
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def _blend_update(acc, pred, z_start: int):
+        cz = pred.shape[1]
+        need = z_start + cz
+        if acc.shape[1] < need:
+            acc = jnp.pad(acc, ((0, 0), (0, need - acc.shape[1]), (0, 0), (0, 0)))
+        if z_start == 0:
+            return jax.lax.dynamic_update_slice_in_dim(acc, pred, 0, axis=1)
+        old = jax.lax.dynamic_slice_in_dim(acc, z_start, cz, axis=1)
+        samples = min(z_start + 1, cz)
+        factors = np.array(
+            [min(i + 1, samples) for i in reversed(range(cz))], np.float32
+        ).reshape(1, cz, 1, 1)
+        blended = old * (factors - 1) / factors + pred / factors
+        return jax.lax.dynamic_update_slice_in_dim(acc, blended, z_start, axis=1)
+
+    def add(self, key: tuple, pred, z_start: int) -> None:
+        """Blend one (C, cz, Y, X) device window into the slab for ``key``."""
+        import jax.numpy as jnp
+
+        acc = self._acc.get(key)
+        if acc is None:
+            acc = jnp.zeros((pred.shape[0], 0, *pred.shape[-2:]), jnp.float32)
+        self._acc[key] = self._blend_update(acc, pred.astype(jnp.float32), int(z_start))
+
+    def keys(self) -> list[tuple]:
+        return list(self._acc)
+
+    def pop(self, key: tuple):
+        """Remove and return the device accumulator for ``key`` (no fetch);
+        pair with :meth:`convert` on a worker thread so the D2H transfer
+        and dtype conversion overlap the next FOV's blending."""
+        return self._acc.pop(key)
+
+    @staticmethod
+    @jax.jit
+    def _to_u16(acc):
+        lo = acc.min(axis=(1, 2, 3), keepdims=True)
+        hi = acc.max(axis=(1, 2, 3), keepdims=True)
+        scale = 65535.0 / jnp.maximum(hi - lo, 1e-12)
+        q = jnp.round((acc - lo) * scale)
+        return q.astype(jnp.uint16), lo[:, 0, 0, 0], hi[:, 0, 0, 0]
+
+    def convert(self, acc):
+        """Fetch a device slab to host in ``fetch_dtype``.
+
+        Returns ``(slab, ranges)``: slab is numpy; ranges is a per-channel
+        (lo, hi) float array for ``"uint16"`` (None otherwise).
+        """
+        if self.fetch_dtype == "float32":
+            return np.asarray(jax.device_get(acc)), None
+        if self.fetch_dtype == "float16":
+            return np.asarray(jax.device_get(acc.astype(jnp.float16))), None
+        q, lo, hi = jax.device_get(self._to_u16(acc))
+        return np.asarray(q), np.stack([np.asarray(lo), np.asarray(hi)], axis=1)
+
+    def fetch(self, key: tuple):
+        """Pop + convert in one call (synchronous convenience)."""
+        return self.convert(self.pop(key))
+
+
 class HCSPredictionWriter(Callback):
     """Write per-window predictions into an HCS OME-Zarr store."""
 
@@ -54,10 +154,35 @@ class HCSPredictionWriter(Callback):
         write_interval: Literal["batch"] = "batch",
         assemble_fovs: bool = True,
         flush_workers: int = 2,
+        device_blend: bool = True,
+        output_dtype: Literal["float32", "float16", "uint16"] = "float32",
+        compressor: str = "lz4",
     ) -> None:
         self.output_store = Path(output_store)
         self.overwrite = overwrite
         self.write_input = write_input
+        # device_blend: when predictions arrive as device (jax) arrays and
+        # the geometry is 3D sliding-window, blend overlapping z-slabs ON
+        # DEVICE (DeviceFovAssembler) and fetch one final slab per (fov, t).
+        # The trainer keeps predictions on device for callbacks that set
+        # wants_device_predictions. Numpy predictions fall back to the host
+        # blend path below (identical math).
+        self.device_blend = device_blend
+        # output_dtype: dtype of the created prediction arrays. float32 is
+        # the reference-parity default; float16 halves write bytes (cast);
+        # uint16 halves bytes on an integer codec path — slabs are affinely
+        # scaled per (fov, t, channel) and the (lo, hi) ranges recorded in
+        # .zattrs["prediction_scaling"] (documented deviation: the reference
+        # always writes float32, prediction_writer.py:239-321).
+        if output_dtype not in ("float32", "float16", "uint16"):
+            raise ValueError(f"Unsupported output_dtype {output_dtype!r}")
+        if output_dtype != "float32" and write_input:
+            raise ValueError("write_input requires output_dtype='float32'")
+        self.output_dtype = output_dtype
+        # compressor preset for created arrays ("lz4" bitshuffle default:
+        # ~3x the write throughput of zstd-1 at comparable ratio; "zstd"
+        # for maximum ratio, "none" to skip compression)
+        self.compressor = compressor
         # assemble_fovs: blend overlapping z-windows into a per-(fov, t)
         # RAM buffer and write the zarr ONCE when the fov completes — the
         # per-window read-modify-write path re-reads and re-writes each
@@ -80,6 +205,13 @@ class HCSPredictionWriter(Callback):
         self._pending = []
         self._flush_pending = []
         self._assembly: dict[tuple, np.ndarray] = {}
+        self._device_assembler: DeviceFovAssembler | None = None
+
+    @property
+    def wants_device_predictions(self) -> bool:
+        """Ask the trainer to pass predictions as device arrays (no
+        device_get): the writer blends on device and fetches per-FOV."""
+        return self.device_blend
 
     # -- lifecycle --------------------------------------------------------------
     def on_predict_start(self, trainer, module) -> None:
@@ -141,14 +273,22 @@ class HCSPredictionWriter(Callback):
         self._channel_offset = 0
         self._channels = channels
 
+    @property
+    def _np_dtype(self):
+        return {"float32": np.float32, "float16": np.float16, "uint16": np.uint16}[
+            self.output_dtype
+        ]
+
     # -- writing ------------------------------------------------------------------
     def write_on_batch_end(self, trainer, module, prediction, batch, batch_idx) -> None:
         dm = getattr(trainer, "_active_datamodule", None)
         self._ensure_store(dm or self._datamodule)
-        preds = np.asarray(prediction, np.float32)
         indices = batch["index"]
         if not isinstance(indices, list):
             indices = [indices]
+        if self._try_device_blend(prediction, indices):
+            return
+        preds = np.asarray(prediction, np.float32)
         sources = batch.get("source") if self.write_input else None
         for i, idx in enumerate(indices):
             img_name, t, z = str(idx[0]), int(idx[1]), int(idx[2])
@@ -157,6 +297,76 @@ class HCSPredictionWriter(Callback):
                 self._pool.submit(self._write_sample, preds[i], img_name, t, z, src)
             )
         self._drain(max_pending=64)
+
+    def _try_device_blend(self, prediction, indices) -> bool:
+        """Route a device-array prediction through the on-device blender.
+
+        Engages only for the 3D sliding-window geometry (z_padding == 0,
+        window depth > 1 — the case where host blending dominates); other
+        geometries and numpy predictions take the host path below.
+        """
+        if not self.device_blend or self.write_input:
+            return False
+        try:
+            import jax
+        except Exception:  # pragma: no cover - jax is a hard dep elsewhere
+            return False
+        if not isinstance(prediction, jax.Array):
+            return False
+        cz = int(prediction.shape[-3])
+        z_padding = (
+            self._z_window_size // 2 if cz == 1 else max(0, (self._z_window_size - cz) // 2)
+        )
+        if z_padding != 0 or cz <= 1:
+            return False
+        if self._device_assembler is None:
+            self._device_assembler = DeviceFovAssembler(self.output_dtype)
+        asm = self._device_assembler
+        offset = getattr(self, "_channel_offset", 0)
+        pred_idx = tuple(range(offset, offset + int(prediction.shape[1])))
+        for i, idx in enumerate(indices):
+            img_name, t, z = str(idx[0]), int(idx[1]), int(idx[2])
+            key = (img_name, t, pred_idx)
+            for other in [k for k in asm.keys() if k != key]:
+                self._submit_device_flush(other)
+            asm.add(key, prediction[i], z)
+        # bound in-flight flushes: each pending job pins a full device slab
+        # in HBM (671 MB/FOV at production shape) until its D2H completes
+        while len(self._flush_pending) > 2 * self.flush_workers:
+            self._flush_pending.pop(0).result()
+        self._drain(max_pending=2)
+        return True
+
+    def _submit_device_flush(self, key: tuple) -> None:
+        acc = self._device_assembler.pop(key)
+        asm = self._device_assembler
+
+        def job() -> None:
+            slab, ranges = asm.convert(acc)
+            self._write_device_slab(key, slab, ranges)
+
+        self._flush_pending.append(self._flush_pool.submit(job))
+
+    def _write_device_slab(self, key: tuple, slab: np.ndarray, ranges) -> None:
+        img_name, t, pred_idx = key
+        pos = self._get_position(img_name)
+        total_ch = getattr(self, "_channel_offset", 0) + len(self._channels)
+        img = self._ensure_image(pos, t, slab.shape[1], slab.shape[-2:], total_ch)
+        img.oindex[t, list(pred_idx), slice(0, slab.shape[1])] = slab
+        if ranges is not None:
+            offset = getattr(self, "_channel_offset", 0)
+            with self._resize_lock:
+                attrs = pos.zattrs
+                d = attrs.asdict()
+                scaling = d.setdefault("prediction_scaling", {})
+                for ci, (lo, hi) in zip(pred_idx, ranges):
+                    label = self._channels[ci - offset]
+                    scaling.setdefault(label, {})[str(t)] = {
+                        "lo": float(lo),
+                        "hi": float(hi),
+                        "formula": "value = lo + uint16 / 65535 * (hi - lo)",
+                    }
+                attrs._replace(d)
 
     def _drain(self, max_pending: int = 0) -> None:
         """Bound the write queue; surface background write errors promptly."""
@@ -187,7 +397,12 @@ class HCSPredictionWriter(Callback):
         thread and concurrent flush threads may grow the same array)."""
         with self._resize_lock:
             if "0" not in pos:
-                pos.create_zeros("0", (t + 1, n_total_ch, z_stop, *shape_yx), np.float32)
+                pos.create_zeros(
+                    "0",
+                    (t + 1, n_total_ch, z_stop, *shape_yx),
+                    self._np_dtype,
+                    compressor=self.compressor,
+                )
             img = pos["0"]
             if img.shape[0] <= t or img.shape[2] < z_stop:
                 img.resize(
@@ -276,6 +491,11 @@ class HCSPredictionWriter(Callback):
                         self._flush_assembly, key, self._assembly.pop(key)
                     )
                 )
+            if self._device_assembler is not None:
+                # flush the final (still-accumulating) device FOVs
+                for key in self._device_assembler.keys():
+                    self._submit_device_flush(key)
+                self._device_assembler = None
             while self._flush_pending:
                 self._flush_pending.pop(0).result()
             self._pool.shutdown(wait=True)

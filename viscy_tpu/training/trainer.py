@@ -491,11 +491,18 @@ class Trainer:
         predict_step = jax.jit(lambda state, batch: module.predict_step(state.variables, batch))
         for cb in self.callbacks:
             cb.on_predict_start(self, module)
+        # callbacks that blend/convert on device (e.g. HCSPredictionWriter's
+        # DeviceFovAssembler) opt into receiving the raw jax.Array — no
+        # device_get on the hot path, the callback fetches final slabs only
+        keep_on_device = any(
+            getattr(cb, "wants_device_predictions", False) for cb in self.callbacks
+        ) and not return_predictions
         outputs = []
         for i, batch in enumerate(datamodule.predict_dataloader()):
             device_batch = shard_batch(self._device_view(batch), self.mesh)
             pred = predict_step(self.state, device_batch)
-            pred = jax.device_get(pred)
+            if not keep_on_device:
+                pred = jax.device_get(pred)
             for cb in self.callbacks:
                 cb.write_on_batch_end(self, module, pred, batch, i)
             if return_predictions:
