@@ -31,35 +31,9 @@ run_leg infer_base 1800 INFER_BATCHES=72 python tools/ablate_infer.py
 # 3. Inference tile-size sweep (constant pixels/call, overlap-waste accounting)
 run_leg tile_sweep 3000 INFER_TILE_SWEEP=1 python tools/ablate_infer.py
 
-# 4. Warp kernel NOPAD_DMA A/B (module constant flipped via driver script)
-run_leg warp_nopad 1800 python - <<'EOF'
-import time
-
-import jax
-import jax.numpy as jnp
-import numpy as np
-
-import viscy_tpu.ops.pallas.warp3d as w3d
-from viscy_tpu.transforms.affine import BatchedRandAffined
-
-x = jnp.asarray(np.random.default_rng(0).random((16, 3, 20, 600, 600), np.float32))
-tr = BatchedRandAffined(
-    keys=["x"], prob=1.0, rotate_range=[3.14, 0, 0],
-    shear_range=[0.0, 0.05, 0.05], scale_range=[[0.7, 1.3], [0.5, 1.5], [0.5, 1.5]],
-    backend="pallas",
-)
-for nopad in (False, True):
-    w3d.NOPAD_DMA = nopad
-    fn_local = jax.jit(lambda d, k: tr(d, k)["x"])
-    out = fn_local({"x": x}, jax.random.PRNGKey(0))
-    float(jax.device_get(out[0, 0, 0, 0, 0]))
-    t0 = time.perf_counter()
-    for i in range(10):
-        out = fn_local({"x": x}, jax.random.PRNGKey(i))
-    float(jax.device_get(out[0, 0, 0, 0, 0]))
-    dt = (time.perf_counter() - t0) / 10
-    print(f"NOPAD_DMA={nopad}: {dt*1e3:.1f} ms/batch")
-EOF
+# 4. Warp kernel NOPAD_DMA A/B (shape env-tunable; 600x600 exceeds the
+# kernel's scoped-VMEM ceiling — see tools/warp_nopad_ab.py docstring)
+run_leg warp_nopad 1800 python tools/warp_nopad_ab.py
 
 # 5. Full bench for the closeout numbers
 run_leg bench 3600 python bench.py
