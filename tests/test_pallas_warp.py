@@ -178,3 +178,41 @@ def test_transform_auto_selects_xla_on_cpu(smooth_vol):
         keys=["source"], prob=1.0, rotate_range=[3.14, 0, 0], backend="auto"
     )
     assert t._select_pallas(IN, OUT, None) is None or jax.default_backend() == "tpu"
+
+
+def test_chunked_affine_warp_matches_direct():
+    """HBM-bounded chunking (ops/warp.py chunked_affine_warp) preserves the
+    one-shot gather path's results to float rounding: XLA fuses the
+    interpolation arithmetic differently per batch size (fma
+    reassociation, measured maxdiff 2.4e-07), so the contract is
+    fp-tolerance equality, not bit-exactness."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from viscy_tpu.ops.warp import chunked_affine_warp, compose_affine_3d
+
+    rng = np.random.default_rng(11)
+    vol = jnp.asarray(rng.normal(size=(6, 2, 5, 12, 12)).astype(np.float32))
+    mats = compose_affine_3d(
+        rotation=jnp.asarray(rng.uniform(-0.4, 0.4, (6, 3)).astype(np.float32)),
+        scale=jnp.asarray(rng.uniform(0.8, 1.2, (6, 3)).astype(np.float32)),
+        translate=jnp.asarray(rng.uniform(-1, 1, (6, 3)).astype(np.float32)),
+    )
+    out_shape, off = (4, 10, 10), (0.0, -0.5, -0.5)
+    direct = chunked_affine_warp(vol, mats, out_shape, out_offset=off)
+    # budget forcing chunk=2 (per-sample estimate > budget/3)
+    per_sample = 16 * 2 * 5 * 12 * 12 + 32 * 2 * 400 + 24 * 400
+    chunked = chunked_affine_warp(
+        vol, mats, out_shape, out_offset=off, hbm_budget_bytes=2 * per_sample
+    )
+    np.testing.assert_allclose(
+        np.asarray(direct), np.asarray(chunked), atol=1e-6, rtol=0
+    )
+    # non-divisible budget target (chunk=4 -> falls to 3, divides 6)
+    chunked3 = chunked_affine_warp(
+        vol, mats, out_shape, out_offset=off, hbm_budget_bytes=4 * per_sample
+    )
+    np.testing.assert_allclose(
+        np.asarray(direct), np.asarray(chunked3), atol=1e-6, rtol=0
+    )

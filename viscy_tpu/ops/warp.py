@@ -234,6 +234,50 @@ def affine_warp_3d(
     return batched_trilinear_sample(vol, grids, padding_mode)
 
 
+def chunked_affine_warp(
+    vol: Array,
+    matrices: Array,
+    out_shape: tuple[int, int, int],
+    out_offset: tuple[float, float, float] | None = None,
+    padding_mode: Literal["zeros", "border", "reflection"] = "zeros",
+    hbm_budget_bytes: int = 2 << 30,
+) -> Array:
+    """Affine-warp a batch, bounding the gather intermediates' HBM footprint.
+
+    The flat-gather formulation stages per-sample quad rows (4C x voxels),
+    two gathered corner planes, and an f32 sampling grid — ~16*C*nn +
+    32*C*N + 24*N bytes per sample (nn/N = in/out voxels). At the DynaCLR
+    device-aug shape ((45, 256, 256), C=1) that is ~212 MB/sample, so the
+    reference recipe's batch 256 would materialize ~54 GB and OOM a 16 GB
+    v5e. When the estimate exceeds ``hbm_budget_bytes`` the batch runs
+    through ``lax.scan`` in equal chunks: peak memory is one chunk's
+    intermediates while throughput stays gather-bound (the staging work is
+    per-sample, so chunking adds no redundant bytes).
+    """
+    B, C = vol.shape[:2]
+    in_shape = tuple(vol.shape[-3:])
+    nn = in_shape[0] * in_shape[1] * in_shape[2]
+    N = out_shape[0] * out_shape[1] * out_shape[2]
+    per_sample = 16 * C * nn + 32 * C * N + 24 * N
+
+    def warp(v, m):
+        grids = affine_grid_3d(
+            m.astype(jnp.float32), in_shape, tuple(out_shape), out_offset=out_offset
+        )
+        return batched_trilinear_sample(v, grids, padding_mode)
+
+    chunk = max(1, int(hbm_budget_bytes // max(per_sample, 1)))
+    if chunk >= B:
+        return warp(vol, matrices)
+    while B % chunk:  # largest divisor of B that fits the budget
+        chunk -= 1
+    nb = B // chunk
+    vol_r = vol.reshape(nb, chunk, *vol.shape[1:])
+    mat_r = matrices.reshape(nb, chunk, 3, 4)
+    out = jax.lax.map(lambda args: warp(*args), (vol_r, mat_r))
+    return out.reshape(B, C, *out_shape)
+
+
 def compose_affine_3d(
     rotation: Array | None = None,
     scale: Array | None = None,

@@ -57,10 +57,12 @@ class DeviceFovAssembler:
     (measured ~35 s/FOV single-core at (2, 20, 2048, 2048)) disappears
     entirely from the host path.
 
-    The per-window update is jitted once per (acc depth, z_start, window
-    depth) combination — a handful of tiny elementwise programs shared by
-    every FOV. Identical math to :func:`blend_in` (same factors, same
-    order), in f32 on device.
+    The accumulator is allocated once per FOV with z-capacity headroom and
+    updated IN PLACE: ``z_start`` is a traced argument and the buffer is
+    donated, so every window of every FOV runs ONE compiled elementwise
+    program with no reallocation (growing the buffer per window would copy
+    the full slab each time — 671 MB at production shape). Identical math
+    to :func:`blend_in` (same factors, same order), in f32 on device.
 
     ``fetch_dtype``:
 
@@ -71,49 +73,64 @@ class DeviceFovAssembler:
       the (lo, hi) ranges are returned so the writer can record them.
     """
 
+    GROW = 8  # z-capacity headroom beyond the first window's depth
+
     def __init__(self, fetch_dtype: str = "float32") -> None:
         if fetch_dtype not in ("float32", "float16", "uint16"):
             raise ValueError(f"Unsupported fetch_dtype {fetch_dtype!r}")
         self.fetch_dtype = fetch_dtype
-        self._acc: dict[tuple, object] = {}
+        # key -> (device buffer (C, cap, Y, X), used z depth)
+        self._acc: dict[tuple, tuple[object, int]] = {}
 
     # module-lifetime jit (NOT a per-call closure: jax.jit caches by
     # function identity, so a fresh closure per window would recompile
-    # every update) — one compiled program per (acc depth, z_start,
-    # window depth) combination, shared by every FOV
+    # every update). z_start is TRACED and the accumulator donated: one
+    # compiled program per window geometry, updating in place.
     @staticmethod
-    @functools.partial(jax.jit, static_argnums=(2,))
-    def _blend_update(acc, pred, z_start: int):
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def _blend_update(acc, pred, z_start):
         cz = pred.shape[1]
-        need = z_start + cz
-        if acc.shape[1] < need:
-            acc = jnp.pad(acc, ((0, 0), (0, need - acc.shape[1]), (0, 0), (0, 0)))
-        if z_start == 0:
-            return jax.lax.dynamic_update_slice_in_dim(acc, pred, 0, axis=1)
         old = jax.lax.dynamic_slice_in_dim(acc, z_start, cz, axis=1)
-        samples = min(z_start + 1, cz)
-        factors = np.array(
-            [min(i + 1, samples) for i in reversed(range(cz))], np.float32
+        # reference blend_in factors: position j in the window has weight
+        # 1/min(cz - j, z_start + 1); at z_start == 0 every factor is 1,
+        # so the first window is written through unblended
+        samples = jnp.minimum(z_start + 1, cz).astype(jnp.float32)
+        factors = jnp.minimum(
+            jnp.arange(cz, 0, -1, dtype=jnp.float32), samples
         ).reshape(1, cz, 1, 1)
         blended = old * (factors - 1) / factors + pred / factors
         return jax.lax.dynamic_update_slice_in_dim(acc, blended, z_start, axis=1)
 
     def add(self, key: tuple, pred, z_start: int) -> None:
         """Blend one (C, cz, Y, X) device window into the slab for ``key``."""
-        import jax.numpy as jnp
-
-        acc = self._acc.get(key)
-        if acc is None:
-            acc = jnp.zeros((pred.shape[0], 0, *pred.shape[-2:]), jnp.float32)
-        self._acc[key] = self._blend_update(acc, pred.astype(jnp.float32), int(z_start))
+        cz = int(pred.shape[1])
+        need = int(z_start) + cz
+        entry = self._acc.get(key)
+        if entry is None:
+            cap = need + self.GROW
+            acc, used = (
+                jnp.zeros((pred.shape[0], cap, *pred.shape[-2:]), jnp.float32),
+                0,
+            )
+        else:
+            acc, used = entry
+            if need > acc.shape[1]:  # rare: pad capacity geometrically
+                cap = max(need + self.GROW, 2 * acc.shape[1])
+                acc = jnp.pad(
+                    acc, ((0, 0), (0, cap - acc.shape[1]), (0, 0), (0, 0))
+                )
+        self._acc[key] = (
+            self._blend_update(acc, pred.astype(jnp.float32), z_start),
+            max(need, used),
+        )
 
     def keys(self) -> list[tuple]:
         return list(self._acc)
 
     def pop(self, key: tuple):
-        """Remove and return the device accumulator for ``key`` (no fetch);
-        pair with :meth:`convert` on a worker thread so the D2H transfer
-        and dtype conversion overlap the next FOV's blending."""
+        """Remove and return ``(buffer, used_depth)`` for ``key`` (no
+        fetch); pair with :meth:`convert` on a worker thread so the D2H
+        transfer and dtype conversion overlap the next FOV's blending."""
         return self._acc.pop(key)
 
     @staticmethod
@@ -125,12 +142,15 @@ class DeviceFovAssembler:
         q = jnp.round((acc - lo) * scale)
         return q.astype(jnp.uint16), lo[:, 0, 0, 0], hi[:, 0, 0, 0]
 
-    def convert(self, acc):
-        """Fetch a device slab to host in ``fetch_dtype``.
+    def convert(self, entry):
+        """Fetch a ``(buffer, used_depth)`` device slab to host in
+        ``fetch_dtype`` (capacity headroom sliced off on device).
 
         Returns ``(slab, ranges)``: slab is numpy; ranges is a per-channel
         (lo, hi) float array for ``"uint16"`` (None otherwise).
         """
+        acc, used = entry
+        acc = jax.lax.slice_in_dim(acc, 0, used, axis=1)
         if self.fetch_dtype == "float32":
             return np.asarray(jax.device_get(acc)), None
         if self.fetch_dtype == "float16":

@@ -273,8 +273,14 @@ class BatchedRandAffined(RandTransform):
                 (stacked, matrices),
             )
         else:
-            grids = affine_grid_3d(matrices, spatial, out_shape, out_offset=offset)
-            warped = batched_trilinear_sample(stacked, grids, self.padding_mode)
+            from viscy_tpu.ops.warp import chunked_affine_warp
+
+            # HBM-bounded: at large batch x volume the gather intermediates
+            # are chunked through lax.map (see chunked_affine_warp)
+            warped = chunked_affine_warp(
+                stacked, matrices, tuple(out_shape), out_offset=offset,
+                padding_mode=self.padding_mode,
+            )
         start = 0
         for k, c in zip(keys, splits):
             x = data[k]
