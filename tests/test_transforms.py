@@ -362,3 +362,30 @@ def test_crop_roi_minus_one_keeps_dim():
     assert out["source"].shape == (4, 2, data["source"].shape[2], 16, 16)
     out = T.BatchedRandSpatialCropd(keys=["source"], roi_size=(-1, 8, 8))(data, KEY)
     assert out["source"].shape == (4, 2, data["source"].shape[2], 8, 8)
+
+
+def test_shear6_kornia_facet_order():
+    """6-value shear_range follows the reference's Kornia facet convention
+    (reference _affine.py:228-254): entries are (sxy, sxz, syx, syz, szx,
+    szy), each scalar v -> (-v, v). compose_affine_3d's facet order
+    (zy, zx, yz, yx, xz, xy) is exactly the reverse. The DynaCLR-3D recipe
+    [0.05, 0.05, 0.0, 0.05, 0.0, 0.05] therefore shears z with y but NOT
+    with x — the previous 3-range truncation got zx wrong and dropped
+    yz/xz/xy entirely."""
+    t = T.BatchedRandAffined(
+        keys=["x"], prob=1.0, shear_range=[0.05, 0.05, 0.0, 0.05, 0.0, 0.05]
+    )
+    _, _, shear, _ = t._sample_params(jax.random.PRNGKey(0), 64, (8, 16, 16))
+    s = np.asarray(shear)  # (64, 6) in (zy, zx, yz, yx, xz, xy)
+    active = np.abs(s).max(axis=0)
+    assert active[0] > 0.02 and active[0] <= 0.05  # zy <- szy
+    assert active[1] == 0.0  # zx <- szx = 0
+    assert active[2] > 0.02 and active[2] <= 0.05  # yz <- syz
+    assert active[3] == 0.0  # yx <- syx = 0
+    assert active[4] > 0.02  # xz <- sxz
+    assert active[5] > 0.02  # xy <- sxy
+    # single-facet check: kornia sxy (first entry) lands on our xy (last)
+    t2 = T.BatchedRandAffined(keys=["x"], prob=1.0, shear_range=[0.1, 0, 0, 0, 0, 0])
+    _, _, s2, _ = t2._sample_params(jax.random.PRNGKey(1), 64, (8, 16, 16))
+    s2 = np.asarray(s2)
+    assert np.abs(s2[:, :5]).max() == 0.0 and np.abs(s2[:, 5]).max() > 0.02

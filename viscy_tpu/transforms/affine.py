@@ -101,6 +101,17 @@ class BatchedRandAffined(RandTransform):
         # warp-then-BatchedCenterSpatialCropd (Compose applies this peephole
         # automatically; see transforms/base.py).
         self.crop_size = tuple(crop_size) if crop_size else None
+        # _rand_crop_size fuses a downstream PER-SAMPLE random crop
+        # (BatchedRandSpatialCropd) the same way: the random starts become
+        # per-sample grid offsets, so the warp samples only the kept region
+        # instead of materializing the full warped batch and cropping (the
+        # DynaCLR recipe warps (45, 256, 256) and keeps (40, 228, 228) —
+        # ~30% of the gathers and the 3 GB intermediate at batch 256 are
+        # dropped). Set by the Compose peephole only; when set the
+        # transform consumes TWO PRNG subkeys (affine draws, crop starts)
+        # so the fused pipeline stays bit-identical to the unfused one on
+        # the XLA path.
+        self._rand_crop_size: tuple | None = None
         self.rotate_range = _as_range3(rotate_range)
         self.translate_range = _as_range3(translate_range)
         self.scale_range = _as_range3(scale_range, default=1.0) if scale_range is not None else None
@@ -109,8 +120,14 @@ class BatchedRandAffined(RandTransform):
         self.padding_mode = padding_mode
         self.safe_crop_size = tuple(safe_crop_size) if safe_crop_size else None
         self.safe_crop_coverage = safe_crop_coverage
-        # shear: 3-value shorthand [s_zy, s_zx, s_yz] or full ranges
+        # shear: 3-value MONAI shorthand [s_zy, s_zx, s_yz], or the
+        # reference/Kornia 6-facet form (reference _affine.py:228-254):
+        # 6 entries in Kornia order (sxy, sxz, syx, syz, szx, szy), each a
+        # scalar v -> (-v, v) or an explicit (min, max) pair. Kornia order
+        # reversed is exactly compose_affine_3d's ZYX facet order
+        # (zy, zx, yz, yx, xz, xy), so the 6 ranges are stored reversed.
         self._shear3 = None
+        self._shear6 = None
         if shear_range is None:
             self.shear_range = None
         else:
@@ -118,8 +135,27 @@ class BatchedRandAffined(RandTransform):
             if len(sr) == 3 and all(isinstance(v, (int, float)) for v in sr):
                 self._shear3 = [float(v) for v in sr]
                 self.shear_range = None
+            elif len(sr) == 6:
+                self._shear6 = [
+                    (float(v[0]), float(v[1]))
+                    if isinstance(v, (list, tuple))
+                    else (-float(v), float(v))
+                    for v in reversed(sr)
+                ]
+                self.shear_range = None
+            elif len(sr) == 2 and all(isinstance(v, (int, float)) for v in sr):
+                # (min, max) shared by all 6 facets (reference passthrough)
+                self._shear6 = [(float(sr[0]), float(sr[1]))] * 6
+                self.shear_range = None
             else:
                 self.shear_range = _as_range3(shear_range)
+
+    @property
+    def n_random_keys(self) -> int:
+        """PRNG subkeys consumed from Compose: 2 when a random crop is
+        fused in (one for the affine draws, one for the crop starts —
+        keeping the fused pipeline's randomness identical to unfused)."""
+        return 2 if self._rand_crop_size is not None else 1
 
     def _sample_params(self, key: Array, b: int, spatial: tuple[int, int, int]):
         kr, ks, kt, kc, ksh = jax.random.split(key, 5)
@@ -154,6 +190,10 @@ class BatchedRandAffined(RandTransform):
                 s3 = s3 * jnp.array([zf, zf, 1.0])
             draws = jax.random.uniform(ksh, (b, 3), minval=-1.0, maxval=1.0) * s3[None, :]
             shear = jnp.zeros((b, 6)).at[:, 0].set(draws[:, 0]).at[:, 1].set(draws[:, 1]).at[:, 2].set(draws[:, 2])
+        elif self._shear6 is not None:
+            shlo = jnp.array([r[0] for r in self._shear6])
+            shhi = jnp.array([r[1] for r in self._shear6])
+            shear = jax.random.uniform(ksh, (b, 6)) * (shhi - shlo) + shlo
         elif self.shear_range is not None:
             shlo = jnp.array([r[0] for r in self.shear_range])
             shhi = jnp.array([r[1] for r in self.shear_range])
@@ -190,6 +230,8 @@ class BatchedRandAffined(RandTransform):
                 zf = spatial[0] / max(spatial[1], 1)
                 s3 = [s3[0] * zf, s3[1] * zf, s3[2]]
             return [(-v, v) for v in s3] + [(0.0, 0.0)] * 3
+        if self._shear6 is not None:
+            return list(self._shear6)
         if self.shear_range is not None:
             return list(self.shear_range) + [(0.0, 0.0)] * 3
         return None
@@ -219,10 +261,22 @@ class BatchedRandAffined(RandTransform):
                 tuple(out_shape),
             )
         kz = self._kz_cache[cache_key]
-        # a deep slab means the config rotates volumes out of plane —
-        # the VMEM working set and accuracy argument break down; use XLA
-        if self.backend == "auto" and kz > 8:
-            return None
+        if self.backend == "auto":
+            # Deep slabs are only an ACCURACY problem when they come from
+            # out-of-plane rotation (the kernel's in-plane separable
+            # approximation degrades); z variation from shear/scale slopes
+            # (e.g. DynaCLR's zy-shear composed with in-plane rotation,
+            # kz=20) is handled exactly by the hat-weighted z pass. So cap
+            # kz only for out-of-plane configs, and otherwise bound the
+            # slab's VMEM footprint (one (KZ, Yi, Xi_lanes) f32 slab).
+            out_of_plane = any(
+                abs(r[0]) > 1e-3 or abs(r[1]) > 1e-3 for r in self.rotate_range[1:]
+            )
+            if out_of_plane and kz > 8:
+                return None
+            lanes = -(-spatial[2] // 128) * 128
+            if kz * spatial[1] * lanes * 4 > 12 << 20:
+                return None
         return kz
 
     def __call__(self, data: dict, key: Array = None) -> dict:
@@ -230,13 +284,41 @@ class BatchedRandAffined(RandTransform):
         first = data[self.first_key(data)]
         b = first.shape[0]
         spatial = first.shape[-3:]
+        crop_key = None
+        if self._rand_crop_size is not None:
+            # fused random crop: Compose hands this transform TWO stacked
+            # subkeys — key[0] plays the unfused affine's key, key[1] the
+            # crop's, so all draws match the unfused pipeline exactly
+            key, crop_key = key[0], key[1]
         k_mask, k_params = jax.random.split(key)
         mask = self._apply_mask(k_mask, b)
         rotation, scale, shear, translate = self._sample_params(k_params, b, spatial)
         matrices = compose_affine_3d(
             rotation=rotation, scale=scale, shear=shear, translate=translate
         )
-        if self.crop_size is None:
+        starts = None
+        if self._rand_crop_size is not None:
+            from viscy_tpu.transforms.crop import batched_crop_at
+
+            # same draw as BatchedRandSpatialCropd (crop.py) on its subkey
+            out_shape = tuple(
+                s if r < 0 else min(r, s)
+                for r, s in zip(self._rand_crop_size, spatial)
+            )
+            maxs = jnp.array([s - r for s, r in zip(spatial, out_shape)])
+            starts = (
+                jax.random.uniform(crop_key, (b, 3)) * (maxs[None, :] + 1)
+            ).astype(jnp.int32)
+            starts = jnp.minimum(starts, maxs[None, :])
+            # per-sample grid offset: output voxel q of the crop sits at
+            # q + start in warp-output space, i.e. centered coordinates
+            # shift by start - (S - R)/2 (exact dyadic arithmetic, so the
+            # XLA path reproduces warp-then-crop bit-for-bit)
+            offset = starts.astype(jnp.float32) - jnp.array(
+                [(s - r) / 2.0 for r, s in zip(out_shape, spatial)],
+                jnp.float32,
+            )[None, :]
+        elif self.crop_size is None:
             out_shape, offset = spatial, None
         else:
             from viscy_tpu.transforms.crop import center_crop
@@ -253,10 +335,31 @@ class BatchedRandAffined(RandTransform):
         keys = [k for k in self.key_iterator(data)]
         splits = [data[k].shape[1] for k in keys]
         stacked = jnp.concatenate([data[k] for k in keys], axis=1)
-        kz = self._select_pallas(spatial, out_shape, offset)
+        kz = self._select_pallas(
+            spatial, out_shape, None if starts is not None else offset
+        )
         if kz is not None:
             from viscy_tpu.ops.pallas.warp3d import affine_warp_3d_pallas
             from viscy_tpu.parallel.mesh import data_parallel_call
+
+            pallas_offset = offset
+            if starts is not None:
+                # the kernel takes one static grid offset; fold the
+                # per-sample crop shift into the translation column
+                # instead (t' = t + A33 @ d — adds <=1e-5 voxel of f32
+                # rounding, inside the kernel's accuracy envelope)
+                d = offset.astype(jnp.float32)
+                t_extra = jnp.einsum(
+                    "bij,bj->bi",
+                    matrices[:, :, :3],
+                    d,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                matrices = jnp.concatenate(
+                    [matrices[:, :, :3], (matrices[:, :, 3] + t_extra)[:, :, None]],
+                    axis=2,
+                )
+                pallas_offset = None
 
             # shard_map over the data axis: GSPMD has no partitioning rule
             # for the Mosaic custom call and would otherwise all-gather
@@ -266,7 +369,7 @@ class BatchedRandAffined(RandTransform):
                     m,
                     tuple(out_shape),
                     kz=kz,
-                    out_offset=offset,
+                    out_offset=pallas_offset,
                     padding_mode=self.padding_mode,
                     interpret=self._pallas_interpret,
                 ),
@@ -286,7 +389,9 @@ class BatchedRandAffined(RandTransform):
             x = data[k]
             new = warped[:, start : start + c]
             start += c
-            if self.crop_size is not None:
+            if starts is not None:
+                x = batched_crop_at(x, starts, out_shape)
+            elif self.crop_size is not None:
                 x = center_crop(x, out_shape)
             data[k] = self._where(mask, new.astype(x.dtype), x)
         return data
