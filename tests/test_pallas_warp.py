@@ -216,3 +216,123 @@ def test_chunked_affine_warp_matches_direct():
     np.testing.assert_allclose(
         np.asarray(direct), np.asarray(chunked3), atol=1e-6, rtol=0
     )
+
+
+def test_affine_randcrop_fusion_bit_identical():
+    """Compose fuses BatchedRandAffined + BatchedRandSpatialCropd into one
+    output-space warp (base.py _fuse_affine_crop). On the XLA path the
+    fused pipeline must reproduce the unfused one bit-for-bit: same PRNG
+    split tree (the fused member consumes both subkeys), same sampling
+    coordinates (per-sample grid offsets added before the matmul)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from viscy_tpu.transforms import (
+        BatchedRandAffined,
+        BatchedRandFlipd,
+        BatchedRandSpatialCropd,
+        Compose,
+    )
+
+    rng = np.random.default_rng(5)
+    data = {
+        "a": jnp.asarray(rng.normal(size=(4, 1, 9, 24, 24)).astype(np.float32)),
+        "b": jnp.asarray(rng.normal(size=(4, 2, 9, 24, 24)).astype(np.float32)),
+    }
+
+    def make(prob):
+        affine = BatchedRandAffined(
+            keys=["a", "b"], prob=prob, rotate_range=[3.14, 0.0, 0.0],
+            scale_range=[[0.9, 1.1]] * 3, shear_range=[0.05] * 6,
+            backend="xla",
+        )
+        crop = BatchedRandSpatialCropd(keys=["a", "b"], roi_size=[7, 18, 18])
+        flip = BatchedRandFlipd(keys=["a", "b"], spatial_axes=[1, 2], prob=0.5)
+        return affine, crop, flip
+
+    for prob in (1.0, 0.5):
+        key = jax.random.PRNGKey(42)
+        affine, crop, flip = make(prob)
+        fused = Compose([affine, crop, flip])
+        assert len(fused) == 2, "peephole did not fuse"
+        got = fused(dict(data), key)
+        # unfused reference: same split tree (3 subkeys: affine, crop, flip)
+        a2, c2, f2 = make(prob)
+        sk = jax.random.split(key, 3)
+        want = f2(c2(a2(dict(data), sk[0]), sk[1]), sk[2])
+        for k in ("a", "b"):
+            assert got[k].shape == want[k].shape
+            np.testing.assert_array_equal(np.asarray(got[k]), np.asarray(want[k]))
+
+
+def _run_fused_backend(data, key, backend, rotate):
+    from viscy_tpu.transforms import BatchedRandAffined, BatchedRandSpatialCropd, Compose
+
+    affine = BatchedRandAffined(
+        keys=["x"], prob=1.0, rotate_range=[rotate, 0.0, 0.0],
+        scale_range=[[0.9, 1.1]] * 3, backend=backend,
+    )
+    affine._pallas_interpret = True
+    crop = BatchedRandSpatialCropd(keys=["x"], roi_size=[7, 18, 18])
+    return Compose([affine, crop])(dict(data), key)["x"]
+
+
+def test_affine_randcrop_fusion_pallas_translate_fold(smooth_vol):
+    """The Pallas path folds the per-sample crop shift into the matrix
+    translation column. For axis-aligned affines the separable kernel is
+    exact vs trilinear, so any folding error would show directly: pin at
+    1e-5. A rotation case stays within the kernel's documented envelope
+    (5% of range on smooth content)."""
+    data = {"x": smooth_vol[:, :1]}
+    key = jax.random.PRNGKey(7)
+    axis_xla = _run_fused_backend(data, key, "xla", rotate=0.0)
+    axis_pal = _run_fused_backend(data, key, "pallas", rotate=0.0)
+    np.testing.assert_allclose(
+        np.asarray(axis_xla), np.asarray(axis_pal), atol=1e-5
+    )
+    rot_xla = _run_fused_backend(data, key, "xla", rotate=3.14)
+    rot_pal = _run_fused_backend(data, key, "pallas", rotate=3.14)
+    rng_v = float(smooth_vol.max() - smooth_vol.min())
+    d = np.abs(np.asarray(rot_xla) - np.asarray(rot_pal))
+    assert d.max() < 0.05 * rng_v
+
+
+def test_dynaclr_shear_config_pallas_accuracy(smooth_vol):
+    """The DynaCLR-3D aug (in-plane pi rotation composed with Kornia
+    zy/yz/xz/xy shears) produces a deep-but-gentle z slope (kz ~ 20 at
+    production scale). The kernel's hat-weighted z pass handles that
+    exactly, so auto selects Pallas for it (no out-of-plane rotation) and
+    the result stays within the kernel's in-plane envelope vs XLA."""
+    from viscy_tpu.transforms.affine import BatchedRandAffined
+
+    kwargs = dict(
+        keys=["x"], prob=1.0, rotate_range=[3.14, 0.0, 0.0],
+        scale_range=[[0.9, 1.1]] * 3,
+        shear_range=[0.05, 0.05, 0.0, 0.05, 0.0, 0.05],
+    )
+    t_auto = BatchedRandAffined(backend="auto", **kwargs)
+    t_auto._pallas_interpret = True  # auto accepts pallas off-TPU in tests
+    kz = t_auto._select_pallas(IN, OUT, None)
+    assert kz is not None, "auto rejected the shear config"
+    # at the production DynaCLR scale the slab is deep (>8) but in-plane
+    # (no out-of-plane rotation) and VMEM-bounded, so auto still accepts
+    kz_prod = t_auto._select_pallas((45, 256, 256), (40, 228, 228), None)
+    assert kz_prod is not None and kz_prod > 8, f"kz_prod={kz_prod}"
+    # out-of-plane rotation still falls back at deep kz
+    t_oop = BatchedRandAffined(
+        backend="auto", keys=["x"], prob=1.0, rotate_range=[0.0, 1.0, 0.0]
+    )
+    t_oop._pallas_interpret = True
+    # deep slab FROM out-of-plane rotation still falls back (accuracy)
+    assert t_oop._select_pallas((20, 600, 600), (15, 384, 384), None) is None
+    # accuracy vs the XLA trilinear reference
+    t_xla = BatchedRandAffined(backend="xla", **kwargs)
+    data = {"x": smooth_vol[:, :1]}
+    key = jax.random.PRNGKey(3)
+    out_p = t_auto(dict(data), key)["x"]
+    out_x = t_xla(dict(data), key)["x"]
+    rng_v = float(smooth_vol.max() - smooth_vol.min())
+    d = np.abs(np.asarray(out_p) - np.asarray(out_x))
+    assert d.max() < 0.05 * rng_v
+    assert d.mean() < 0.005 * rng_v

@@ -174,8 +174,10 @@ def affine_grid_3d(
         voxel coords (centered), (z, y, x) order.
     in_shape : input (Z, Y, X).
     out_shape : output (Z, Y, X).
-    out_offset : optional per-axis shift added to the centered output
-        coordinates before the matrix multiply. Used to express a fused
+    out_offset : optional shift added to the centered output coordinates
+        before the matrix multiply — a per-axis tuple, or a per-SAMPLE
+        ``(B, 3)`` array (fused random crop: each sample's random crop
+        start becomes its grid offset). Tuple use: a fused
         warp+center-crop whose integer crop start is off the exact center
         by half a voxel (odd ``in - out`` difference).
 
@@ -186,7 +188,8 @@ def affine_grid_3d(
     Zo, Yo, Xo = out_shape
     Zi, Yi, Xi = in_shape
     dt = matrices.dtype
-    off = out_offset or (0.0, 0.0, 0.0)
+    per_sample = isinstance(out_offset, jax.Array) and out_offset.ndim == 2
+    off = (0.0, 0.0, 0.0) if (out_offset is None or per_sample) else out_offset
     zz = jnp.arange(Zo, dtype=dt) - (Zo - 1) / 2.0 + off[0]
     yy = jnp.arange(Yo, dtype=dt) - (Yo - 1) / 2.0 + off[1]
     xx = jnp.arange(Xo, dtype=dt) - (Xo - 1) / 2.0 + off[2]
@@ -195,15 +198,29 @@ def affine_grid_3d(
     # p_in = A[:, :3] @ p_out + t, then shift back to corner-origin coords.
     # HIGHEST precision: TPU matmuls default to bf16 inputs, which would
     # put ~0.1-voxel error into the sampling coordinates at 600^3 scale.
-    pts = (
-        jnp.einsum(
-            "bij,jn->bin",
-            matrices[:, :, :3],
-            grid,
-            precision=jax.lax.Precision.HIGHEST,
+    if per_sample:
+        # shift BEFORE the matmul (exact dyadic addition), so the fused
+        # random crop samples the same coordinates as warp-then-crop
+        grid_b = grid[None] + out_offset.astype(dt)[:, :, None]
+        pts = (
+            jnp.einsum(
+                "bij,bjn->bin",
+                matrices[:, :, :3],
+                grid_b,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            + matrices[:, :, 3:4]
         )
-        + matrices[:, :, 3:4]
-    )
+    else:
+        pts = (
+            jnp.einsum(
+                "bij,jn->bin",
+                matrices[:, :, :3],
+                grid,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            + matrices[:, :, 3:4]
+        )
     center_in = jnp.array([(Zi - 1) / 2.0, (Yi - 1) / 2.0, (Xi - 1) / 2.0], dt)
     pts = pts + center_in[None, :, None]
     return pts.reshape(matrices.shape[0], 3, Zo, Yo, Xo)
@@ -259,22 +276,29 @@ def chunked_affine_warp(
     nn = in_shape[0] * in_shape[1] * in_shape[2]
     N = out_shape[0] * out_shape[1] * out_shape[2]
     per_sample = 16 * C * nn + 32 * C * N + 24 * N
+    per_sample_off = isinstance(out_offset, jax.Array) and out_offset.ndim == 2
 
-    def warp(v, m):
+    def warp(v, m, off):
         grids = affine_grid_3d(
-            m.astype(jnp.float32), in_shape, tuple(out_shape), out_offset=out_offset
+            m.astype(jnp.float32), in_shape, tuple(out_shape), out_offset=off
         )
         return batched_trilinear_sample(v, grids, padding_mode)
 
     chunk = max(1, int(hbm_budget_bytes // max(per_sample, 1)))
     if chunk >= B:
-        return warp(vol, matrices)
+        return warp(vol, matrices, out_offset)
     while B % chunk:  # largest divisor of B that fits the budget
         chunk -= 1
     nb = B // chunk
     vol_r = vol.reshape(nb, chunk, *vol.shape[1:])
     mat_r = matrices.reshape(nb, chunk, 3, 4)
-    out = jax.lax.map(lambda args: warp(*args), (vol_r, mat_r))
+    if per_sample_off:
+        off_r = out_offset.reshape(nb, chunk, 3)
+        out = jax.lax.map(lambda args: warp(*args), (vol_r, mat_r, off_r))
+    else:
+        out = jax.lax.map(
+            lambda args: warp(args[0], args[1], out_offset), (vol_r, mat_r)
+        )
     return out.reshape(B, C, *out_shape)
 
 

@@ -88,28 +88,49 @@ class RandTransform(MapTransform):
 
 
 def _fuse_affine_crop(transforms: list) -> list:
-    """Peephole: BatchedRandAffined followed by BatchedCenterSpatialCropd on
-    the same keys fuses into one output-space warp (the sample grid is built
-    only for the crop region — ~3x fewer gathers for the production VSCyto3D
-    recipe that warps (20,600,600) and keeps (15,384,384)). Bit-identical to
-    the unfused pair; see ``BatchedRandAffined.crop_size``.
+    """Peephole: BatchedRandAffined followed by a spatial crop on the same
+    keys fuses into one output-space warp (the sample grid is built only
+    for the crop region — ~3x fewer gathers for the production VSCyto3D
+    recipe that warps (20,600,600) and keeps (15,384,384)).
+
+    - ``BatchedCenterSpatialCropd``: bit-identical to the unfused pair;
+      see ``BatchedRandAffined.crop_size``.
+    - ``BatchedRandSpatialCropd`` (random_center): the per-sample random
+      starts become per-sample grid offsets
+      (``BatchedRandAffined._rand_crop_size``); the fused transform
+      consumes both subkeys so randomness matches the unfused pipeline,
+      and the XLA path is bit-identical (the Pallas kernel folds the
+      shift into the matrix translation — sub-1e-5-voxel rounding).
     """
     out: list = []
     i = 0
     while i < len(transforms):
         t = transforms[i]
         nxt = transforms[i + 1] if i + 1 < len(transforms) else None
-        if (
+        fusable_affine = (
             nxt is not None
             and type(t).__name__ == "BatchedRandAffined"
-            and type(nxt).__name__ == "BatchedCenterSpatialCropd"
             and getattr(t, "crop_size", None) is None
+            and getattr(t, "_rand_crop_size", None) is None
             and set(getattr(t, "keys", ())) == set(getattr(nxt, "keys", ()))
-        ):
+        )
+        if fusable_affine and type(nxt).__name__ == "BatchedCenterSpatialCropd":
             import copy
 
             fused = copy.copy(t)
             fused.crop_size = tuple(nxt.roi_size)
+            out.append(fused)
+            i += 2
+            continue
+        if (
+            fusable_affine
+            and type(nxt).__name__ == "BatchedRandSpatialCropd"
+            and getattr(nxt, "random_center", False)
+        ):
+            import copy
+
+            fused = copy.copy(t)
+            fused._rand_crop_size = tuple(nxt.roi_size)
             out.append(fused)
             i += 2
             continue
@@ -133,17 +154,27 @@ class Compose(Transform):
         return any(getattr(t, "is_spatial", False) for t in self.transforms)
 
     def __call__(self, data: dict, key: Array | None = None) -> dict:
-        n_random = sum(1 for t in self.transforms if getattr(t, "is_random", False))
+        # a fused member may consume several subkeys (n_random_keys —
+        # e.g. affine+rand-crop uses 2) so the split tree, and therefore
+        # every downstream draw, matches the unfused pipeline exactly
+        counts = [
+            getattr(t, "n_random_keys", 1) if getattr(t, "is_random", False) else 0
+            for t in self.transforms
+        ]
+        n_random = sum(counts)
         if n_random and key is None:
             raise ValueError("Compose with random transforms requires a PRNG key")
-        subkeys = list(jax.random.split(key, n_random)) if n_random else []
+        subkeys = jax.random.split(key, n_random) if n_random else []
         ki = 0
-        for t in self.transforms:
-            if getattr(t, "is_random", False):
+        for t, c in zip(self.transforms, counts):
+            if c == 0:
+                data = t(data)
+            elif c == 1:
                 data = t(data, subkeys[ki])
                 ki += 1
             else:
-                data = t(data)
+                data = t(data, subkeys[ki : ki + c])
+                ki += c
         return data
 
     def __iter__(self):
