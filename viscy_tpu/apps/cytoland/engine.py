@@ -103,7 +103,7 @@ class VSUNet(TrainModule):
         predict_method: Literal["full_image", "sliding_window"] = "full_image",
         predict_overlap: tuple[int, int, int] = (4, 256, 256),
         tile_yx: Sequence[int] | None = None,
-        tile_batch: int = 72,
+        tile_batch: int = 104,
         fov_shard: bool = False,
         channels_last_loss: bool = False,
         bf16_loss: bool = False,
@@ -162,10 +162,10 @@ class VSUNet(TrainModule):
         # MXU-efficient tiled YX inference: split large FOVs into batched
         # overlapping tiles with feathered blending (prediction.py
         # tiled_forward_yx); batch-1 full-frame forwards measure ~5x worse
-        # per pixel on TPU. tile_batch=72 is the v5e sweep optimum
-        # reachable through this path: 2 z-windows x 36 tiles of a 2048^2
-        # FOV fill one call exactly (3.14 ms/window vs 4.03 at 16;
-        # docs/STATUS.md round-3 sweep)
+        # per pixel on TPU. Tile 320 / batch 104 is the round-4 v5e sweep
+        # optimum with overlap waste accounted: 2.01 ms/window x 294
+        # windows/FOV = 1.695 FOVs/s vs 1.54-1.57 at the round-3 384/72
+        # (docs/STATUS.md round-4 tile sweep, measured twice)
         self.tile_yx = tuple(tile_yx) if tile_yx else None
         self.tile_batch = tile_batch
         # latency-oriented multi-chip serving: shard ONE full FOV along Y

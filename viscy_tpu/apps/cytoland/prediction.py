@@ -56,8 +56,8 @@ def _hat_weights_2d(tile_y: int, tile_x: int) -> np.ndarray:
 def tiled_forward_yx(
     fwd,
     x: Array,
-    tile: tuple[int, int] = (384, 384),
-    tile_batch: int = 72,
+    tile: tuple[int, int] = (320, 320),
+    tile_batch: int = 104,
     min_overlap: int = 32,
 ) -> Array:
     """Batched sliding-window YX inference with feathered blending.
