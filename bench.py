@@ -417,10 +417,29 @@ def bench_dynaclr(mesh, n_dev: int, n_steps: int):
 
     mean, std = 0.5, 0.29  # timepoint-stats normalization as traced scalars
 
-    def view(x, key):
+    # the view pipeline's intermediates (normalize temp + warp gathers) are
+    # ~175 MB/sample f32 at the (45, 256, 256) extraction window; at the
+    # recipe's batch 256 that exceeds a 16 GB v5e, so the whole view runs
+    # in lax.map chunks — per-chunk randomness via split keys
+    aug_chunk = int(os.environ.get("BENCH_DYNACLR_AUG_CHUNK", "32"))
+
+    def view_one(x, key):
         x = (x - mean) / std
         x = aug({"x": x}, key)["x"]
         return center_crop(x, final)
+
+    def view(x, key):
+        bb = x.shape[0]
+        chunk = aug_chunk
+        while bb % chunk:  # largest divisor of the batch <= aug_chunk
+            chunk -= 1
+        if chunk >= bb:
+            return view_one(x, key)
+        nb = bb // chunk
+        xr = x.reshape(nb, chunk, *x.shape[1:])
+        keys = jax.random.split(key, nb)
+        out = jax.lax.map(lambda args: view_one(*args), (xr, keys))
+        return out.reshape(bb, *out.shape[2:])
 
     def train_step(state, batch, rng):
         rng, ka, kp = jax.random.split(rng, 3)
@@ -581,10 +600,12 @@ def bench_inference(graft, n_steps: int = 8):
     import jax.errors
 
     module = graft._flagship(tiny=_TINY)
-    infer_batch = int(os.environ.get("BENCH_INFER_BATCH", "72"))
+    # shipped predict defaults (round-4 tile sweep): 320^2 tiles, batch 104
+    infer_batch = int(os.environ.get("BENCH_INFER_BATCH", "104"))
+    infer_tile = int(os.environ.get("BENCH_INFER_TILE", "320"))
 
     def run(batch: int) -> float:
-        shape = (2, 1, 5, 64, 64) if _TINY else (batch, 1, 15, 384, 384)
+        shape = (2, 1, 5, 64, 64) if _TINY else (batch, 1, 15, infer_tile, infer_tile)
         x_host = np.random.default_rng(0).random(shape, np.float32)
         variables = module.init_variables(
             jax.random.PRNGKey(0), {"source": x_host[:2]}
@@ -605,8 +626,8 @@ def bench_inference(graft, n_steps: int = 8):
         float(jax.device_get(out[0, 0, 0, 0, 0]))
         return (time.perf_counter() - t0) / n_steps  # per window-batch call
 
-    # b72 fits standalone but not always after the train bench's donated
-    # state churn; fall back rather than report nothing
+    # the full batch fits standalone but not always after the train
+    # bench's donated state churn; fall back rather than report nothing
     last_err: Exception | None = None
     for batch in dict.fromkeys([infer_batch, 36, 16]):
         try:
@@ -621,7 +642,11 @@ def bench_inference(graft, n_steps: int = 8):
         raise last_err
     if _TINY:
         batch = 2
-    windows_per_fov = 6 * 36  # z positions x overlapping 384^2 YX tiles
+    # z positions x overlapping YX tiles of a 2048^2 FOV (32-px overlap)
+    from viscy_tpu.apps.cytoland.prediction import tile_positions
+
+    n_yx = len(tile_positions(2048, infer_tile, 32)) ** 2
+    windows_per_fov = 6 * n_yx
     calls_per_fov = windows_per_fov / batch
     return 1.0 / (dt * calls_per_fov), dt, batch
 
@@ -723,7 +748,10 @@ def bench_predict_e2e(device_ms_per_window: float | None, tmp: str | None = None
     if device_ms_per_window is not None:
         # device work per z-window: yx_tiles batched tile forwards at the
         # separately measured per-window rate (``bench_inference``)
-        tiles = len(range(0, max(hw - 384, 0) + 1, 352)) ** 2 if hw > 384 else 1
+        from viscy_tpu.apps.cytoland.prediction import tile_positions
+
+        infer_tile = int(os.environ.get("BENCH_INFER_TILE", "320"))
+        tiles = len(tile_positions(hw, infer_tile, 32)) ** 2 if hw > infer_tile else 1
         sleep_s = device_ms_per_window / 1e3 * tiles
         e2e_time = run(sleep_s, device_blend=True)
         compute_time = sleep_s * n_z
