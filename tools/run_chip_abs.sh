@@ -31,9 +31,9 @@ run_leg infer_base 1800 INFER_BATCHES=72 python tools/ablate_infer.py
 # 3. Inference tile-size sweep (constant pixels/call, overlap-waste accounting)
 run_leg tile_sweep 3000 INFER_TILE_SWEEP=1 python tools/ablate_infer.py
 
-# 4. Warp kernel NOPAD_DMA A/B (shape env-tunable; 600x600 exceeds the
-# kernel's scoped-VMEM ceiling — see tools/warp_nopad_ab.py docstring)
-run_leg warp_nopad 1800 python tools/warp_nopad_ab.py
+# (the former warp NOPAD_DMA leg is retired: the round-4 A/B proved the
+# unpadded DMA cannot compile on hardware — Mosaic requires lane-tile-
+# aligned slice shapes; see ops/pallas/warp3d.py NOPAD_DMA comment)
 
 # 5. Full bench for the closeout numbers
 run_leg bench 3600 python bench.py

@@ -66,10 +66,13 @@ Array = jax.Array
 _LANE = 128
 
 # When True, skip the XLA-level lane-pad of the HBM volume and DMA only the
-# logical (Xi, Yi) extent into the padded VMEM slab. Saves a full-volume HBM
-# copy for non-128-multiple plane widths, but sub-tile HBM->VMEM copies are
-# unvalidated on hardware (round-2 measurement: Mosaic DMA slices must be
-# lane-tile-aligned) — default off until an on-chip A/B confirms it.
+# logical (Xi, Yi) extent into the padded VMEM slab. CONFIRMED INFEASIBLE on
+# real TPUs (round-4 A/B at (16,3,12,440,440) on v5e): Mosaic rejects the
+# compile outright — "Slice shape along dimension 4 must be aligned to
+# tiling (128), but is 440" — so the unpadded DMA can never ship. Kept only
+# because interpret mode accepts it (semantics test); the padded path's
+# one extra full-volume HBM copy for non-128-multiple widths is the cost
+# of doing business, and production tile shapes avoid it by construction.
 NOPAD_DMA = False
 
 
