@@ -176,3 +176,32 @@ def test_convert_to_anndata_spec_store(tracks_dataset, tmp_path):
     # stores round-trip through the same readers
     assert "X_projections" in ad.obsm
     assert list(ad.obs["track_id"]) == list(src["index"]["track_id"])
+
+
+def test_device_aug_chunk_matches_unchunked_norm(tracks_dataset):
+    """device_aug_chunk runs the device normalize+aug pipeline in lax.map
+    chunks (HBM bound for the DynaCLR batch-256 recipe). The
+    normalization-only path is deterministic, so chunked == unchunked
+    exactly; the augmented path is checked for shape and key-splitting."""
+    import jax
+    import jax.numpy as jnp
+
+    dm = _dm(tracks_dataset)
+    dm_chunked = _dm(tracks_dataset, device_aug_chunk=2)
+    dm.setup("fit")
+    dm_chunked.setup("fit")
+    batch = next(iter(dm.train_dataloader()))
+    key = jax.random.PRNGKey(0)
+    # val stage without augment_validation applies normalizations only
+    dm.augment_validation = False
+    dm_chunked.augment_validation = False
+    out = dm.device_transform({k: jnp.asarray(v) if k == "anchor" else v for k, v in batch.items() if k.startswith("anchor")}, key, stage="val")
+    out_c = dm_chunked.device_transform({k: jnp.asarray(v) if k == "anchor" else v for k, v in batch.items() if k.startswith("anchor")}, key, stage="val")
+    np.testing.assert_allclose(
+        np.asarray(out["anchor"]), np.asarray(out_c["anchor"]), atol=1e-6, rtol=0
+    )
+    # augmented path: chunked randomness differs by design; shape + finite
+    full = {k: (jnp.asarray(v) if not k.endswith("_norm_meta") else v) for k, v in batch.items()}
+    aug_c = dm_chunked.device_transform(full, key, stage="train")
+    assert aug_c["anchor"].shape == out["anchor"].shape
+    assert bool(jnp.isfinite(aug_c["anchor"]).all())

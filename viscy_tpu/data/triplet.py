@@ -229,6 +229,7 @@ class TripletDataModule(DataModule):
         return_negative: bool = True,
         z_window_size: int | None = None,
         seed: int = 42,
+        device_aug_chunk: int | None = None,
         # config-compat no-ops
         persistent_workers: bool = False,
         prefetch_factor: int | None = None,
@@ -258,6 +259,12 @@ class TripletDataModule(DataModule):
         self.return_negative = return_negative
         self.z_window_size = z_window_size or (z_range[1] - z_range[0])
         self.seed = seed
+        # device_aug_chunk: run the device normalize+aug pipeline in
+        # lax.map chunks of this many samples. The aug intermediates are
+        # ~175 MB/sample f32 at the DynaCLR (45, 256, 256) extraction
+        # window, so the reference recipe's batch 256 needs chunking to
+        # fit a 16 GB v5e (32 is a good default there); None = one shot.
+        self.device_aug_chunk = device_aug_chunk
         self._epoch = 0
         self._aug_compose = Compose(self.normalizations + self.augmentations)
         self._norm_compose = Compose(self.normalizations)
@@ -352,7 +359,7 @@ class TripletDataModule(DataModule):
         return _BatchedTripletLoader(self.predict_dataset, self.batch_size, shuffle=False, seed=self.seed)
 
     # -- device-side normalization + augmentation -----------------------------------
-    def _transform_one(self, patches, norm_meta, key, transform: Compose):
+    def _transform_chunk(self, patches, norm_meta, key, transform: Compose):
         sample = scatter_channels(self.source_channel, patches, norm_meta)
         sample = transform(sample, key)
         out = gather_channels(self.source_channel, sample)
@@ -360,6 +367,37 @@ class TripletDataModule(DataModule):
         from viscy_tpu.transforms.crop import center_crop
 
         return center_crop(out, (self.z_window_size, *self.final_yx_patch_size))
+
+    def _transform_one(self, patches, norm_meta, key, transform: Compose):
+        import jax
+        import jax.numpy as jnp
+
+        b = patches.shape[0]
+        chunk = self.device_aug_chunk
+        if not chunk or chunk >= b:
+            return self._transform_chunk(patches, norm_meta, key, transform)
+        while b % chunk:  # largest divisor of the batch <= device_aug_chunk
+            chunk -= 1
+        if chunk >= b:
+            return self._transform_chunk(patches, norm_meta, key, transform)
+        nb = b // chunk
+        pr = jnp.asarray(patches).reshape(nb, chunk, *patches.shape[1:])
+        keys = jax.random.split(key, nb)
+        if norm_meta is None:
+            out = jax.lax.map(
+                lambda args: self._transform_chunk(args[0], None, args[1], transform),
+                (pr, keys),
+            )
+        else:
+            meta_r = jax.tree.map(
+                lambda a: jnp.asarray(a).reshape(nb, chunk, *jnp.shape(a)[1:]),
+                norm_meta,
+            )
+            out = jax.lax.map(
+                lambda args: self._transform_chunk(args[0], args[1], args[2], transform),
+                (pr, meta_r, keys),
+            )
+        return out.reshape(b, *out.shape[2:])
 
     def device_transform(self, batch: dict, key, stage: str = "train") -> dict:
         import jax
