@@ -255,7 +255,10 @@ def test_affine_randcrop_fusion_bit_identical():
         key = jax.random.PRNGKey(42)
         affine, crop, flip = make(prob)
         fused = Compose([affine, crop, flip])
-        assert len(fused) == 2, "peephole did not fuse"
+        # affine+crop+flip all fold into ONE warp member (base.py
+        # _fuse_affine_crop + _fuse_affine_flip)
+        assert len(fused) == 1, "peephole did not fuse"
+        assert fused.transforms[0].n_random_keys == 3
         got = fused(dict(data), key)
         # unfused reference: same split tree (3 subkeys: affine, crop, flip)
         a2, c2, f2 = make(prob)
@@ -266,16 +269,57 @@ def test_affine_randcrop_fusion_bit_identical():
             np.testing.assert_array_equal(np.asarray(got[k]), np.asarray(want[k]))
 
 
-def _run_fused_backend(data, key, backend, rotate):
-    from viscy_tpu.transforms import BatchedRandAffined, BatchedRandSpatialCropd, Compose
+def test_affine_flip_fusion_no_crop_bit_identical():
+    """Affine + flip (no crop member) also fold; XLA path bit-identical."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from viscy_tpu.transforms import BatchedRandAffined, BatchedRandFlipd, Compose
+
+    rng = np.random.default_rng(11)
+    data = {"a": jnp.asarray(rng.normal(size=(5, 2, 6, 17, 19)).astype(np.float32))}
+
+    def make():
+        affine = BatchedRandAffined(
+            keys=["a"], prob=0.6, rotate_range=[1.0, 0.0, 0.0],
+            translate_range=[0.1, 0.1, 0.1], backend="xla",
+        )
+        flip = BatchedRandFlipd(keys=["a"], spatial_axes=[2], prob=0.7)
+        return affine, flip
+
+    key = jax.random.PRNGKey(9)
+    affine, flip = make()
+    fused = Compose([affine, flip])
+    assert len(fused) == 1 and fused.transforms[0].n_random_keys == 2
+    got = fused(dict(data), key)["a"]
+    a2, f2 = make()
+    sk = jax.random.split(key, 2)
+    want = f2(a2(dict(data), sk[0]), sk[1])["a"]
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    # z-axis flips stay unfused (kernel z-slab analysis assumes the config)
+    zflip = BatchedRandFlipd(keys=["a"], spatial_axes=[0, 1], prob=0.5)
+    assert len(Compose([make()[0], zflip])) == 2
+
+
+def _run_fused_backend(data, key, backend, rotate, with_flip=False, prob=1.0):
+    from viscy_tpu.transforms import (
+        BatchedRandAffined,
+        BatchedRandFlipd,
+        BatchedRandSpatialCropd,
+        Compose,
+    )
 
     affine = BatchedRandAffined(
-        keys=["x"], prob=1.0, rotate_range=[rotate, 0.0, 0.0],
+        keys=["x"], prob=prob, rotate_range=[rotate, 0.0, 0.0],
         scale_range=[[0.9, 1.1]] * 3, backend=backend,
     )
     affine._pallas_interpret = True
     crop = BatchedRandSpatialCropd(keys=["x"], roi_size=[7, 18, 18])
-    return Compose([affine, crop])(dict(data), key)["x"]
+    members = [affine, crop]
+    if with_flip:
+        members.append(BatchedRandFlipd(keys=["x"], spatial_axes=[1, 2], prob=0.5))
+    return Compose(members)(dict(data), key)["x"]
 
 
 def test_affine_randcrop_fusion_pallas_translate_fold(smooth_vol):
@@ -296,6 +340,36 @@ def test_affine_randcrop_fusion_pallas_translate_fold(smooth_vol):
     rng_v = float(smooth_vol.max() - smooth_vol.min())
     d = np.abs(np.asarray(rot_xla) - np.asarray(rot_pal))
     assert d.max() < 0.05 * rng_v
+
+
+def test_affine_flip_fusion_pallas_matches_xla(smooth_vol):
+    """The Pallas path folds the fused flip as a per-sample column sign
+    scale (a reflection — exercises the kernel's negative-determinant
+    in-plane decomposition). Axis-aligned case is exact vs the (flip-
+    fused, bit-identical) XLA reference; rotation stays in the envelope."""
+    data = {"x": smooth_vol[:, :1]}
+    key = jax.random.PRNGKey(13)
+    axis_xla = _run_fused_backend(data, key, "xla", rotate=0.0, with_flip=True)
+    axis_pal = _run_fused_backend(data, key, "pallas", rotate=0.0, with_flip=True)
+    np.testing.assert_allclose(
+        np.asarray(axis_xla), np.asarray(axis_pal), atol=1e-5
+    )
+    rot_xla = _run_fused_backend(data, key, "xla", rotate=3.14, with_flip=True)
+    rot_pal = _run_fused_backend(data, key, "pallas", rotate=3.14, with_flip=True)
+    rng_v = float(smooth_vol.max() - smooth_vol.min())
+    d = np.abs(np.asarray(rot_xla) - np.asarray(rot_pal))
+    assert d.max() < 0.05 * rng_v
+    # prob < 1 sends identity(+flip) matrices through the kernel (the prob
+    # mask folds into the matrices when a flip is fused): exact case
+    skip_xla = _run_fused_backend(
+        data, key, "xla", rotate=0.0, with_flip=True, prob=0.4
+    )
+    skip_pal = _run_fused_backend(
+        data, key, "pallas", rotate=0.0, with_flip=True, prob=0.4
+    )
+    np.testing.assert_allclose(
+        np.asarray(skip_xla), np.asarray(skip_pal), atol=1e-5
+    )
 
 
 def test_dynaclr_shear_config_pallas_accuracy(smooth_vol):

@@ -165,6 +165,7 @@ def affine_grid_3d(
     in_shape: tuple[int, int, int],
     out_shape: tuple[int, int, int],
     out_offset: tuple[float, float, float] | None = None,
+    flip_signs: Array | None = None,
 ) -> Array:
     """Build per-sample sampling grids from center-anchored affine matrices.
 
@@ -180,6 +181,12 @@ def affine_grid_3d(
         start becomes its grid offset). Tuple use: a fused
         warp+center-crop whose integer crop start is off the exact center
         by half a voxel (odd ``in - out`` difference).
+    flip_signs : optional per-sample ``(B, 3)`` array of ±1 — a fused
+        downstream flip (``BatchedRandFlipd`` after the warp/crop): output
+        index mirroring ``q -> L-1-q`` is exactly ``centered(q) ->
+        -centered(q)``, so negating the centered coordinate BEFORE the
+        offset addition reproduces flip-after-warp bit-for-bit (negation
+        and the surrounding adds are IEEE-exact on these dyadic values).
 
     Returns
     -------
@@ -190,6 +197,31 @@ def affine_grid_3d(
     dt = matrices.dtype
     per_sample = isinstance(out_offset, jax.Array) and out_offset.ndim == 2
     off = (0.0, 0.0, 0.0) if (out_offset is None or per_sample) else out_offset
+    if flip_signs is not None:
+        # per-sample mirrored grids: sign applies to the CENTERED output
+        # coordinate only; the (crop) offset is added after, unmirrored
+        zz = jnp.arange(Zo, dtype=dt) - (Zo - 1) / 2.0
+        yy = jnp.arange(Yo, dtype=dt) - (Yo - 1) / 2.0
+        xx = jnp.arange(Xo, dtype=dt) - (Xo - 1) / 2.0
+        gz, gy, gx = jnp.meshgrid(zz, yy, xx, indexing="ij")
+        grid = jnp.stack([gz, gy, gx], axis=0).reshape(3, -1)  # (3, N)
+        grid_b = flip_signs.astype(dt)[:, :, None] * grid[None]
+        if per_sample:
+            grid_b = grid_b + out_offset.astype(dt)[:, :, None]
+        elif out_offset is not None:
+            grid_b = grid_b + jnp.asarray(off, dt)[None, :, None]
+        pts = (
+            jnp.einsum(
+                "bij,bjn->bin",
+                matrices[:, :, :3],
+                grid_b,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            + matrices[:, :, 3:4]
+        )
+        center_in = jnp.array([(Zi - 1) / 2.0, (Yi - 1) / 2.0, (Xi - 1) / 2.0], dt)
+        pts = pts + center_in[None, :, None]
+        return pts.reshape(matrices.shape[0], 3, Zo, Yo, Xo)
     zz = jnp.arange(Zo, dtype=dt) - (Zo - 1) / 2.0 + off[0]
     yy = jnp.arange(Yo, dtype=dt) - (Yo - 1) / 2.0 + off[1]
     xx = jnp.arange(Xo, dtype=dt) - (Xo - 1) / 2.0 + off[2]
@@ -258,6 +290,7 @@ def chunked_affine_warp(
     out_offset: tuple[float, float, float] | None = None,
     padding_mode: Literal["zeros", "border", "reflection"] = "zeros",
     hbm_budget_bytes: int = 2 << 30,
+    flip_signs: Array | None = None,
 ) -> Array:
     """Affine-warp a batch, bounding the gather intermediates' HBM footprint.
 
@@ -278,26 +311,43 @@ def chunked_affine_warp(
     per_sample = 16 * C * nn + 32 * C * N + 24 * N
     per_sample_off = isinstance(out_offset, jax.Array) and out_offset.ndim == 2
 
-    def warp(v, m, off):
+    def warp(v, m, off, signs):
         grids = affine_grid_3d(
-            m.astype(jnp.float32), in_shape, tuple(out_shape), out_offset=off
+            m.astype(jnp.float32), in_shape, tuple(out_shape), out_offset=off,
+            flip_signs=signs,
         )
         return batched_trilinear_sample(v, grids, padding_mode)
 
     chunk = max(1, int(hbm_budget_bytes // max(per_sample, 1)))
     if chunk >= B:
-        return warp(vol, matrices, out_offset)
+        return warp(vol, matrices, out_offset, flip_signs)
     while B % chunk:  # largest divisor of B that fits the budget
         chunk -= 1
     nb = B // chunk
     vol_r = vol.reshape(nb, chunk, *vol.shape[1:])
     mat_r = matrices.reshape(nb, chunk, 3, 4)
+    signs_r = (
+        None if flip_signs is None else flip_signs.reshape(nb, chunk, 3)
+    )
     if per_sample_off:
         off_r = out_offset.reshape(nb, chunk, 3)
-        out = jax.lax.map(lambda args: warp(*args), (vol_r, mat_r, off_r))
+        if signs_r is not None:
+            out = jax.lax.map(
+                lambda args: warp(*args), (vol_r, mat_r, off_r, signs_r)
+            )
+        else:
+            out = jax.lax.map(
+                lambda args: warp(args[0], args[1], args[2], None),
+                (vol_r, mat_r, off_r),
+            )
+    elif signs_r is not None:
+        out = jax.lax.map(
+            lambda args: warp(args[0], args[1], out_offset, args[2]),
+            (vol_r, mat_r, signs_r),
+        )
     else:
         out = jax.lax.map(
-            lambda args: warp(args[0], args[1], out_offset), (vol_r, mat_r)
+            lambda args: warp(args[0], args[1], out_offset, None), (vol_r, mat_r)
         )
     return out.reshape(B, C, *out_shape)
 

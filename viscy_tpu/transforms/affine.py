@@ -112,6 +112,17 @@ class BatchedRandAffined(RandTransform):
         # so the fused pipeline stays bit-identical to the unfused one on
         # the XLA path.
         self._rand_crop_size: tuple | None = None
+        # _flip_axes/_flip_prob fuse a downstream in-plane BatchedRandFlipd
+        # (Compose peephole): output-index mirroring is exactly a sign flip
+        # of the centered output coordinate, so the warp's grid absorbs the
+        # flip for free instead of a separate reverse+select pass per axis
+        # (measured ~53 ms/view-batch of 256 on the DynaCLR recipe). The
+        # XLA path stays bit-identical to warp-then-flip (see
+        # ops/warp.py affine_grid_3d flip_signs); samples the affine prob
+        # skips are mirrored by the same exact index relabel. Consumes one
+        # extra PRNG subkey, drawn exactly as BatchedRandFlipd draws it.
+        self._flip_axes: tuple[int, ...] | None = None
+        self._flip_prob: float = 0.5
         self.rotate_range = _as_range3(rotate_range)
         self.translate_range = _as_range3(translate_range)
         self.scale_range = _as_range3(scale_range, default=1.0) if scale_range is not None else None
@@ -152,10 +163,15 @@ class BatchedRandAffined(RandTransform):
 
     @property
     def n_random_keys(self) -> int:
-        """PRNG subkeys consumed from Compose: 2 when a random crop is
-        fused in (one for the affine draws, one for the crop starts —
-        keeping the fused pipeline's randomness identical to unfused)."""
-        return 2 if self._rand_crop_size is not None else 1
+        """PRNG subkeys consumed from Compose, in pipeline order: affine
+        draws, then the fused random crop's starts (if fused), then the
+        fused flip's draws (if fused) — keeping the fused pipeline's
+        randomness identical to unfused."""
+        return (
+            1
+            + (1 if self._rand_crop_size is not None else 0)
+            + (1 if self._flip_axes is not None else 0)
+        )
 
     def _sample_params(self, key: Array, b: int, spatial: tuple[int, int, int]):
         kr, ks, kt, kc, ksh = jax.random.split(key, 5)
@@ -284,18 +300,47 @@ class BatchedRandAffined(RandTransform):
         first = data[self.first_key(data)]
         b = first.shape[0]
         spatial = first.shape[-3:]
-        crop_key = None
-        if self._rand_crop_size is not None:
-            # fused random crop: Compose hands this transform TWO stacked
-            # subkeys — key[0] plays the unfused affine's key, key[1] the
-            # crop's, so all draws match the unfused pipeline exactly
-            key, crop_key = key[0], key[1]
+        crop_key = flip_key = None
+        if self.n_random_keys > 1:
+            # fused members: Compose hands this transform STACKED subkeys
+            # in pipeline order (affine, crop?, flip?) — each plays the
+            # unfused member's key, so all draws match unfused exactly
+            ks, idx = key, 1
+            key = ks[0]
+            if self._rand_crop_size is not None:
+                crop_key = ks[idx]
+                idx += 1
+            if self._flip_axes is not None:
+                flip_key = ks[idx]
         k_mask, k_params = jax.random.split(key)
         mask = self._apply_mask(k_mask, b)
+        flips = None
+        if self._flip_axes is not None:
+            # same draw as BatchedRandFlipd (flip.py) on its subkey
+            flips = (
+                jax.random.uniform(flip_key, (b, len(self._flip_axes)))
+                < self._flip_prob
+            )
+            signs = jnp.ones((b, 3), jnp.float32)
+            for j, ax in enumerate(self._flip_axes):
+                signs = signs.at[:, ax].set(jnp.where(flips[:, j], -1.0, 1.0))
         rotation, scale, shear, translate = self._sample_params(k_params, b, spatial)
         matrices = compose_affine_3d(
             rotation=rotation, scale=scale, shear=shear, translate=translate
         )
+        if flips is not None:
+            # with a fused flip, fold the prob mask into the matrices too:
+            # skipped samples warp by identity(+flip), i.e. sample at exact
+            # integer (mirrored) coordinates — bit-identical to the
+            # untouched original on the XLA trilinear path (frac = 0 makes
+            # the lerp exact), within the kernel envelope on Pallas. This
+            # deletes the whole fallback branch (crop of the original +
+            # per-axis flip reverse/select passes) from the epilogue —
+            # measured ~100 ms/view-batch of 256 on the DynaCLR recipe.
+            eye = jnp.broadcast_to(
+                jnp.eye(3, 4, dtype=matrices.dtype), matrices.shape
+            )
+            matrices = jnp.where(mask.reshape(-1, 1, 1), matrices, eye)
         starts = None
         if self._rand_crop_size is not None:
             from viscy_tpu.transforms.crop import batched_crop_at
@@ -343,12 +388,20 @@ class BatchedRandAffined(RandTransform):
             from viscy_tpu.parallel.mesh import data_parallel_call
 
             pallas_offset = offset
-            if starts is not None:
+            if starts is not None or (flips is not None and offset is not None):
                 # the kernel takes one static grid offset; fold the
                 # per-sample crop shift into the translation column
                 # instead (t' = t + A33 @ d — adds <=1e-5 voxel of f32
-                # rounding, inside the kernel's accuracy envelope)
-                d = offset.astype(jnp.float32)
+                # rounding, inside the kernel's accuracy envelope). With a
+                # fused flip the fold also applies to the static center-
+                # crop offset, because the flip's sign scaling (below)
+                # must touch only the CENTERED coordinate, not the offset.
+                if starts is not None:
+                    d = offset.astype(jnp.float32)
+                else:
+                    d = jnp.broadcast_to(
+                        jnp.asarray(offset, jnp.float32), (b, 3)
+                    )
                 t_extra = jnp.einsum(
                     "bij,bj->bi",
                     matrices[:, :, :3],
@@ -360,6 +413,13 @@ class BatchedRandAffined(RandTransform):
                     axis=2,
                 )
                 pallas_offset = None
+            if flips is not None:
+                # fused flip: exact per-sample sign scaling of the matrix
+                # columns — src = M @ (signs*c + d) = (M*signs_cols) @ c + M@d
+                matrices = jnp.concatenate(
+                    [matrices[:, :, :3] * signs[:, None, :], matrices[:, :, 3:4]],
+                    axis=2,
+                )
 
             # shard_map over the data axis: GSPMD has no partitioning rule
             # for the Mosaic custom call and would otherwise all-gather
@@ -383,12 +443,18 @@ class BatchedRandAffined(RandTransform):
             warped = chunked_affine_warp(
                 stacked, matrices, tuple(out_shape), out_offset=offset,
                 padding_mode=self.padding_mode,
+                flip_signs=signs if flips is not None else None,
             )
         start = 0
         for k, c in zip(keys, splits):
             x = data[k]
             new = warped[:, start : start + c]
             start += c
+            if flips is not None:
+                # prob mask already folded into the matrices (identity
+                # warp for skipped samples): no fallback branch to build
+                data[k] = new.astype(x.dtype)
+                continue
             if starts is not None:
                 x = batched_crop_at(x, starts, out_shape)
             elif self.crop_size is not None:

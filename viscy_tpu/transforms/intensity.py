@@ -175,31 +175,34 @@ def _gaussian_kernel_1d(sigma: Array, radius: int) -> Array:
 def _separable_blur(x: Array, sigmas: Array, radius: tuple[int, int, int]) -> Array:
     """Per-sample separable Gaussian blur over (Z, Y, X) of (B, C, Z, Y, X).
 
-    Uses grouped convolution with batch folded into channels so each sample
-    gets its own kernel.
+    Each axis pass is an unrolled shift-and-add: zero-pad by the radius,
+    then sum the ``2r+1`` statically shifted slices weighted by the
+    per-sample kernel taps. Same math as the grouped
+    ``conv_general_dilated`` formulation (zero padding, per-sample
+    kernels) but lowers to one elementwise fusion per axis instead of a
+    batch*channel-grouped convolution, which XLA:TPU executes ~7x off the
+    HBM bound at production shapes (measured on the DynaCLR recipe,
+    docs/STATUS.md round 4: 105 -> ~30 ms/view-batch of 256).
     """
-    b, c = x.shape[:2]
-    y = x.reshape(1, b * c, *x.shape[2:]).astype(jnp.float32)
+    b = x.shape[0]
+    y = x.astype(jnp.float32)
     for axis in range(3):
         r = radius[axis]
         if r == 0:
             continue
         kern = _gaussian_kernel_1d(sigmas[:, axis], r)  # (B, 2r+1)
-        kern = jnp.repeat(kern, c, axis=0)  # (B*C, k)
-        kshape = [b * c, 1, 1, 1, 1]
-        kshape[2 + axis] = 2 * r + 1
-        kern = kern.reshape(kshape)
-        pad = [(0, 0)] * 3
-        pad[axis] = (r, r)
-        y = jax.lax.conv_general_dilated(
-            y,
-            kern,
-            window_strides=(1, 1, 1),
-            padding=pad,
-            dimension_numbers=("NCDHW", "OIDHW", "NCDHW"),
-            feature_group_count=b * c,
-        )
-    return y.reshape(x.shape).astype(x.dtype)
+        ax = y.ndim - 3 + axis
+        pad = [(0, 0)] * y.ndim
+        pad[ax] = (r, r)
+        yp = jnp.pad(y, pad)
+        length = y.shape[ax]
+        acc = None
+        for t in range(2 * r + 1):
+            w = kern[:, t].reshape((b,) + (1,) * (y.ndim - 1))
+            term = w * jax.lax.slice_in_dim(yp, t, t + length, axis=ax)
+            acc = term if acc is None else acc + term
+        y = acc
+    return y.astype(x.dtype)
 
 
 class BatchedRandGaussianSmoothd(RandTransform):
