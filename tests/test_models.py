@@ -167,7 +167,9 @@ def test_contrastive_encoder_shapes():
     x = jnp.zeros((2, 2, 10, 32, 32))
     variables = model.init({"params": KEY}, x, train=False)
     emb, proj = model.apply(variables, x, train=False)
-    assert emb.shape == (2, 64)
+    # the embedding is the pooled backbone feature (reference erases the
+    # classifier fc, encoder.py:122): dim = dims[-1], not embedding_dim
+    assert emb.shape == (2, 128)
     assert proj.shape == (2, 16)
     # train mode updates batch stats
     (emb, proj), updates = model.apply(

@@ -1,0 +1,295 @@
+"""Numeric parity: reference torch modules vs the JAX port, converted weights.
+
+The acceptance contract is the reference's inference-reproducibility pin
+(``applications/cytoland/tests/test_inference_reproducibility.py:50-73``):
+atol 0.02, per-channel Pearson r > 0.999.  Those bounds are for released
+checkpoints through the full predict pipeline; at module level with
+identical f32 weights we hold a much tighter line (max|delta| <= 2e-3 of
+the output range, r > 0.9999).
+
+Golden side: the reference's OWN model code
+(``/root/reference/packages/viscy-models/src``) imported via
+``tests/torch_golden`` with local timm/monai/pytorch-metric-learning shims
+(none of those are installed).  JAX side: :mod:`viscy_tpu.models` with
+weights produced by the production converters in
+:mod:`viscy_tpu.training.convert`.
+
+Every flax parameter leaf must be covered by the converter — an uncovered
+leaf would silently keep its random init, so coverage failures are hard
+errors, not tolerance failures.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from torch_golden import load_reference  # noqa: E402
+
+from viscy_tpu.models.contrastive.encoder import ContrastiveEncoder  # noqa: E402
+from viscy_tpu.models.unet.fcmae import FullyConvolutionalMAE  # noqa: E402
+from viscy_tpu.models.unet.unext2 import UNeXt2  # noqa: E402
+from viscy_tpu.training.convert import (  # noqa: E402
+    convert_contrastive_state_dict,
+    convert_fcmae_state_dict,
+    convert_unext2_state_dict,
+)
+
+# module-level parity line: identical f32 weights, eval mode
+ATOL_FRAC = 2e-3  # of the golden output's dynamic range
+MIN_R = 0.9999
+
+
+def _pearson(a: np.ndarray, b: np.ndarray) -> float:
+    a = a.reshape(-1).astype(np.float64)
+    b = b.reshape(-1).astype(np.float64)
+    a -= a.mean()
+    b -= b.mean()
+    denom = np.sqrt((a * a).sum() * (b * b).sum())
+    return float((a * b).sum() / denom) if denom else 1.0
+
+
+def _flat_leaves(tree, prefix=""):
+    out = {}
+    for k, v in tree.items():
+        p = f"{prefix}/{k}" if prefix else str(k)
+        if isinstance(v, dict):
+            out.update(_flat_leaves(v, p))
+        else:
+            out[p] = v
+    return out
+
+
+def strict_merge(
+    params: dict,
+    converted: dict,
+    waive: tuple[str, ...] = (),
+    extra_ok: tuple[str, ...] = (),
+) -> dict:
+    """Replace every leaf of ``params`` with its converted value.
+
+    Fails if a flax leaf has no converted counterpart (unless its path
+    contains a ``waive`` fragment) or if shapes mismatch — uncovered
+    leaves would silently stay random-init and poison the comparison.
+    ``extra_ok`` waives converted leaves with no flax analog (torch-side
+    modules the config never routes through, e.g. the FCMAE stem's 2D
+    branch when in_stack_depth > 1).
+    """
+    flat_ref = _flat_leaves(params)
+    flat_conv = _flat_leaves(converted)
+    extra = sorted(
+        k
+        for k in set(flat_conv) - set(flat_ref)
+        if not any(w in k for w in extra_ok)
+    )
+    assert not extra, f"converter produced leaves absent from the flax tree: {extra[:8]}"
+    missing = [
+        k
+        for k in flat_ref
+        if k not in flat_conv and not any(w in k for w in waive)
+    ]
+    assert not missing, f"converter left {len(missing)} flax leaves unconverted: {missing[:8]}"
+    for k, v in flat_conv.items():
+        if k not in flat_ref:
+            continue  # extra_ok-waived above
+        assert np.asarray(flat_ref[k]).shape == np.asarray(v).shape, (
+            f"{k}: flax {np.asarray(flat_ref[k]).shape} vs converted {np.asarray(v).shape}"
+        )
+
+    def rebuild(node, path=""):
+        out = {}
+        for k, v in node.items():
+            p = f"{path}/{k}" if path else str(k)
+            if isinstance(v, dict):
+                out[k] = rebuild(v, p)
+            else:
+                out[k] = jnp.asarray(flat_conv.get(p, v))
+        return out
+
+    return rebuild(params)
+
+
+def assert_parity(golden: np.ndarray, ported: np.ndarray, label: str):
+    assert golden.shape == ported.shape, f"{label}: {golden.shape} vs {ported.shape}"
+    rng = float(golden.max() - golden.min()) or 1.0
+    max_abs = float(np.abs(golden - ported).max())
+    r = _pearson(golden, ported)
+    assert max_abs <= ATOL_FRAC * rng, (
+        f"{label}: max|delta|={max_abs:.3e} exceeds {ATOL_FRAC:.0e} x range {rng:.3e}"
+    )
+    assert r > MIN_R, f"{label}: Pearson r={r:.6f} <= {MIN_R}"
+    # the reference's released-artifact contract, as an outer sanity bound
+    assert max_abs <= 0.02 * max(rng, 1.0) and r > 0.999
+
+
+def torch_forward(model, x: np.ndarray):
+    model.eval()
+    with torch.no_grad():
+        out = model(torch.from_numpy(x))
+    if isinstance(out, (tuple, list)):
+        return tuple(
+            None if o is None else np.asarray(o.detach()) for o in out
+        )
+    return np.asarray(out.detach())
+
+
+class TestUNeXt2:
+    """Flagship virtual-staining architecture (reference unet/unext2.py:13)."""
+
+    @pytest.fixture(scope="class")
+    def pair(self):
+        mod = load_reference("unet.unext2")
+        torch.manual_seed(7)
+        golden = mod.UNeXt2(
+            in_channels=1,
+            out_channels=2,
+            in_stack_depth=5,
+            backbone="convnextv2_atto",
+            pretrained=False,
+            stem_kernel_size=(5, 4, 4),
+            decoder_mode="pixelshuffle",
+            head_pool=False,
+        )
+        ported = UNeXt2(
+            in_channels=1,
+            out_channels=2,
+            in_stack_depth=5,
+            backbone="convnextv2_atto",
+            stem_kernel_size=(5, 4, 4),
+            head_pool=False,
+        )
+        return golden, ported
+
+    def test_full_forward(self, pair):
+        golden, ported = pair
+        sd = {k: v.numpy() for k, v in golden.state_dict().items()}
+        converted = convert_unext2_state_dict(sd, strip_prefix="")
+        x = np.random.default_rng(0).normal(size=(2, 1, 5, 64, 64)).astype(np.float32)
+        variables = ported.init(jax.random.PRNGKey(0), jnp.asarray(x))
+        params = strict_merge(jax.device_get(variables["params"]), converted)
+        y_torch = torch_forward(golden, x)
+        y_jax = np.asarray(ported.apply({"params": params}, jnp.asarray(x)))
+        assert_parity(y_torch, y_jax, "UNeXt2 forward")
+
+    def test_head_pool_variant(self, pair):
+        mod = load_reference("unet.unext2")
+        torch.manual_seed(11)
+        golden = mod.UNeXt2(
+            in_channels=2,
+            out_channels=1,
+            in_stack_depth=5,
+            backbone="convnextv2_atto",
+            pretrained=False,
+            head_pool=True,
+        )
+        ported = UNeXt2(
+            in_channels=2,
+            out_channels=1,
+            in_stack_depth=5,
+            backbone="convnextv2_atto",
+            head_pool=True,
+        )
+        sd = {k: v.numpy() for k, v in golden.state_dict().items()}
+        converted = convert_unext2_state_dict(sd, strip_prefix="")
+        x = np.random.default_rng(1).normal(size=(1, 2, 5, 64, 64)).astype(np.float32)
+        variables = ported.init(jax.random.PRNGKey(0), jnp.asarray(x))
+        params = strict_merge(jax.device_get(variables["params"]), converted)
+        y_torch = torch_forward(golden, x)
+        y_jax = np.asarray(ported.apply({"params": params}, jnp.asarray(x)))
+        assert_parity(y_torch, y_jax, "UNeXt2 head_pool forward")
+
+
+class TestFCMAE:
+    """ConvNeXt-v2 masked autoencoder (reference unet/fcmae.py:456)."""
+
+    @pytest.fixture(scope="class")
+    def pair(self):
+        mod = load_reference("unet.fcmae")
+        torch.manual_seed(3)
+        kw = dict(
+            in_channels=1,
+            out_channels=1,
+            encoder_blocks=[2, 2, 4, 2],
+            dims=[24, 48, 96, 192],
+            stem_kernel_size=(5, 4, 4),
+            in_stack_depth=5,
+            decoder_conv_blocks=1,
+            pretraining=True,
+        )
+        golden = mod.FullyConvolutionalMAE(**kw)
+        ported = FullyConvolutionalMAE(
+            **{**kw, "encoder_blocks": tuple(kw["encoder_blocks"]), "dims": tuple(kw["dims"])}
+        )
+        return golden, ported
+
+    def test_unmasked_forward(self, pair):
+        golden, ported = pair
+        sd = {k: v.numpy() for k, v in golden.state_dict().items()}
+        converted = convert_fcmae_state_dict(sd, strip_prefix="")
+        x = np.random.default_rng(2).normal(size=(2, 1, 5, 64, 64)).astype(np.float32)
+        variables = ported.init(jax.random.PRNGKey(0), jnp.asarray(x))
+        # torch builds both stem branches; depth-5 input only routes conv3d
+        params = strict_merge(
+            jax.device_get(variables["params"]),
+            converted,
+            extra_ok=("encoder/stem/conv2d",),
+        )
+        y_torch, mask_torch = torch_forward(golden, x)
+        assert mask_torch is None  # mask_ratio 0 -> reference skips masking
+        out = ported.apply({"params": params}, jnp.asarray(x), 0.0)
+        y_jax, mask_jax = out if not isinstance(out, jax.Array) else (out, None)
+        y_jax = np.asarray(y_jax)
+        assert_parity(y_torch, y_jax, "FCMAE unmasked forward")
+        if mask_jax is not None:
+            assert not np.asarray(mask_jax).any()
+
+
+class TestContrastiveEncoder:
+    """DynaCLR encoder (reference contrastive/encoder.py:52)."""
+
+    @pytest.fixture(scope="class")
+    def pair(self):
+        mod = load_reference("contrastive.encoder")
+        torch.manual_seed(5)
+        # the DynaCLR recipe config (reference encoder.py defaults; stem
+        # folds 15 z-slices / depth-5 stride into 96 = 3 x 32 channels)
+        kw = dict(
+            backbone="convnext_tiny",
+            in_channels=2,
+            in_stack_depth=15,
+            stem_kernel_size=(5, 4, 4),
+            stem_stride=(5, 4, 4),
+            embedding_dim=768,
+            projection_dim=32,
+        )
+        golden = mod.ContrastiveEncoder(**kw)
+        ported = ContrastiveEncoder(**kw)
+        return golden, ported
+
+    def test_embedding_and_projection(self, pair):
+        golden, ported = pair
+        sd = {k: v.numpy() for k, v in golden.state_dict().items()}
+        # running BN stats start at (0, 1) on both sides; the converter maps
+        # the learned weight/bias, and num_batches_tracked has no flax analog
+        sd = {
+            k: v
+            for k, v in sd.items()
+            if "running_" not in k and "num_batches_tracked" not in k
+        }
+        converted = convert_contrastive_state_dict(sd, strip_prefix="")
+        x = np.random.default_rng(3).normal(size=(2, 2, 15, 64, 64)).astype(np.float32)
+        variables = ported.init(jax.random.PRNGKey(0), jnp.asarray(x))
+        params = strict_merge(jax.device_get(variables["params"]), converted)
+        emb_t, proj_t = torch_forward(golden, x)
+        emb_j, proj_j = ported.apply(
+            {"params": params, "batch_stats": variables.get("batch_stats", {})},
+            jnp.asarray(x),
+            train=False,
+        )
+        assert_parity(emb_t, np.asarray(emb_j), "ContrastiveEncoder embedding")
+        assert_parity(proj_t, np.asarray(proj_j), "ContrastiveEncoder projection")

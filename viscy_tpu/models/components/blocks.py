@@ -50,11 +50,14 @@ def pixel_shuffle_2d(x: Array, r: int) -> Array:
 
 
 def pad_pool_blur_2d(x: Array, r: int) -> Array:
-    """MONAI SubpixelUpsample ``apply_pad_pool`` blur: replicate-pad then
-    average-pool (kernel r, stride 1)."""
+    """MONAI SubpixelUpsample ``apply_pad_pool`` blur: constant-zero pad of
+    ``r - 1`` on the LEADING (top/left) edges, then average-pool (kernel r,
+    stride 1) — torch ``ConstantPad2d((r-1, 0, r-1, 0), 0)`` + ``AvgPool``
+    (monai ``networks/blocks/upsample.py`` SubpixelUpsample; golden-pinned
+    by ``tests/test_torch_parity.py``)."""
     if r == 1:
         return x
-    x = jnp.pad(x, ((0, 0), (0, r - 1), (0, r - 1), (0, 0)), mode="edge")
+    x = jnp.pad(x, ((0, 0), (r - 1, 0), (r - 1, 0), (0, 0)))
     return jax.lax.reduce_window(
         x, 0.0, jax.lax.add, (1, r, r, 1), (1, 1, 1, 1), "VALID"
     ) / float(r * r)
@@ -64,42 +67,25 @@ def _phase_pad_pool_1d(f: Array, spatial_axis: int, phase_axis: int) -> Array:
     """One axis of the phase-domain pad-pool (see ``pad_pool_blur_2d_phase``).
 
     For output position ``y = r*i + di`` the stride-1 r-tap mean over the
-    shuffled-and-edge-padded signal touches each phase exactly once:
-    phases ``d' >= di`` from block ``i`` and phases ``d' < di`` from block
-    ``i + 1`` (clamped to the last shuffled element — phase ``r-1`` of the
-    last block — beyond the right edge). All terms are suffix sums over the
-    tiny phase axis, so the whole blur runs at pre-shuffle resolution.
+    shuffled-and-leading-zero-padded signal touches each phase exactly
+    once: phases ``d' <= di`` from block ``i`` and phases ``d' > di`` from
+    block ``i - 1`` (zero before the left edge — MONAI pads with constant
+    0). All terms are prefix sums over the tiny phase axis, so the whole
+    blur runs at pre-shuffle resolution.
     """
     r = f.shape[phase_axis]
-    n = f.shape[spatial_axis]
-    s_ge = jnp.flip(jnp.cumsum(jnp.flip(f, phase_axis), axis=phase_axis), phase_axis)
-    total = jax.lax.slice_in_dim(s_ge, 0, 1, axis=phase_axis)
+    s_le = jnp.cumsum(f, axis=phase_axis)  # sum_{d' <= di} f[i, d']
+    total = jax.lax.slice_in_dim(s_le, r - 1, r, axis=phase_axis)
 
-    def shift_next(a):
-        body = jax.lax.slice_in_dim(a, 1, a.shape[spatial_axis], axis=spatial_axis)
-        edge = jax.lax.slice_in_dim(
-            a, a.shape[spatial_axis] - 1, a.shape[spatial_axis], axis=spatial_axis
+    def shift_prev(a):
+        body = jax.lax.slice_in_dim(a, 0, a.shape[spatial_axis] - 1, axis=spatial_axis)
+        zero = jnp.zeros_like(
+            jax.lax.slice_in_dim(a, 0, 1, axis=spatial_axis)
         )
-        return jnp.concatenate([body, edge], axis=spatial_axis)
+        return jnp.concatenate([zero, body], axis=spatial_axis)
 
-    p_lt = shift_next(total) - shift_next(s_ge)  # sum_{d'<di} f[i+1, d']
-    # right-edge clamp: past the end every tap reads phase r-1 of the last
-    # block, so the i = n-1 row gets di * f[n-1, r-1] instead
-    di = jnp.arange(r, dtype=f.dtype).reshape(
-        [r if ax == phase_axis else 1 for ax in range(f.ndim)]
-    )
-    last = jax.lax.slice_in_dim(
-        jax.lax.slice_in_dim(f, r - 1, r, axis=phase_axis),
-        n - 1,
-        n,
-        axis=spatial_axis,
-    )
-    p_last = di * last
-    p_lt = jnp.concatenate(
-        [jax.lax.slice_in_dim(p_lt, 0, n - 1, axis=spatial_axis), p_last],
-        axis=spatial_axis,
-    )
-    return (s_ge + p_lt) / r
+    p_gt = shift_prev(total - s_le)  # sum_{d' > di} f[i-1, d'], 0 at i=0
+    return (s_le + p_gt) / r
 
 
 def _pad_pool_phase_matrices(c_total: int, r: int) -> tuple:
@@ -119,15 +105,15 @@ def _pad_pool_phase_matrices(c_total: int, r: int) -> tuple:
     dj = k % r
     same_cj = (c[:, None] == c[None, :]) & (dj[:, None] == dj[None, :])
     same_ci = (c[:, None] == c[None, :]) & (di[:, None] == di[None, :])
-    # out = x @ M convention: M[k_in, k_out]
-    a1 = (same_cj & (di[:, None] >= di[None, :])) / r
-    b1 = (same_cj & (di[:, None] < di[None, :])) / r
-    b1_last = same_cj * (di[:, None] == r - 1) * (di[None, :] / r)
-    a2 = (same_ci & (dj[:, None] >= dj[None, :])) / r
-    b2 = (same_ci & (dj[:, None] < dj[None, :])) / r
-    b2_last = same_ci * (dj[:, None] == r - 1) * (dj[None, :] / r)
+    # out = x @ M convention: M[k_in, k_out]; leading zero pad (MONAI):
+    # out block i mixes phases d' <= di of block i (A) and d' > di of
+    # block i-1 (B); block -1 is zero, so row 0 uses A alone
+    a1 = (same_cj & (di[:, None] <= di[None, :])) / r
+    b1 = (same_cj & (di[:, None] > di[None, :])) / r
+    a2 = (same_ci & (dj[:, None] <= dj[None, :])) / r
+    b2 = (same_ci & (dj[:, None] > dj[None, :])) / r
     f32 = lambda m: jnp.asarray(m, jnp.float32)
-    return (f32(a1), f32(b1), f32(a1 + b1_last)), (f32(a2), f32(b2), f32(a2 + b2_last))
+    return (f32(a1), f32(b1)), (f32(a2), f32(b2))
 
 
 def _packed_dot(x: Array, m: Array) -> Array:
@@ -144,15 +130,15 @@ def pad_pool_blur_packed(x: Array, c_total: int, r: int) -> Array:
     layout-preserving)."""
     if r == 1:
         return x
-    (a1, b1, al1), (a2, b2, al2) = _pad_pool_phase_matrices(c_total, r)
-    # y pass: rows 0..N-2 mix block i and i+1; the last row's past-the-edge
-    # taps clamp to the final shuffled element (phase r-1)
-    main = _packed_dot(x[:, :-1], a1) + _packed_dot(x[:, 1:], b1)
-    last = _packed_dot(x[:, -1:], al1)
-    x = jnp.concatenate([main, last], axis=1)
-    main = _packed_dot(x[:, :, :-1], a2) + _packed_dot(x[:, :, 1:], b2)
-    last = _packed_dot(x[:, :, -1:], al2)
-    return jnp.concatenate([main, last], axis=2)
+    (a1, b1), (a2, b2) = _pad_pool_phase_matrices(c_total, r)
+    # y pass: rows 1..N-1 mix block i and i-1; row 0's out-of-range taps
+    # read the constant-zero pad, so it uses the same-block matrix alone
+    main = _packed_dot(x[:, 1:], a1) + _packed_dot(x[:, :-1], b1)
+    first = _packed_dot(x[:, :1], a1)
+    x = jnp.concatenate([first, main], axis=1)
+    main = _packed_dot(x[:, :, 1:], a2) + _packed_dot(x[:, :, :-1], b2)
+    first = _packed_dot(x[:, :, :1], a2)
+    return jnp.concatenate([first, main], axis=2)
 
 
 def pad_pool_blur_2d_phase(x: Array, r: int) -> Array:

@@ -64,14 +64,15 @@ class ContrastiveEncoder(nn.Module):
             dtype=dtype,
             name="encoder",
         )(x, deterministic=not train)
-        # classification-style head: global average pool -> LN -> fc; the
+        # the reference erases the timm classifier fc (encoder.py:122
+        # ``encoder.head.fc = nn.Identity()``): the embedding IS the pooled
+        # + LayerNormed backbone feature (num_features = dims[-1]). The
         # pooled reduction and projection run in f32 (tiny tensors, and the
-        # NT-Xent similarity matrix is precision-sensitive)
+        # NT-Xent similarity matrix is precision-sensitive).
         h = features[-1].astype(jnp.float32).mean(axis=(1, 2))
-        h = nn.LayerNorm(epsilon=1e-6, name="head_norm")(h)
-        embedding = nn.Dense(self.embedding_dim, name="head_fc")(h)
+        embedding = nn.LayerNorm(epsilon=1e-6, name="head_norm")(h)
         projection = ProjectionMLP(
-            in_dims=self.embedding_dim,
+            in_dims=dims[-1],
             hidden_dims=self.embedding_dim,
             out_dims=self.projection_dim,
             name="projection",

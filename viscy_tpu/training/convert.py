@@ -153,6 +153,9 @@ def _flax_leaf_name(flax_path: str, torch_param: str, transform) -> tuple[str, C
     if torch_param == "weight":
         if transform is _flat and "grn" in last:
             return "gamma", _flat
+        if transform is _flat and last.endswith("prelu"):
+            # PReLU alpha is a bare param leaf on the parent module
+            return "", _flat
         if transform is None:
             return "scale", _flat  # layer norms
         return "kernel", transform
@@ -189,8 +192,12 @@ def convert_state_dict(
                 torch_param = groups[-1]
                 flax_path = template.format(*groups[:-1])
                 leaf, tf = _flax_leaf_name(flax_path, torch_param, transform)
+                parts = flax_path.split("/")
+                if leaf == "":
+                    # bare param leaf: the path's last segment IS the leaf
+                    parts, leaf = parts[:-1], parts[-1]
                 node = params
-                for part in flax_path.split("/"):
+                for part in parts:
                     node = node.setdefault(part, {})
                 node[leaf] = tf(arr) if tf else arr
                 break
@@ -292,8 +299,8 @@ _CONTRASTIVE_RULES: list[tuple[str, str, Callable]] = [
     (r"encoder\.stages\.(\d+)\.blocks\.(\d+)\.mlp\.grn", "encoder/stage{0}/block{1}/grn", _flat),
     (r"encoder\.stages\.(\d+)\.blocks\.(\d+)\.mlp\.fc2", "encoder/stage{0}/block{1}/fc2", _t_linear),
     (r"encoder\.stages\.(\d+)\.blocks\.(\d+)", "encoder/stage{0}/block{1}", _flat),
+    # encoder.head.fc is erased to Identity by the reference (encoder.py:122)
     (r"encoder\.head\.norm", "head_norm", None),
-    (r"encoder\.head\.fc", "head_fc", _t_linear),
     (r"projection\.0", "projection/fc0", _t_linear),
     (r"projection\.1", "projection/bn0", None),
     (r"projection\.3", "projection/fc1", _t_linear),
