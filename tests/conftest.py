@@ -105,6 +105,7 @@ _SLOW_TESTS = {
     "test_models.py::test_contrastive_encoder_shapes",
     "test_multi_experiment.py::test_joint_encoder_module",
     "test_multihost.py::test_two_process_dp_matches_single_process",
+    "test_multihost_trainer.py::test_two_process_trainer_fit_matches_single_process",
     "test_ops.py::test_ms_ssim_range_and_clamp",
     "test_parallel.py::test_fsdp_matches_replicated",
     "test_parallel.py::test_tp_model_axis",

@@ -148,7 +148,10 @@ def test_contrastive_predict_embeddings(tracks_dataset, tmp_path):
     trainer = Trainer(default_root_dir=tmp_path / "logs", callbacks=[writer])
     trainer.predict(module, dm)
     ds = read_embedding_dataset(out)
-    assert ds["features"].shape[1] == 32
+    # features are the pooled+LN backbone output (the reference erases the
+    # timm classifier fc, encoder.py:122): dim = backbone dims[-1], not
+    # embedding_dim (convnextv2_test: 128)
+    assert ds["features"].shape[1] == 128
     assert ds["projections"].shape[1] == 8
     assert len(ds["index"]) == ds["features"].shape[0]
     assert "track_id" in ds["index"].columns

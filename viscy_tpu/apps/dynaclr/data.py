@@ -405,6 +405,13 @@ class MultiExperimentDataModule(DataModule):
         )
 
     def _sampler(self, index: MultiExperimentIndex) -> FlexibleBatchSampler:
+        import jax
+
+        # Multi-host: each process draws its own per-rank batch stream
+        # (rank folds into the sampler RNG; __len__ divides by replicas)
+        # so the per-host batches are the local shards of a global batch
+        # of batch_size x process_count cells — the reference passes the
+        # same num_replicas/rank under DDP (viscy_data/sampler.py:83-98).
         return FlexibleBatchSampler(
             index.valid_anchors,
             batch_size=self.batch_size,
@@ -414,6 +421,8 @@ class MultiExperimentDataModule(DataModule):
             group_weights=self.group_weights,
             temporal_enrichment=self.temporal_enrichment,
             seed=self.seed,
+            num_replicas=jax.process_count(),
+            rank=jax.process_index(),
         )
 
     def _loader(self, dataset, index, shuffle: bool):

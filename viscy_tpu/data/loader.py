@@ -35,12 +35,32 @@ class DataLoader:
         drop_last: bool = False,
         prefetch_factor: int = 2,
         seed: int = 42,
+        distributed: bool | str = "auto",
     ) -> None:
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.sampler = sampler
         self.batch_sampler = batch_sampler
+        if distributed == "auto" and sampler is None and batch_sampler is None:
+            # Multi-host input sharding: whenever this is one process of a
+            # multi-process job, attach the sharded sampler so each host
+            # reads a disjoint slice of the index space and the per-host
+            # batches concatenate into the global device batch (reference
+            # attach-under-DDP, ``viscy_data/gpu_aug.py:44-46``). Loaders
+            # whose consumer is not multi-host aware (predict writers) pass
+            # ``distributed=False``.
+            import jax
+
+            if jax.process_count() > 1:
+                from viscy_tpu.data.distributed import ShardedDistributedSampler
+
+                self.sampler = ShardedDistributedSampler(
+                    dataset,
+                    shuffle=shuffle,
+                    seed=seed,
+                    drop_last=drop_last,
+                )
         self.num_workers = max(0, num_workers)
         self.collate_fn = collate_fn or collate_samples
         self.drop_last = drop_last

@@ -57,13 +57,47 @@ def replicated(mesh: Mesh) -> NamedSharding:
 def shard_batch(batch: Any, mesh: Mesh | None = None) -> Any:
     """Device-put a host batch pytree with leading-axis sharding over 'data'.
 
-    Non-array leaves pass through; arrays whose batch dim is not divisible
-    by the mesh are replicated instead.
+    Single-process: plain ``device_put`` with ``NamedSharding``. Non-array
+    leaves pass through; arrays whose batch dim is not divisible by the
+    mesh are replicated instead.
+
+    Multi-process (``jax.process_count() > 1``): each host's batch is its
+    *local shard* of the global batch (the loaders attach
+    ``ShardedDistributedSampler`` so hosts read disjoint index slices —
+    reference semantics ``viscy_data/gpu_aug.py:44-46``). Global arrays are
+    assembled with ``jax.make_array_from_process_local_data``: global batch
+    = per-host batch x process_count, laid out so process ``p`` owns rows
+    ``[p*local : (p+1)*local)`` (matching ``local_batch_slice``). Per-sample
+    leaves that cannot shard are a hard error — replicating host-divergent
+    data would be silently wrong.
     """
     mesh = mesh or get_mesh()
     n = mesh.shape["data"]
     sharded = batch_sharding(mesh)
     rep = replicated(mesh)
+    nproc = jax.process_count()
+
+    if nproc > 1:
+        local_dev = max(1, n // nproc)
+
+        def put(x):
+            if not hasattr(x, "shape"):
+                return x
+            x = np.asarray(x)
+            if x.ndim >= 1 and x.shape[0] % local_dev == 0:
+                gshape = (x.shape[0] * nproc, *x.shape[1:])
+                return jax.make_array_from_process_local_data(sharded, x, gshape)
+            if x.ndim == 0:
+                # epoch-schedule scalars etc. — identical on every host
+                return jax.make_array_from_process_local_data(rep, x, x.shape)
+            raise ValueError(
+                f"multi-host batch leaf with shape {x.shape} cannot shard: "
+                f"leading dim must divide the {local_dev} local devices "
+                f"(global data axis {n} over {nproc} processes). Adjust the "
+                "per-host batch size or drop_last."
+            )
+
+        return jax.tree_util.tree_map(put, batch)
 
     def put(x):
         if hasattr(x, "shape") and getattr(x, "ndim", 0) >= 1 and x.shape[0] % n == 0:

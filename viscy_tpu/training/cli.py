@@ -230,6 +230,13 @@ def _save_ckpt_hparams(trainer, model_cfg: dict) -> None:
 def main() -> None:
     """viscy-tpu: TPU-native virtual staining & representation learning."""
     _setup_environment()
+    # Multi-host bootstrap before any device use: on a TPU pod slice (or
+    # with explicit VISCY_COORDINATOR/... env) this makes process_count()
+    # correct for the sharded samplers, global batch assembly, and
+    # rank-gated writes (reference: Lightning initializes DDP here).
+    from viscy_tpu.parallel.distributed import maybe_initialize
+
+    maybe_initialize()
 
 
 def _register(name: str, help_text: str):

@@ -95,6 +95,25 @@ class CSVLogger:
                 pass
 
 
+class _NullLogger:
+    """Metrics sink for non-zero ranks in a multi-host job: accepts the
+    CSVLogger interface and writes nothing (the reference's rank-0-only
+    logging, ``cytoland/engine.py:558``; ``sync_dist`` metric values are
+    replicated across hosts so dropping them loses no information)."""
+
+    log_dir = None
+    extra: list = []
+
+    def log_metrics(self, metrics: dict, step: int) -> None:
+        pass
+
+    def log_image(self, tag: str, image, step: int) -> None:
+        pass
+
+    def close(self) -> None:
+        pass
+
+
 class Trainer:
     """Compact trainer driving TrainModule engines over DataModules."""
 
@@ -153,7 +172,14 @@ class Trainer:
         self.check_val_every_n_epoch = max(1, int(check_val_every_n_epoch or 1))
         self.profile_dir = profile_dir
         self.profile_steps = profile_steps
-        self.logger = CSVLogger(self.default_root_dir, use_tensorboard, extra=loggers)
+        # Multi-host: only rank 0 owns the log/checkpoint tree. Metric
+        # values are replicated by the sharded step, so non-zero ranks
+        # write nothing (single checkpoint tree, no file races).
+        self.is_rank_zero = jax.process_index() == 0
+        if self.is_rank_zero:
+            self.logger = CSVLogger(self.default_root_dir, use_tensorboard, extra=loggers)
+        else:
+            self.logger = _NullLogger()
         self.state: TrainState | None = None
         self.current_epoch = 0
         self.global_step = 0
@@ -481,6 +507,16 @@ class Trainer:
     def predict(
         self, module: TrainModule, datamodule, ckpt_path: str | None = None, return_predictions: bool = False
     ):
+        if jax.process_count() > 1:
+            # The prediction/embedding writers are host-side zarr consumers
+            # that expect the full output on one host; sharded-across-host
+            # predictions are not addressable for device_get. Inference
+            # parallelism is per-host (one process per output plate).
+            raise NotImplementedError(
+                "Trainer.predict is single-host: run one process per output "
+                "store (shard work by FOV/plate across hosts) instead of a "
+                f"{jax.process_count()}-process job."
+            )
         self._active_datamodule = datamodule
         datamodule.prepare_data()
         datamodule.setup("predict")
@@ -523,6 +559,8 @@ class Trainer:
         score = val_metrics.get(self.checkpoint_monitor)
         name = f"epoch={self.current_epoch}-step={self.global_step}"
         if score is not None:
+            # metric values are replicated across hosts, so every rank
+            # formats the same name
             name += f"-loss={score:.3f}"
         path = self._ckpt_dir() / name
         payload = {
@@ -532,9 +570,15 @@ class Trainer:
             "step": int(self.state.step),
             "epoch": self.current_epoch,
         }
+        # Multi-host: orbax save is a COLLECTIVE — every process must call
+        # it (internal finalize barriers deadlock otherwise); orbax writes
+        # one tree with primary-host semantics. Host-side fs bookkeeping
+        # (symlink, top-k pruning) stays rank-0-only below.
         ckptr = ocp.StandardCheckpointer()
         ckptr.save(path.absolute(), payload, force=True)
         ckptr.wait_until_finished()
+        if not self.is_rank_zero:
+            return
         # maintain top-k by monitored score (lower is better) + always keep last
         last = self._ckpt_dir() / "last"
         if last.is_symlink() or last.exists():
