@@ -33,10 +33,14 @@ from torch_golden import load_reference  # noqa: E402
 
 from viscy_tpu.models.contrastive.encoder import ContrastiveEncoder  # noqa: E402
 from viscy_tpu.models.unet.fcmae import FullyConvolutionalMAE  # noqa: E402
+from viscy_tpu.models.unet.unet2d import Unet2d  # noqa: E402
+from viscy_tpu.models.unet.unet25d import Unet25d  # noqa: E402
 from viscy_tpu.models.unet.unext2 import UNeXt2  # noqa: E402
 from viscy_tpu.training.convert import (  # noqa: E402
     convert_contrastive_state_dict,
     convert_fcmae_state_dict,
+    convert_unet2d_state_dict,
+    convert_unet25d_state_dict,
     convert_unext2_state_dict,
 )
 
@@ -247,6 +251,72 @@ class TestFCMAE:
         assert_parity(y_torch, y_jax, "FCMAE unmasked forward")
         if mask_jax is not None:
             assert not np.asarray(mask_jax).any()
+
+
+def _randomize_bn_stats(model, seed: int) -> None:
+    """Perturb BN running stats away from their (0, 1) init so the
+    batch_stats conversion path is actually exercised at eval time."""
+    g = torch.Generator().manual_seed(seed)
+    with torch.no_grad():
+        for name, buf in model.named_buffers():
+            if name.endswith("running_mean"):
+                buf.copy_(torch.randn(buf.shape, generator=g) * 0.5)
+            elif name.endswith("running_var"):
+                buf.copy_(torch.rand(buf.shape, generator=g) + 0.5)
+
+
+class TestLegacyUNets:
+    """Torch-only legacy U-Nets (reference unet2d.py:11 / unet25d.py:11)."""
+
+    @pytest.mark.parametrize("residual,task", [(False, "seg"), (True, "reg")])
+    def test_unet2d_forward(self, residual, task):
+        mod = load_reference("unet.unet2d")
+        torch.manual_seed(13)
+        kw = dict(in_channels=2, out_channels=1, num_blocks=3, residual=residual, task=task)
+        golden = mod.Unet2d(**kw)
+        _randomize_bn_stats(golden, 17)
+        sd = {k: v.numpy() for k, v in golden.state_dict().items()}
+        conv_params, conv_stats = convert_unet2d_state_dict(sd, strip_prefix="")
+        ported = Unet2d(**kw)
+        # reference API is (B, C, 1, H, W): forward squeezes and re-adds Z
+        x = np.random.default_rng(4).normal(size=(2, 2, 1, 64, 64)).astype(np.float32)
+        variables = ported.init(jax.random.PRNGKey(0), jnp.asarray(x))
+        # torch builds a resid_conv on every block; the forward only routes
+        # it when channels shrink (down blocks zero-pad instead)
+        params = strict_merge(
+            jax.device_get(variables["params"]), conv_params, extra_ok=("res_proj",)
+        )
+        stats = strict_merge(jax.device_get(variables["batch_stats"]), conv_stats)
+        y_t = torch_forward(golden, x)
+        y_j = np.asarray(ported.apply({"params": params, "batch_stats": stats}, jnp.asarray(x)))
+        assert_parity(y_t, y_j, f"Unet2d residual={residual} task={task}")
+
+    @pytest.mark.parametrize("residual", [False, True])
+    def test_unet25d_forward(self, residual):
+        mod = load_reference("unet.unet25d")
+        torch.manual_seed(19)
+        kw = dict(
+            in_channels=1,
+            out_channels=2,
+            in_stack_depth=5,
+            out_stack_depth=1,
+            num_blocks=2,
+            residual=residual,
+        )
+        golden = mod.Unet25d(**kw)
+        _randomize_bn_stats(golden, 23)
+        sd = {k: v.numpy() for k, v in golden.state_dict().items()}
+        conv_params, conv_stats = convert_unet25d_state_dict(sd, strip_prefix="")
+        ported = Unet25d(**kw)
+        x = np.random.default_rng(5).normal(size=(2, 1, 5, 32, 32)).astype(np.float32)
+        variables = ported.init(jax.random.PRNGKey(0), jnp.asarray(x))
+        params = strict_merge(
+            jax.device_get(variables["params"]), conv_params, extra_ok=("res_proj",)
+        )
+        stats = strict_merge(jax.device_get(variables["batch_stats"]), conv_stats)
+        y_t = torch_forward(golden, x)
+        y_j = np.asarray(ported.apply({"params": params, "batch_stats": stats}, jnp.asarray(x)))
+        assert_parity(y_t, y_j, f"Unet25d residual={residual}")
 
 
 class TestContrastiveEncoder:

@@ -33,18 +33,27 @@ _loaded: dict[str, object] = {}
 
 
 def _install_shims() -> None:
+    def _with_specs(ns: dict) -> dict:
+        # third parties probe installed packages via importlib.util.find_spec,
+        # which raises ValueError on a sys.modules entry whose __spec__ is
+        # None (e.g. transformers' _is_package_available("timm"))
+        for name, mod in ns.items():
+            if getattr(mod, "__spec__", None) is None:
+                mod.__spec__ = importlib.machinery.ModuleSpec(name, None)
+        return ns
+
     if "timm" not in sys.modules:
         from . import _timm_shim
 
-        sys.modules.update(_timm_shim._build_namespace())
+        sys.modules.update(_with_specs(_timm_shim._build_namespace()))
     if "monai" not in sys.modules:
         from . import _monai_shim
 
-        sys.modules.update(_monai_shim._build_namespace())
+        sys.modules.update(_with_specs(_monai_shim._build_namespace()))
     if "pytorch_metric_learning" not in sys.modules:
         from . import _pml_shim
 
-        sys.modules.update(_pml_shim._build_namespace())
+        sys.modules.update(_with_specs(_pml_shim._build_namespace()))
 
 
 def load_reference(modname: str):

@@ -40,10 +40,14 @@ class Norm(nn.Module):
         if self.kind == "batch":
             return nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
         if self.kind == "instance":
-            # instance norm = group norm with one channel per group, per-sample
-            return nn.GroupNorm(num_groups=None, group_size=1)(x)
+            # instance norm = group norm with one channel per group, per-sample;
+            # torch nn.InstanceNorm defaults affine=False, eps=1e-5
+            return nn.GroupNorm(
+                num_groups=None, group_size=1, epsilon=1e-5, use_scale=False, use_bias=False
+            )(x)
         if self.kind == "group":
-            return nn.GroupNorm(num_groups=self.groups)(x)
+            # torch nn.GroupNorm eps default is 1e-5 (flax default is 1e-6)
+            return nn.GroupNorm(num_groups=self.groups, epsilon=1e-5)(x)
         return x
 
 
@@ -65,13 +69,25 @@ class ConvBlock(nn.Module):
         act = _activation(self.activation)
         for i in range(self.num_repeats):
             x = nn.Conv(self.out_filters, tuple(self.kernel_size), padding="SAME", name=f"conv{i}")(x)
-            x = act(x)
-            x = Norm(self.norm, name=f"norm{i}")(x, train)
+            # reference applies dropout immediately after each conv
+            # (conv_block_2d.py forward, the 'c' step), before act/norm
             if self.dropout:
                 x = nn.Dropout(self.dropout, deterministic=not train)(x)
-        if self.residual:
-            if inp.shape[-1] != self.out_filters:
+            x = act(x)
+            x = Norm(self.norm, name=f"norm{i}")(x, train)
+        if self.residual and inp.shape[-1] != self.out_filters:
+            # reference residual mechanics (conv_block_2d.py:330-339 /
+            # conv_block_3d.py:277-298): 1x1 conv only when channels
+            # SHRINK; zero-pad the new channels when they grow
+            if inp.shape[-1] > self.out_filters:
                 inp = nn.Conv(self.out_filters, (1,) * len(self.kernel_size), name="res_proj")(inp)
+            else:
+                # torch F.pad(x0, (*[0]*2k, diff, *[0]*3)) puts the zeros on
+                # the LOW side of the channel axis: x0 lands in the trailing
+                # in_filters channels
+                pad = [(0, 0)] * (inp.ndim - 1) + [(self.out_filters - inp.shape[-1], 0)]
+                inp = jnp.pad(inp, pad)
+        if self.residual:
             x = x + inp
         return x
 

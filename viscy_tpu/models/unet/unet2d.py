@@ -85,14 +85,16 @@ class Unet2d(nn.Module):
                 name=f"up_conv_block{i}",
             )(x, train)
 
+        # reference passes norm="none" for BOTH tasks (unet2d.py terminal
+        # blocks) and keeps dropout + the block kernel size
         x = ConvBlock(
             self.out_channels,
-            kernel_size=(3, 3),
+            kernel_size=self.kernel_size,
             num_repeats=1,
             residual=False,
-            norm="none" if self.task == "reg" else "batch",
+            norm="none",
             activation="linear" if self.task == "reg" else "relu",
-            dropout=0.0,
+            dropout=self.dropout,
             name="terminal_block",
         )(x, train)
         x = jnp.transpose(x, (0, 3, 1, 2))

@@ -32,7 +32,10 @@ __all__ = [
     "convert_fcmae_state_dict",
     "convert_unext2_state_dict",
     "convert_contrastive_state_dict",
+    "convert_unet2d_state_dict",
+    "convert_unet25d_state_dict",
     "convert_state_dict",
+    "convert_state_dict_full",
     "load_torch_checkpoint",
 ]
 
@@ -178,11 +181,30 @@ def convert_state_dict(
 
     Returns (params, unmatched_keys).
     """
+    params, _, unmatched = convert_state_dict_full(state_dict, rules, strip_prefix)
+    return params, unmatched
+
+
+def convert_state_dict_full(
+    state_dict: dict[str, Any],
+    rules: list[tuple[str, str, Callable]],
+    strip_prefix: str = "model.",
+) -> tuple[dict, dict, list[str]]:
+    """Convert a torch state dict into nested flax trees.
+
+    Returns ``(params, batch_stats, unmatched_keys)``. BatchNorm running
+    stats (``running_mean``/``running_var``) are routed into the
+    ``batch_stats`` tree as ``mean``/``var`` at the rule's flax path;
+    ``num_batches_tracked`` counters (no flax analog) are dropped silently.
+    """
     params: dict = {}
+    stats: dict = {}
     unmatched: list[str] = []
     for key, value in state_dict.items():
         if strip_prefix and key.startswith(strip_prefix):
             key = key[len(strip_prefix):]
+        if key.endswith(".num_batches_tracked"):
+            continue
         arr = np.asarray(value)
         m = None
         for pattern, template, transform in rules:
@@ -191,19 +213,27 @@ def convert_state_dict(
                 groups = m.groups()
                 torch_param = groups[-1]
                 flax_path = template.format(*groups[:-1])
-                leaf, tf = _flax_leaf_name(flax_path, torch_param, transform)
-                parts = flax_path.split("/")
-                if leaf == "":
-                    # bare param leaf: the path's last segment IS the leaf
-                    parts, leaf = parts[:-1], parts[-1]
-                node = params
+                if torch_param in ("running_mean", "running_var"):
+                    tree = stats
+                    parts = flax_path.split("/")
+                    leaf = "mean" if torch_param == "running_mean" else "var"
+                    val = _flat(arr)
+                else:
+                    tree = params
+                    leaf, tf = _flax_leaf_name(flax_path, torch_param, transform)
+                    parts = flax_path.split("/")
+                    if leaf == "":
+                        # bare param leaf: the path's last segment IS the leaf
+                        parts, leaf = parts[:-1], parts[-1]
+                    val = tf(arr) if tf else arr
+                node = tree
                 for part in parts:
                     node = node.setdefault(part, {})
-                node[leaf] = tf(arr) if tf else arr
+                node[leaf] = val
                 break
         else:
             unmatched.append(key)
-    return params, unmatched
+    return params, stats, unmatched
 
 
 # UNeXt2: timm features_only ConvNeXt encoder ("encoder_stages.*"),
@@ -306,6 +336,58 @@ _CONTRASTIVE_RULES: list[tuple[str, str, Callable]] = [
     (r"projection\.3", "projection/fc1", _t_linear),
     (r"projection\.4", "projection/bn1", None),
 ]
+
+
+# Legacy U-Nets (unet2d.py / unet25d.py): ConvBlock2D/3D register their
+# layers as Conv{2,3}d_{i} / batch_norm_{i} / resid_conv; the model
+# registers block lists as {down,up}_conv_block_{i}. The flax side is
+# ConvBlock (conv{i} / norm{i}/BatchNorm_0 / res_proj).
+_UNET2D_RULES: list[tuple[str, str, Callable]] = [
+    (r"(down|up)_conv_block_(\d+)\.Conv2d_(\d+)", "{0}_conv_block{1}/conv{2}", _t_conv2d),
+    (r"(down|up)_conv_block_(\d+)\.batch_norm_(\d+)", "{0}_conv_block{1}/norm{2}/BatchNorm_0", None),
+    (r"(down|up)_conv_block_(\d+)\.resid_conv", "{0}_conv_block{1}/res_proj", _t_conv2d),
+    (r"bottom_transition_block\.Conv2d_(\d+)", "bottom_conv_block/conv{0}", _t_conv2d),
+    (r"bottom_transition_block\.batch_norm_(\d+)", "bottom_conv_block/norm{0}/BatchNorm_0", None),
+    (r"bottom_transition_block\.resid_conv", "bottom_conv_block/res_proj", _t_conv2d),
+    (r"terminal_block\.Conv2d_(\d+)", "terminal_block/conv{0}", _t_conv2d),
+    (r"terminal_block\.resid_conv", "terminal_block/res_proj", _t_conv2d),
+]
+
+_UNET25D_RULES: list[tuple[str, str, Callable]] = [
+    (r"(down|up)_conv_block_(\d+)\.Conv3d_(\d+)", "{0}_conv_block{1}/conv{2}", _t_conv3d),
+    (r"(down|up)_conv_block_(\d+)\.batch_norm_(\d+)", "{0}_conv_block{1}/norm{2}/BatchNorm_0", None),
+    (r"(down|up)_conv_block_(\d+)\.resid_conv", "{0}_conv_block{1}/res_proj", _t_conv3d),
+    (r"bottom_transition_block", "bottom_transition_block", _t_conv3d),
+    (r"skip_conv_layer_(\d+)", "skip_conv_layer{0}", _t_conv3d),
+    (r"terminal_block\.Conv3d_(\d+)", "terminal_block/conv{0}", _t_conv3d),
+    (r"terminal_block\.batch_norm_(\d+)", "terminal_block/norm{0}/BatchNorm_0", None),
+    (r"terminal_block\.resid_conv", "terminal_block/res_proj", _t_conv3d),
+]
+
+
+def convert_unet2d_state_dict(
+    state_dict: dict[str, Any], strip_prefix: str = "model."
+) -> tuple[dict, dict]:
+    """Convert a Unet2d torch checkpoint (reference ``unet/unet2d.py:11``).
+
+    Returns ``(params, batch_stats)``. Unused ``resid_conv`` leaves (torch
+    creates one per block even when the forward never routes it) convert to
+    ``res_proj`` entries that callers drop when the flax tree has no analog.
+    """
+    params, stats, unmatched = convert_state_dict_full(state_dict, _UNET2D_RULES, strip_prefix)
+    if unmatched:
+        _logger.warning(f"{len(unmatched)} unmatched torch keys, e.g. {unmatched[:5]}")
+    return params, stats
+
+
+def convert_unet25d_state_dict(
+    state_dict: dict[str, Any], strip_prefix: str = "model."
+) -> tuple[dict, dict]:
+    """Convert a Unet25d torch checkpoint (reference ``unet/unet25d.py:11``)."""
+    params, stats, unmatched = convert_state_dict_full(state_dict, _UNET25D_RULES, strip_prefix)
+    if unmatched:
+        _logger.warning(f"{len(unmatched)} unmatched torch keys, e.g. {unmatched[:5]}")
+    return params, stats
 
 
 def convert_unext2_state_dict(state_dict: dict[str, Any], strip_prefix: str = "model.") -> dict:
