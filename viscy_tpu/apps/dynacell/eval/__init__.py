@@ -18,6 +18,13 @@ Orchestration lives in :mod:`.pipeline` with artifact caching in
 mirroring reference ``cache.py``/``pipeline_cache.py``) and local
 thread-pool batching in :mod:`.runtime` (replacing SLURM submission).
 
+The spectral-PCC diagnostic suite (reference
+``evaluation/spectral_pcc/``) adds :mod:`.decorr` (DCR decorrelation
+resolution, one-image FRC, OTF cutoff, band-limited PCC/SSIM),
+:mod:`.spectral_eval` (per-position time-series evaluation driver),
+:mod:`.simulate_beads` (bead-phantom metric validation under known
+bleaching) and :mod:`.diagnostics` (cross-position / shading figures).
+
 All numerics are numpy/scipy/JAX — no cubic/cupy/torch-fidelity
 dependencies; GPU-only reference paths run on the TPU host CPU or via
 jitted JAX where batched (SSIM, deep features).
@@ -29,6 +36,16 @@ from viscy_tpu.apps.dynacell.eval.spectral import (  # noqa: F401
     multiband_ev_score,
     radial_power_spectrum,
     spectral_pcc,
+)
+from viscy_tpu.apps.dynacell.eval.decorr import (  # noqa: F401
+    band_limited_pcc as band_limited_pcc_cutoff,
+    band_limited_ssim,
+    calculate_frc,
+    dcr_curve,
+    dcr_resolution,
+    frc_weights,
+    otf_cutoff,
+    spectral_pcc_frcw,
 )
 from viscy_tpu.apps.dynacell.eval.cache import (  # noqa: F401
     CACHE_SCHEMA_VERSION,

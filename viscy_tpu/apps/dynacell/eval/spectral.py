@@ -222,7 +222,9 @@ def spectral_pcc(
     apodization: str = "tukey",
     weighting: str = "subtract",
     nbins_low: int = 0,
+    taper_low: int = 0,
     tail_fraction: float = 0.2,
+    smooth: bool = False,
 ) -> float:
     """Noise-aware frequency-weighted Pearson correlation.
 
@@ -251,11 +253,25 @@ def spectral_pcc(
     if noise_floor is None:
         noise_floor = estimate_noise_floor(radii, power, tail_fraction)
     w_bins = _WEIGHTING_FNS[weighting](radii, power, noise_floor, cutoff=cutoff)
+    if smooth and len(w_bins) >= 3:
+        # Median-filter the weight curve (reference ``smooth=True`` variant,
+        # used for the Spectral_PCC_Smooth_2D column): suppresses per-bin
+        # noise-floor jitter without moving the weight mass.
+        from scipy.ndimage import median_filter
+
+        w_bins = median_filter(w_bins, size=5, mode="nearest")
 
     nbl = min(int(nbins_low), len(w_bins))
     if nbl > 0:
         w_bins = w_bins.copy()
         w_bins[:nbl] = 0.0
+    tpl = min(int(taper_low), len(w_bins))
+    if tpl > 0:
+        # Smooth low-k exclusion: linear ramp 0 -> 1 over the first
+        # ``taper_low`` bins (the soft alternative to nbins_low's hard
+        # cut; swept by the reference's diagnostic_real taper study).
+        w_bins = w_bins.copy()
+        w_bins[:tpl] *= np.arange(tpl, dtype=np.float32) / float(tpl)
     if float(w_bins.max(initial=0.0)) == 0.0:
         return 0.0
 
@@ -422,14 +438,64 @@ def multiband_ev_score(
 
 
 # -- FSC resolution ------------------------------------------------------------
+def _fsc_curve_resolution(
+    F_t: np.ndarray,
+    F_p: np.ndarray,
+    bid: np.ndarray,
+    edges: np.ndarray,
+    sel: np.ndarray | None,
+    threshold: float,
+) -> float:
+    """Threshold-crossing resolution of one FSC curve.
+
+    ``sel`` optionally restricts the voxels used (sectioned/conical FSC);
+    bins left empty by the cone are skipped, not treated as crossings.
+    """
+    nbins = len(edges) - 1
+    flat_bid = bid.ravel()
+    valid = flat_bid >= 0
+    if sel is not None:
+        valid &= sel.ravel()
+    b = flat_bid[valid]
+    ft = F_t.ravel()[valid]
+    fp = F_p.ravel()[valid]
+    num = np.bincount(b, weights=np.real(ft * np.conj(fp)), minlength=nbins)
+    dt = np.bincount(b, weights=np.abs(ft) ** 2, minlength=nbins)
+    dp = np.bincount(b, weights=np.abs(fp) ** 2, minlength=nbins)
+    counts = np.bincount(b, minlength=nbins)
+    denom = np.sqrt(dt * dp)
+    fsc = np.divide(num, denom, out=np.zeros(nbins), where=denom > 1e-30)
+    radii = (edges[:-1] + edges[1:]) / 2.0
+    populated = counts > 0
+    below = np.flatnonzero((fsc < threshold) & (radii > 0) & populated)
+    if below.size == 0:
+        pop_radii = radii[populated]
+        return 1.0 / float(pop_radii[-1]) if pop_radii.size else float("inf")
+    k_cut = float(radii[below[0]])
+    return 1.0 / k_cut if k_cut > 0 else float("inf")
+
+
+def _checkerboard_split(img: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Two statistically independent sub-images by 2x2(x2) decimation along
+    the last two axes (one-image FSC/FRC, Koho et al. 2019)."""
+    sl_even = [slice(None)] * img.ndim
+    sl_odd = [slice(None)] * img.ndim
+    for ax in (img.ndim - 2, img.ndim - 1):
+        n2 = (img.shape[ax] // 2) * 2
+        sl_even[ax] = slice(0, n2, 2)
+        sl_odd[ax] = slice(1, n2, 2)
+    return img[tuple(sl_even)], img[tuple(sl_odd)]
+
+
 def fsc_resolution(
     target: np.ndarray,
-    prediction: np.ndarray,
+    prediction: np.ndarray | None = None,
     spacing=None,
     *,
     threshold: float = 1.0 / 7.0,
     bin_delta: float = 1.0,
     apodization: str = "tukey",
+    cone_half_angle: float = 45.0,
 ) -> dict[str, float]:
     """Fourier shell/ring correlation resolution.
 
@@ -438,32 +504,48 @@ def fsc_resolution(
     (1/7 criterion). Inputs are mean-centered + apodized like the reference
     (``cubic.metrics.fsc_resolution`` mean-centers internally).
 
-    Returns ``{"fsc": resolution}`` in physical units (np.inf when the
-    curve never crosses the threshold).
+    Single-image mode (``prediction=None``, reference ``evaluate.py:576``
+    calls ``fsc_resolution(gt_filled, spacing=...)`` for GT self-resolution):
+    splits the image into two independent sub-images by in-plane
+    checkerboard decimation, correlates the halves — each retains the
+    full field of view at twice the pixel pitch, so sub-image frequencies
+    map one-to-one onto the low half of the original band.
+
+    Returns ``{"fsc": resolution}`` (isotropic shell) plus, for 3D
+    volumes, ``{"xy", "z"}`` sectioned resolutions from cones within
+    ``cone_half_angle`` degrees of the lateral plane / axial axis
+    (anisotropic optics report different lateral vs axial cutoffs;
+    reference consumes ``fsc["xy"]`` / ``fsc["z"]``, ``evaluate.py:572-578``).
+    All values are in physical units; inf when never crossing.
     """
     spacing = _normalize_spacing(spacing, target.ndim)
     apo = _APODIZATION_FNS[apodization]
-    t = apo(target.astype(np.float32) - float(np.mean(target)))
-    p = apo(prediction.astype(np.float32) - float(np.mean(prediction)))
+    if prediction is None:
+        t_img, p_img = _checkerboard_split(target.astype(np.float32))
+        spacing = list(spacing)
+        spacing[-1] *= 2.0
+        spacing[-2] *= 2.0
+    else:
+        t_img, p_img = target, prediction
+    t = apo(t_img.astype(np.float32) - float(np.mean(t_img)))
+    p = apo(p_img.astype(np.float32) - float(np.mean(p_img)))
     F_t = np.fft.fftn(t)
     F_p = np.fft.fftn(p)
-    edges, bid = _radial_bins(target.shape, spacing, bin_delta)
-    nbins = len(edges) - 1
-    flat_bid = bid.ravel()
-    valid = flat_bid >= 0
-    b = flat_bid[valid]
-    cross = np.real(F_t.ravel()[valid] * np.conj(F_p.ravel()[valid]))
-    pt = np.abs(F_t.ravel()[valid]) ** 2
-    pp = np.abs(F_p.ravel()[valid]) ** 2
-    num = np.bincount(b, weights=cross, minlength=nbins)
-    dt = np.bincount(b, weights=pt, minlength=nbins)
-    dp = np.bincount(b, weights=pp, minlength=nbins)
-    denom = np.sqrt(dt * dp)
-    fsc = np.divide(num, denom, out=np.zeros(nbins), where=denom > 1e-30)
-    radii = (edges[:-1] + edges[1:]) / 2.0
-    below = np.flatnonzero((fsc < threshold) & (radii > 0))
-    if below.size == 0:
-        # never crosses the threshold: resolution is Nyquist-limited
-        return {"fsc": 1.0 / float(radii[-1])}
-    k_cut = float(radii[below[0]])
-    return {"fsc": 1.0 / k_cut if k_cut > 0 else float("inf")}
+    edges, bid = _radial_bins(t.shape, spacing, bin_delta)
+
+    out = {"fsc": _fsc_curve_resolution(F_t, F_p, bid, edges, None, threshold)}
+    if t.ndim == 3:
+        # Sectioned FSC: select voxels by angle between k and the kz axis.
+        kz = np.fft.fftfreq(t.shape[0], d=spacing[0]).astype(np.float32)
+        kz = kz.reshape(-1, 1, 1) * np.ones(t.shape, np.float32)
+        k = radial_frequencies(t.shape, spacing)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cos_theta = np.where(k > 0, np.abs(kz) / np.maximum(k, 1e-30), 0.0)
+        cos_cone = np.cos(np.deg2rad(cone_half_angle))
+        sel_z = cos_theta >= cos_cone  # near the axial axis
+        sel_xy = cos_theta <= np.sin(np.deg2rad(cone_half_angle))  # near the plane
+        out["xy"] = _fsc_curve_resolution(F_t, F_p, bid, edges, sel_xy, threshold)
+        out["z"] = _fsc_curve_resolution(F_t, F_p, bid, edges, sel_z, threshold)
+    else:
+        out["xy"] = out["fsc"]
+    return out
