@@ -367,6 +367,7 @@ def _dynaclr_setup(mesh, n_dev: int):
     from viscy_tpu.parallel.mesh import replicate, shard_batch
     from viscy_tpu.training.state import TrainState
     from viscy_tpu.transforms import (
+        BatchedCenterSpatialCropd,
         BatchedRandAdjustContrastd,
         BatchedRandAffined,
         BatchedRandFlipd,
@@ -375,7 +376,6 @@ def _dynaclr_setup(mesh, n_dev: int):
         BatchedRandSpatialCropd,
         Compose,
     )
-    from viscy_tpu.transforms.crop import center_crop
 
     if _TINY:
         stack, crop_roi, final = (8, 48, 48), (6, 40, 40), (4, 32, 32)
@@ -405,6 +405,9 @@ def _dynaclr_setup(mesh, n_dev: int):
                 sigma_y=(0.25, 0.5),
                 sigma_z=(0.0, 0.2),
             ),
+            # final crop as a Compose member -> the [smooth, center-crop]
+            # peephole blurs only the kept region + halo (bit-identical)
+            BatchedCenterSpatialCropd(keys=["x"], roi_size=list(final)),
         ]
     )
 
@@ -433,8 +436,7 @@ def _dynaclr_setup(mesh, n_dev: int):
 
     def view_one(x, key):
         x = (x - mean) / std
-        x = aug({"x": x}, key)["x"]
-        return center_crop(x, final)
+        return aug({"x": x}, key)["x"]
 
     def view(x, key):
         bb = x.shape[0]

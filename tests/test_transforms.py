@@ -302,6 +302,59 @@ def test_affine_crop_fusion_matches_unfused():
         assert got[k].shape[-3:] == tuple(roi)
 
 
+def test_smooth_crop_fusion_bit_identical():
+    """Compose peephole: blur-into-crop == blur then center crop, bitwise.
+
+    The fused member blurs only crop+halo then trims (``_fuse_smooth_crop``);
+    every output voxel computes the identical tap sums in identical order,
+    so the comparison is exact equality, not allclose. Cases: interior halo,
+    halo clipped at the frame (ROI near full extent), prob mask mixing
+    blurred and untouched samples, and a key-subset residual crop.
+    """
+    from viscy_tpu.transforms import (
+        BatchedCenterSpatialCropd,
+        BatchedRandGaussianSmoothd,
+        Compose,
+    )
+
+    rng = np.random.default_rng(7)
+    data = {
+        "a": jnp.asarray(rng.random((6, 1, 12, 40, 40), np.float32)),
+        "b": jnp.asarray(rng.random((6, 2, 12, 40, 40), np.float32)),
+    }
+    kwargs = dict(
+        keys=["a", "b"], prob=0.5, sigma_z=(0.0, 0.2), sigma_y=(0.25, 0.5), sigma_x=(0.25, 0.5)
+    )
+    key = jax.random.PRNGKey(11)
+    # interior halo and frame-clipped halo (radius (1,2,2): roi 38 clips at 40)
+    for roi in ([8, 24, 24], [12, 38, 38]):
+        smooth = BatchedRandGaussianSmoothd(**kwargs)
+        crop = BatchedCenterSpatialCropd(keys=["a", "b"], roi_size=roi)
+        fused = Compose([smooth, crop])
+        assert len(fused) == 1 and fused.transforms[0]._post_crop == tuple(roi)
+        got = fused(dict(data), key)
+        want = crop(BatchedRandGaussianSmoothd(**kwargs)(dict(data), jax.random.split(key, 1)[0]))
+        for k in ("a", "b"):
+            np.testing.assert_array_equal(np.asarray(got[k]), np.asarray(want[k]))
+            assert got[k].shape[-3:] == tuple(roi)
+
+    # smooth on a key subset: residual crop member covers the rest
+    smooth = BatchedRandGaussianSmoothd(
+        keys=["a"], prob=1.0, sigma_z=(0.0, 0.2), sigma_y=(0.25, 0.5), sigma_x=(0.25, 0.5)
+    )
+    crop = BatchedCenterSpatialCropd(keys=["a", "b"], roi_size=[8, 24, 24])
+    fused = Compose([smooth, crop])
+    assert len(fused) == 2 and tuple(fused.transforms[1].keys) == ("b",)
+    got = fused(dict(data), key)
+    want = crop(
+        BatchedRandGaussianSmoothd(
+            keys=["a"], prob=1.0, sigma_z=(0.0, 0.2), sigma_y=(0.25, 0.5), sigma_x=(0.25, 0.5)
+        )(dict(data), jax.random.split(key, 1)[0])
+    )
+    for k in ("a", "b"):
+        np.testing.assert_array_equal(np.asarray(got[k]), np.asarray(want[k]))
+
+
 def test_array_variants_match_dict_versions():
     """Array adapters share the dict transforms' traced path exactly."""
     key = jax.random.PRNGKey(3)

@@ -268,6 +268,7 @@ class TripletDataModule(DataModule):
         self._epoch = 0
         self._aug_compose = Compose(self.normalizations + self.augmentations)
         self._norm_compose = Compose(self.normalizations)
+        self._crop_compose_cache: dict[int, Compose] = {}
 
     def set_epoch(self, epoch: int) -> None:
         self._epoch = epoch
@@ -359,14 +360,27 @@ class TripletDataModule(DataModule):
         return _BatchedTripletLoader(self.predict_dataset, self.batch_size, shuffle=False, seed=self.seed)
 
     # -- device-side normalization + augmentation -----------------------------------
+    def _with_final_crop(self, transform: Compose) -> Compose:
+        """Append the final center crop as a Compose member so the
+        ``[smooth, center-crop]`` peephole can blur only the kept region
+        plus a kernel-radius halo (bit-identical; 0.44x the blur work on
+        the DynaCLR recipe — see ``transforms.base._fuse_smooth_crop``)."""
+        cached = self._crop_compose_cache.get(id(transform))
+        if cached is None:
+            from viscy_tpu.transforms.crop import BatchedCenterSpatialCropd
+
+            crop = BatchedCenterSpatialCropd(
+                keys=self.source_channel,
+                roi_size=(self.z_window_size, *self.final_yx_patch_size),
+            )
+            cached = Compose([*transform.transforms, crop])
+            self._crop_compose_cache[id(transform)] = cached
+        return cached
+
     def _transform_chunk(self, patches, norm_meta, key, transform: Compose):
         sample = scatter_channels(self.source_channel, patches, norm_meta)
-        sample = transform(sample, key)
-        out = gather_channels(self.source_channel, sample)
-        # center crop to final patch size
-        from viscy_tpu.transforms.crop import center_crop
-
-        return center_crop(out, (self.z_window_size, *self.final_yx_patch_size))
+        sample = self._with_final_crop(transform)(sample, key)
+        return gather_channels(self.source_channel, sample)
 
     def _transform_one(self, patches, norm_meta, key, transform: Compose):
         import jax

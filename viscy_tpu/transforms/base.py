@@ -176,6 +176,48 @@ def _fuse_affine_flip(transforms: list) -> list:
     return out
 
 
+def _fuse_smooth_crop(transforms: list) -> list:
+    """Peephole: ``BatchedRandGaussianSmoothd`` followed by a
+    ``BatchedCenterSpatialCropd`` covering (at least) the same keys blurs
+    only the crop region plus a kernel-radius halo, then trims the halo
+    (``BatchedRandGaussianSmoothd._post_crop``). Bit-identical to
+    blur-then-crop: an output voxel of the separable blur reads input
+    only within a box of the per-axis radius, so every tap for a voxel
+    inside the final ROI lies inside ROI+halo; where the halo would
+    extend past the frame it is clipped and the blur's own zero padding
+    reproduces the original boundary zeros. On the DynaCLR recipe
+    ((40, 228, 228) -> (32, 160, 160), radii (1, 2, 2)) this is 0.44x
+    the blur work. Keys the smooth does not touch keep a residual crop
+    member so the composite output is unchanged."""
+    out: list = []
+    i = 0
+    while i < len(transforms):
+        t = transforms[i]
+        nxt = transforms[i + 1] if i + 1 < len(transforms) else None
+        if (
+            nxt is not None
+            and type(t).__name__ == "BatchedRandGaussianSmoothd"
+            and getattr(t, "_post_crop", None) is None
+            and type(nxt).__name__ == "BatchedCenterSpatialCropd"
+            and set(getattr(t, "keys", ())) <= set(getattr(nxt, "keys", ()))
+        ):
+            import copy
+
+            fused = copy.copy(t)
+            fused._post_crop = tuple(nxt.roi_size)
+            out.append(fused)
+            rest = [k for k in nxt.keys if k not in set(t.keys)]
+            if rest:
+                residual = copy.copy(nxt)
+                residual.keys = tuple(rest)
+                out.append(residual)
+            i += 2
+            continue
+        out.append(t)
+        i += 1
+    return out
+
+
 class Compose(Transform):
     """Compose transforms, splitting the PRNG key across random members.
 
@@ -184,7 +226,9 @@ class Compose(Transform):
     """
 
     def __init__(self, transforms: Sequence[Transform]) -> None:
-        self.transforms = _fuse_affine_crop([t for t in transforms if t is not None])
+        self.transforms = _fuse_smooth_crop(
+            _fuse_affine_crop([t for t in transforms if t is not None])
+        )
 
     @property
     def is_spatial(self) -> bool:  # type: ignore[override]

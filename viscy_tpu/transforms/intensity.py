@@ -224,6 +224,11 @@ class BatchedRandGaussianSmoothd(RandTransform):
         # static kernel radius from the max sigma (truncate at 4 sigma, MONAI-style)
         self.radius = tuple(max(1, int(4.0 * s[1] + 0.5)) for s in self.sigma_ranges)
 
+    # set by the Compose [smooth, center-crop] peephole
+    # (``transforms.base._fuse_smooth_crop``): blur only the crop region
+    # + kernel-radius halo, then trim — bit-identical to blur-then-crop.
+    _post_crop: tuple[int, int, int] | None = None
+
     def __call__(self, data: dict, key: Array = None) -> dict:
         data = dict(data)
         b = data[self.first_key(data)].shape[0]
@@ -234,9 +239,40 @@ class BatchedRandGaussianSmoothd(RandTransform):
         sigmas = jax.random.uniform(k_s, (b, 3)) * (hi - lo) + lo
         for k in self.key_iterator(data):
             x = data[k]
-            new = _separable_blur(x, sigmas, self.radius)
-            data[k] = self._where(mask, new, x)
+            if self._post_crop is None:
+                new = _separable_blur(x, sigmas, self.radius)
+                data[k] = self._where(mask, new, x)
+            else:
+                data[k] = self._smooth_into_crop(x, sigmas, mask)
         return data
+
+    def _smooth_into_crop(self, x: Array, sigmas: Array, mask: Array) -> Array:
+        """Fused blur + center crop to ``self._post_crop``.
+
+        Exactness: each output voxel of the separable blur reads input
+        only inside a per-axis-radius box around it, so blurring the
+        crop region expanded by the radius (clipped at the frame, where
+        the blur's own zero padding reproduces the original boundary
+        zeros) and trimming the halo computes the identical tap sums in
+        the identical order as blur-the-full-frame-then-crop.
+        """
+        spatial = x.shape[-3:]
+        # mirror center_crop's -1/oversize semantics and start arithmetic
+        roi = tuple(
+            s if r < 0 else min(r, s) for s, r in zip(spatial, self._post_crop)
+        )
+        starts = tuple((s - f) // 2 for s, f in zip(spatial, roi))
+        lo = tuple(max(0, st - rr) for st, rr in zip(starts, self.radius))
+        hi = tuple(
+            min(s, st + f + rr)
+            for st, f, rr, s in zip(starts, roi, self.radius, spatial)
+        )
+        idx = (Ellipsis,) + tuple(slice(a, b) for a, b in zip(lo, hi))
+        region = x[idx]
+        blurred = _separable_blur(region, sigmas, self.radius)
+        off = tuple(st - a for st, a in zip(starts, lo))
+        trim = (Ellipsis,) + tuple(slice(o, o + f) for o, f in zip(off, roi))
+        return self._where(mask, blurred[trim], region[trim])
 
 
 class BatchedScaleIntensityRangePercentilesd(MapTransform):
