@@ -35,12 +35,14 @@ from viscy_tpu.models.contrastive.encoder import ContrastiveEncoder  # noqa: E40
 from viscy_tpu.models.unet.fcmae import FullyConvolutionalMAE  # noqa: E402
 from viscy_tpu.models.unet.unet2d import Unet2d  # noqa: E402
 from viscy_tpu.models.unet.unet25d import Unet25d  # noqa: E402
+from viscy_tpu.models.unet.unet3d import Unet3d  # noqa: E402
 from viscy_tpu.models.unet.unext2 import UNeXt2  # noqa: E402
 from viscy_tpu.training.convert import (  # noqa: E402
     convert_contrastive_state_dict,
     convert_fcmae_state_dict,
     convert_unet2d_state_dict,
     convert_unet25d_state_dict,
+    convert_unet3d_state_dict,
     convert_unext2_state_dict,
 )
 
@@ -363,3 +365,103 @@ class TestContrastiveEncoder:
         )
         assert_parity(emb_t, np.asarray(emb_j), "ContrastiveEncoder embedding")
         assert_parity(proj_t, np.asarray(proj_j), "ContrastiveEncoder projection")
+
+
+class TestUnet3dFamily:
+    """FNet3D preset + the shared UNet3DBase (reference unet3d.py:37,
+    unet3d_base.py:19, blocks.py ResnetBlock/Block/ConvBottleneck3D)."""
+
+    def test_fnet3d_forward(self):
+        mod = load_reference("unet.unet3d")
+        torch.manual_seed(29)
+        kw = dict(in_channels=2, out_channels=1, depth=2, mult_chan=4)
+        golden = mod.Unet3d(**kw)
+        _randomize_bn_stats(golden, 31)
+        sd = {k: v.numpy() for k, v in golden.state_dict().items()}
+        conv_params, conv_stats = convert_unet3d_state_dict(sd, strip_prefix="", norm="batch")
+        ported = Unet3d(**kw)
+        x = np.random.default_rng(6).normal(size=(2, 2, 8, 16, 16)).astype(np.float32)
+        variables = ported.init(jax.random.PRNGKey(0), jnp.asarray(x))
+        params = strict_merge(jax.device_get(variables["params"]), conv_params)
+        stats = strict_merge(jax.device_get(variables["batch_stats"]), conv_stats)
+        y_t = torch_forward(golden, x)
+        y_j = np.asarray(ported.apply({"params": params, "batch_stats": stats}, jnp.asarray(x)))
+        assert_parity(y_t, y_j, "Unet3d FNet preset")
+
+    def test_unet3d_base_conditioned(self):
+        """Group norm + residual blocks + timestep FiLM + cond input —
+        the CELLDiff-side configuration of the shared base (ViT bottleneck
+        swapped for the conv bottleneck to isolate the U-Net path)."""
+        base_mod = load_reference("unet.unet3d_base")
+        blocks_mod = load_reference("unet.blocks")
+        torch.manual_seed(37)
+        bott = blocks_mod.ConvBottleneck3D(
+            16, time_emb_dim=8, residual=True, norm="group", activation="silu", groups=2
+        )
+        golden = base_mod.UNet3DBase(
+            in_channels=2,
+            out_channels=1,
+            dims=[4, 8, 16],
+            num_res_block=[1, 2],
+            bottleneck=bott,
+            downsample_z=False,
+            residual=True,
+            norm="group",
+            activation="silu",
+            groups=2,
+            time_embed_dim=8,
+            cond_channels=1,
+        )
+        sd = {k: v.numpy() for k, v in golden.state_dict().items()}
+        conv_params, _ = convert_unet3d_state_dict(sd, strip_prefix="", norm="group")
+
+        from functools import partial
+
+        from viscy_tpu.models.unet.unet3d_base import ResnetBottleneck, UNet3DBase
+
+        ported = UNet3DBase(
+            in_channels=2,
+            out_channels=1,
+            dims=(4, 8, 16),
+            num_res_block=(1, 2),
+            bottleneck_factory=partial(
+                ResnetBottleneck,
+                16,
+                residual=True,
+                norm="group",
+                activation="silu",
+                groups=2,
+                time_emb_dim=8,
+                name="bottleneck",
+            ),
+            downsample_z=False,
+            residual=True,
+            norm="group",
+            activation="silu",
+            groups=2,
+            time_embed_dim=8,
+            cond_channels=1,
+        )
+        rng = np.random.default_rng(7)
+        x = rng.normal(size=(2, 2, 3, 16, 16)).astype(np.float32)
+        cond = rng.normal(size=(2, 1, 3, 16, 16)).astype(np.float32)
+        t = np.asarray([0.25, 0.75], np.float32)
+        variables = ported.init(
+            jax.random.PRNGKey(0), jnp.asarray(x), cond=jnp.asarray(cond), t=jnp.asarray(t)
+        )
+        # applying the base directly drops the wrapper's "unet" scope
+        params = strict_merge(jax.device_get(variables["params"]), conv_params["unet"])
+        golden.eval()
+        with torch.no_grad():
+            y_t = np.asarray(
+                golden(torch.from_numpy(x), cond=torch.from_numpy(cond), t=torch.from_numpy(t))
+            )
+        y_j = np.asarray(
+            ported.apply(
+                {"params": params},
+                jnp.asarray(x),
+                cond=jnp.asarray(cond),
+                t=jnp.asarray(t),
+            )
+        )
+        assert_parity(y_t, y_j, "UNet3DBase conditioned (group norm)")

@@ -120,21 +120,6 @@ class VSUNet(TrainModule):
             model_config.setdefault("pretraining", architecture == "fcmae")
             if architecture == "UNeXt2_2D":
                 model_config["pretraining"] = False
-        if architecture == "FNet3D" and (
-            "depth" in model_config or "mult_chan" in model_config
-        ):
-            # reference FNet3D signature (unet3d.py:63): depth/mult_chan
-            # expand to a dims ladder with batch norm + relu, no residuals
-            fnet_depth = int(model_config.pop("depth", 4))
-            mult_chan = int(model_config.pop("mult_chan", 32))
-            self._in_stack_depth = model_config.pop("in_stack_depth", None)
-            model_config.setdefault(
-                "dims", tuple(mult_chan * 2**i for i in range(fnet_depth + 1))
-            )
-            model_config.setdefault("num_res_block", (1,) * fnet_depth)
-            model_config.setdefault("residual", False)
-            model_config.setdefault("norm", "batch")
-            model_config.setdefault("activation", "relu")
         # normalize config lists to tuples for linen hashability
         for k, v in model_config.items():
             if isinstance(v, list):

@@ -113,9 +113,14 @@ class TimestepEmbedder(nn.Module):
 
 
 class ResnetBlock(nn.Module):
-    """GroupNorm ResNet block with optional timestep conditioning
-    (reference ``unet3d_base.py`` ResnetBlock): norm -> act -> conv, twice,
-    with a FiLM-style time-embedding shift added between convs."""
+    """Double-conv block with optional residual connection and timestep
+    conditioning (reference ``unet/blocks.py`` ``ResnetBlock``/``Block``):
+    two [conv -> norm -> act] sub-blocks, with a FiLM ``x*(scale+1)+shift``
+    applied between the first sub-block's norm and act when conditioned
+    (``blocks.py:108-112``); the time MLP is SiLU -> Linear(2*dim_out)
+    chunked into (scale, shift) (``blocks.py:157,183-186``). Residual adds
+    ``res_conv(x)`` where res_conv is a 1x1 conv iff channels change
+    (``blocks.py:160``); ``residual=False`` is a plain double conv."""
 
     out_channels: int
     residual: bool = True
@@ -127,15 +132,19 @@ class ResnetBlock(nn.Module):
     @nn.compact
     def __call__(self, x: Array, time_embeds: Array | None = None, train: bool = False) -> Array:
         act = _activation(self.activation)
-        h = Norm(self.norm, self.groups, name="norm0")(x, train)
-        h = act(h)
-        h = nn.Conv(self.out_channels, (3, 3, 3), padding="SAME", name="conv0")(h)
+        scale_shift = None
         if self.time_emb_dim is not None and time_embeds is not None:
-            shift = nn.Dense(self.out_channels, name="time_proj")(nn.silu(time_embeds))
-            h = h + shift[:, None, None, None, :]
-        h = Norm(self.norm, self.groups, name="norm1")(h, train)
+            emb = nn.Dense(2 * self.out_channels, name="time_proj")(nn.silu(time_embeds))
+            scale, shift = jnp.split(emb[:, None, None, None, :], 2, axis=-1)
+            scale_shift = (scale, shift)
+        h = nn.Conv(self.out_channels, (3, 3, 3), padding="SAME", name="conv0")(x)
+        h = Norm(self.norm, self.groups, name="norm0")(h, train)
+        if scale_shift is not None:
+            h = h * (scale_shift[0] + 1.0) + scale_shift[1]
         h = act(h)
         h = nn.Conv(self.out_channels, (3, 3, 3), padding="SAME", name="conv1")(h)
+        h = Norm(self.norm, self.groups, name="norm1")(h, train)
+        h = act(h)
         if self.residual:
             if x.shape[-1] != self.out_channels:
                 x = nn.Conv(self.out_channels, (1, 1, 1), name="res_proj")(x)

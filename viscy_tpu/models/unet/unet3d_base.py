@@ -86,23 +86,36 @@ class UNet3DBase(nn.Module):
                     h, time_embeds, train
                 )
                 skips.append(h)
+            # torch Conv3d(k=3, s=2, p=1) windows start at -1; XLA "SAME"
+            # at stride 2 computes (lo, hi) = (0, 1) — explicit (1, 1)
+            # reproduces torch exactly (floor division drops the hi pad)
             h = nn.Conv(
                 self.dims[i + 1],
                 (3, 3, 3),
                 strides=down_stride,
-                padding="SAME",
+                padding=((1, 1), (1, 1), (1, 1)),
                 name=f"down{i}",
             )(h)
 
         h = self.bottleneck_factory()(h, time_embeds=time_embeds, deterministic=deterministic)
 
+        # torch ConvTranspose3d(k, s, p, output_padding=op) semantics
+        # (reference ``unet3d_base.py`` up_kwargs): dilate by s, pad each
+        # side by k-1-p (+op on the high side), convolve with the flipped
+        # kernel — i.e. flax transpose_kernel=True with explicit padding
+        if self.downsample_z:
+            up_kernel = (3, 3, 3)
+            up_pad = ((1, 2), (1, 2), (1, 2))  # k=3, p=1, op=1
+        else:
+            up_kernel = (1, 3, 3)
+            up_pad = ((0, 0), (1, 2), (1, 2))  # z: k=1, p=0, op=0
         for idx, i in enumerate(reversed(range(n_levels))):
-            up_kernel = (3, 3, 3) if self.downsample_z else (1, 3, 3)
             h = nn.ConvTranspose(
                 self.dims[i],
                 up_kernel,
                 strides=down_stride,
-                padding="SAME",
+                padding=up_pad,
+                transpose_kernel=True,
                 name=f"up{idx}",
             )(h)
             for j in range(self.num_res_block[i]):
@@ -126,9 +139,12 @@ class IdentityBottleneck(nn.Module):
 
 
 class ResnetBottleneck(nn.Module):
-    """Two ResNet blocks at the bottleneck (FNet3D-style)."""
+    """Single ResNet block at the bottleneck (reference
+    ``unet/blocks.py`` ``ConvBottleneck3D``: one ``ResnetBlock`` with
+    matching norm/activation/residual settings)."""
 
     dim: int
+    residual: bool = True
     norm: str = "group"
     activation: str = "silu"
     groups: int = 8
@@ -138,13 +154,12 @@ class ResnetBottleneck(nn.Module):
     def __call__(
         self, x: Array, time_embeds: Array | None = None, deterministic: bool = True
     ) -> Array:
-        for i in range(2):
-            x = ResnetBlock(
-                self.dim,
-                norm=self.norm,
-                activation=self.activation,
-                groups=self.groups,
-                time_emb_dim=self.time_emb_dim,
-                name=f"block{i}",
-            )(x, time_embeds)
-        return x
+        return ResnetBlock(
+            self.dim,
+            residual=self.residual,
+            norm=self.norm,
+            activation=self.activation,
+            groups=self.groups,
+            time_emb_dim=self.time_emb_dim,
+            name="block",
+        )(x, time_embeds, not deterministic)

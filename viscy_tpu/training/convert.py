@@ -34,6 +34,7 @@ __all__ = [
     "convert_contrastive_state_dict",
     "convert_unet2d_state_dict",
     "convert_unet25d_state_dict",
+    "convert_unet3d_state_dict",
     "convert_state_dict",
     "convert_state_dict_full",
     "load_torch_checkpoint",
@@ -419,6 +420,67 @@ def convert_fcmae_state_dict(state_dict: dict[str, Any], strip_prefix: str = "mo
     if unmatched:
         _logger.warning(f"{len(unmatched)} unmatched torch keys, e.g. {unmatched[:5]}")
     return params
+
+
+def _unet3d_base_rules(norm_child: str) -> list[tuple[str, str, Callable]]:
+    """Rules for the torch ``UNet3DBase`` naming (reference
+    ``unet/unet3d_base.py:58-138`` + ``unet/blocks.py`` ResnetBlock/Block):
+    ``block1.proj``/``block2.proj`` -> ``conv0``/``conv1``, norms to the
+    flax :class:`Norm` wrapper's child (``BatchNorm_0`` / ``GroupNorm_0``),
+    the ``mlp.1`` time projection -> ``time_proj``, ``res_conv`` ->
+    ``res_proj``, ``ConvTranspose3d`` upsamples -> ``up{i}`` (the same
+    ``(2,3,4,1,0)`` transpose maps torch's ``(I, O, k...)`` onto flax
+    ``transpose_kernel=True``'s ``(k..., O, I)``).
+    """
+
+    def block(src: str, dst: str) -> list[tuple[str, str, Callable]]:
+        return [
+            (rf"{src}\.block1\.proj", f"{dst}/conv0", _t_conv3d),
+            (rf"{src}\.block1\.norm", f"{dst}/norm0/{norm_child}", None),
+            (rf"{src}\.block2\.proj", f"{dst}/conv1", _t_conv3d),
+            (rf"{src}\.block2\.norm", f"{dst}/norm1/{norm_child}", None),
+            (rf"{src}\.mlp\.1", f"{dst}/time_proj", _t_linear),
+            (rf"{src}\.res_conv", f"{dst}/res_proj", _t_conv3d),
+        ]
+
+    return [
+        (r"inconv", "unet/inconv", _t_conv3d),
+        (r"_cond_inconv", "unet/cond_inconv", _t_conv3d),
+        (r"_time_embedder\.mlp\.0", "unet/time_embedder/fc0", _t_linear),
+        (r"_time_embedder\.mlp\.2", "unet/time_embedder/fc1", _t_linear),
+        *block(r"_encoder_blocks\.(\d+)\.(\d+)", "unet/enc{0}_{1}"),
+        (r"_downsamples\.(\d+)", "unet/down{0}", _t_conv3d),
+        *block(r"_decoder_blocks\.(\d+)\.(\d+)", "unet/dec{0}_{1}"),
+        (r"_upsamples\.(\d+)", "unet/up{0}", _t_conv3d),
+        *block(r"bottleneck\.block", "unet/bottleneck/block"),
+        (r"outconv", "unet/outconv", _t_conv3d),
+    ]
+
+
+def convert_unet3d_state_dict(
+    state_dict: dict[str, Any],
+    strip_prefix: str = "model.",
+    norm: str = "batch",
+) -> tuple[dict, dict]:
+    """Convert a Unet3d / UNet3DBase torch checkpoint (reference
+    ``unet/unet3d.py:37``, ``unet3d_base.py:19``).
+
+    Returns ``(params, batch_stats)`` (``batch_stats`` empty for group
+    norm). The ``_time_embedder.freqs`` sinusoidal buffer is recomputed
+    by the flax module and dropped here.
+    """
+    norm_child = "BatchNorm_0" if norm == "batch" else "GroupNorm_0"
+    state = {
+        k: v
+        for k, v in state_dict.items()
+        if not k.endswith("_time_embedder.freqs")
+    }
+    params, stats, unmatched = convert_state_dict_full(
+        state, _unet3d_base_rules(norm_child), strip_prefix
+    )
+    if unmatched:
+        _logger.warning(f"{len(unmatched)} unmatched torch keys, e.g. {unmatched[:5]}")
+    return params, stats
 
 
 def load_torch_checkpoint(path: str) -> dict[str, np.ndarray]:
