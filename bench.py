@@ -385,8 +385,10 @@ def _dynaclr_setup(mesh, n_dev: int):
         depth = 32
         b = int(os.environ.get("BENCH_DYNACLR_BATCH", "256")) * n_dev
 
-    aug = Compose(
-        [
+    # BENCH_DYNACLR_NOAUG=1 measures the no-aug ceiling (normalize +
+    # center-crop only): the step rate with the aug pipeline's cost
+    # removed, bounding what aug optimization can still buy
+    members = [] if os.environ.get("BENCH_DYNACLR_NOAUG") else [
             BatchedRandAffined(
                 keys=["x"],
                 prob=0.8,
@@ -405,6 +407,10 @@ def _dynaclr_setup(mesh, n_dev: int):
                 sigma_y=(0.25, 0.5),
                 sigma_z=(0.0, 0.2),
             ),
+    ]
+    aug = Compose(
+        [
+            *members,
             # final crop as a Compose member -> the [smooth, center-crop]
             # peephole blurs only the kept region + halo (bit-identical)
             BatchedCenterSpatialCropd(keys=["x"], roi_size=list(final)),

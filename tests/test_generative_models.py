@@ -48,18 +48,19 @@ def test_beta_vae_shapes_and_loss():
 
 def test_patchgan_logits_and_features():
     d = PatchGAN3D(in_channels=2, base_channels=8, n_layers=2)
-    x = jnp.zeros((1, 2, 3, 32, 32))
+    x = jnp.zeros((1, 2, 8, 32, 32))
     variables = d.init({"params": KEY}, x)
     logits, feats = d.apply(variables, x, return_features=True)
     assert logits.shape[0] == 1 and logits.shape[1] == 1
-    assert logits.shape[2] == 3  # Z preserved
-    assert len(feats) == 3
+    # reference k=4/p=1 convs shrink Z by 1 per (1,2,2)-stride layer
+    assert logits.shape[2] == 6
+    assert len(feats) == 2
 
 
 def test_multiscale_gan_losses():
     d = MultiScalePatchGAN3D(in_channels=1, base_channels=8, n_layers=2, num_scales=2)
-    real = jnp.asarray(np.random.default_rng(0).random((1, 1, 2, 32, 32), np.float32))
-    fake = jnp.asarray(np.random.default_rng(1).random((1, 1, 2, 32, 32), np.float32))
+    real = jnp.asarray(np.random.default_rng(0).random((1, 1, 8, 32, 32), np.float32))
+    fake = jnp.asarray(np.random.default_rng(1).random((1, 1, 8, 32, 32), np.float32))
     variables = d.init({"params": KEY}, real)
     r_logits, r_feats = d.apply(variables, real, return_features=True)
     f_logits, f_feats = d.apply(variables, fake, return_features=True)

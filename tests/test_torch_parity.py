@@ -465,3 +465,50 @@ class TestUnet3dFamily:
             )
         )
         assert_parity(y_t, y_j, "UNet3DBase conditioned (group norm)")
+
+
+class TestPatchGAN3D:
+    """GAN discriminators (reference gan/patchgan3d.py:22,132), spectral
+    norm materialized to the eval-time weight (W/sigma)."""
+
+    def test_single_scale_forward(self):
+        mod = load_reference("gan.patchgan3d")
+        torch.manual_seed(41)
+        golden = mod.PatchGAN3D(in_channels=2, base_channels=8, use_spectral_norm=True)
+        sd = {k: v.numpy() for k, v in golden.state_dict().items()}
+        from viscy_tpu.training.convert import convert_patchgan3d_state_dict
+
+        conv_params = convert_patchgan3d_state_dict(sd, strip_prefix="")
+        from viscy_tpu.models.gan.patchgan3d import PatchGAN3D
+
+        ported = PatchGAN3D(in_channels=2, base_channels=8, use_spectral_norm=False)
+        x = np.random.default_rng(8).normal(size=(2, 2, 8, 64, 64)).astype(np.float32)
+        variables = ported.init(jax.random.PRNGKey(0), jnp.asarray(x))
+        params = strict_merge(jax.device_get(variables["params"]), conv_params)
+        y_t = torch_forward(golden, x)
+        y_j = np.asarray(ported.apply({"params": params}, jnp.asarray(x)))
+        assert_parity(y_t, y_j, "PatchGAN3D spectral-norm eval")
+
+    def test_multiscale_forward(self):
+        mod = load_reference("gan.patchgan3d")
+        torch.manual_seed(43)
+        golden = mod.MultiScalePatchGAN3D(
+            in_channels=1, base_channels=8, num_scales=2, use_spectral_norm=True
+        )
+        sd = {k: v.numpy() for k, v in golden.state_dict().items()}
+        from viscy_tpu.training.convert import convert_multiscale_patchgan3d_state_dict
+
+        conv_params = convert_multiscale_patchgan3d_state_dict(sd, strip_prefix="")
+        from viscy_tpu.models.gan.patchgan3d import MultiScalePatchGAN3D
+
+        ported = MultiScalePatchGAN3D(
+            in_channels=1, base_channels=8, num_scales=2, use_spectral_norm=False
+        )
+        x = np.random.default_rng(9).normal(size=(2, 1, 8, 64, 64)).astype(np.float32)
+        variables = ported.init(jax.random.PRNGKey(0), jnp.asarray(x))
+        params = strict_merge(jax.device_get(variables["params"]), conv_params)
+        y_t = torch_forward(golden, x)
+        y_j = ported.apply({"params": params}, jnp.asarray(x))
+        assert isinstance(y_t, tuple) and len(y_t) == 2
+        for s in range(2):
+            assert_parity(np.asarray(y_t[s]), np.asarray(y_j[s]), f"MultiScalePatchGAN3D scale {s}")

@@ -1,17 +1,23 @@
 """PatchGAN 3D discriminators (reference ``gan/patchgan3d.py:22,132``).
 
-Conv3D stack with (1, 2, 2) strides (Z preserved), instance norm, leaky
-ReLU; multiscale variant runs the same discriminator on YX-downsampled
-inputs. Returns per-layer features for feature-matching losses.
+Single-scale ``PatchGAN3D`` mirrors the reference exactly: ``n_layers``
+(default 4) strided ``k=4`` convs with anisotropic strides
+``(1,2,2) -> (1,2,2) -> (2,2,2) -> (2,2,2)`` and torch ``padding=1``
+(explicit ``(1,1)`` here — XLA "SAME" places strided pads differently),
+InstanceNorm3d(affine) + LeakyReLU(0.2) on layers 2+, a first layer with
+no norm, and a final ``(1,4,4)`` logit conv that stays valid at Z=1.
+``MultiScalePatchGAN3D`` stacks independent instances on YX avg-pooled
+inputs (pix2pixHD-style).
+
 Spectral normalization (reference default) uses flax's power-iteration
 ``nn.SpectralNorm``; its u/v vectors live in the ``batch_stats``
 collection and advance only when ``update_stats=True`` (once per
-discriminator step in the GAN engine).
+discriminator step in the GAN engine). ``return_features`` exposes
+per-layer activations for feature-matching losses (a TPU-side extension;
+the reference returns logits only).
 """
 
 from __future__ import annotations
-
-from typing import Sequence
 
 import jax
 import jax.numpy as jnp
@@ -19,18 +25,19 @@ from flax import linen as nn
 
 Array = jax.Array
 
+_PAD4 = ((1, 1), (1, 1), (1, 1))  # torch Conv3d(k=4, p=1), any stride
+
 
 class PatchGAN3D(nn.Module):
-    """3D PatchGAN discriminator. Input (B, C, D, H, W) -> patch logits."""
+    """Single-scale 3D PatchGAN. Input (B, C, D, H, W) -> patch logits."""
 
     in_channels: int = 2
     base_channels: int = 64
-    n_layers: int = 3
-    kernel_size: tuple[int, int, int] = (3, 4, 4)
+    n_layers: int = 4  # strided convs before the logit conv (reference: 4)
     use_spectral_norm: bool = True
 
-    def _conv(self, ch: int, strides, name: str):
-        conv = nn.Conv(ch, self.kernel_size, strides=strides, padding="SAME", name=name)
+    def _conv(self, ch: int, kernel, strides, padding, name: str):
+        conv = nn.Conv(ch, kernel, strides=strides, padding=padding, name=name)
         if self.use_spectral_norm:
             return nn.SpectralNorm(conv)
         return conv
@@ -44,22 +51,24 @@ class PatchGAN3D(nn.Module):
     def __call__(self, x: Array, return_features: bool = False, update_stats: bool = False):
         h = jnp.transpose(x, (0, 2, 3, 4, 1))
         features = []
-        ch = self.base_channels
-        h = self._apply_conv(self._conv(ch, (1, 2, 2), "conv0"), h, update_stats)
-        h = nn.leaky_relu(h, 0.2)
-        features.append(h)
-        for i in range(1, self.n_layers):
-            ch = min(ch * 2, 512)
-            h = self._apply_conv(self._conv(ch, (1, 2, 2), f"conv{i}"), h, update_stats)
-            h = nn.GroupNorm(num_groups=None, group_size=1, name=f"norm{i}")(h)
+        for i in range(1, self.n_layers + 1):
+            ch = self.base_channels * min(2 ** (i - 1), 8)
+            stride = (1, 2, 2) if i <= 2 else (2, 2, 2)
+            h = self._apply_conv(
+                self._conv(ch, (4, 4, 4), stride, _PAD4, f"conv{i}"), h, update_stats
+            )
+            if i > 1:
+                # torch InstanceNorm3d(affine=True), eps 1e-5
+                h = nn.GroupNorm(
+                    num_groups=None, group_size=1, epsilon=1e-5, name=f"norm{i}"
+                )(h)
             h = nn.leaky_relu(h, 0.2)
             features.append(h)
-        ch = min(ch * 2, 512)
-        h = self._apply_conv(self._conv(ch, (1, 1, 1), "conv_pre"), h, update_stats)
-        h = nn.GroupNorm(num_groups=None, group_size=1, name="norm_pre")(h)
-        h = nn.leaky_relu(h, 0.2)
-        features.append(h)
-        logits = self._apply_conv(self._conv(1, (1, 1, 1), "conv_out"), h, update_stats)
+        logits = self._apply_conv(
+            self._conv(1, (1, 4, 4), (1, 1, 1), ((0, 0), (1, 1), (1, 1)), "conv_out"),
+            h,
+            update_stats,
+        )
         logits = jnp.transpose(logits, (0, 4, 1, 2, 3))
         if return_features:
             return logits, features
@@ -67,11 +76,13 @@ class PatchGAN3D(nn.Module):
 
 
 class MultiScalePatchGAN3D(nn.Module):
-    """Run PatchGAN3D at multiple YX scales (avg-pooled inputs)."""
+    """Run PatchGAN3D at multiple YX scales (avg-pooled inputs,
+    reference ``gan/patchgan3d.py:132``: ``F.avg_pool3d(k=(1,2,2))``,
+    no padding)."""
 
     in_channels: int = 2
     base_channels: int = 64
-    n_layers: int = 3
+    n_layers: int = 4
     num_scales: int = 2
     use_spectral_norm: bool = True
 
@@ -96,7 +107,7 @@ class MultiScalePatchGAN3D(nn.Module):
             outputs.append(logits)
             if s < self.num_scales - 1:
                 current = jax.lax.reduce_window(
-                    current, 0.0, jax.lax.add, (1, 1, 1, 2, 2), (1, 1, 1, 2, 2), "SAME"
+                    current, 0.0, jax.lax.add, (1, 1, 1, 2, 2), (1, 1, 1, 2, 2), "VALID"
                 ) / 4.0
         if return_features:
             return outputs, all_features

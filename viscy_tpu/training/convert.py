@@ -35,6 +35,8 @@ __all__ = [
     "convert_unet2d_state_dict",
     "convert_unet25d_state_dict",
     "convert_unet3d_state_dict",
+    "convert_patchgan3d_state_dict",
+    "convert_multiscale_patchgan3d_state_dict",
     "convert_state_dict",
     "convert_state_dict_full",
     "load_torch_checkpoint",
@@ -481,6 +483,81 @@ def convert_unet3d_state_dict(
     if unmatched:
         _logger.warning(f"{len(unmatched)} unmatched torch keys, e.g. {unmatched[:5]}")
     return params, stats
+
+
+def _materialize_spectral_norm(state_dict: dict[str, Any]) -> dict[str, Any]:
+    """Collapse torch ``parametrizations.weight`` spectral-norm entries into
+    plain ``.weight`` keys: ``W_eff = original / sigma`` with
+    ``sigma = u . (W_mat v)`` from the stored power-iteration vectors —
+    exactly the weight torch uses at eval time."""
+    out: dict[str, Any] = {}
+    for key, value in state_dict.items():
+        if ".parametrizations.weight." in key:
+            if key.endswith(".original"):
+                base = key[: -len(".parametrizations.weight.original")]
+                w = np.asarray(value)
+                u = np.asarray(state_dict[f"{base}.parametrizations.weight.0._u"])
+                v = np.asarray(state_dict[f"{base}.parametrizations.weight.0._v"])
+                sigma = float(u @ (w.reshape(w.shape[0], -1) @ v))
+                out[f"{base}.weight"] = w / sigma
+            continue  # _u/_v consumed above
+        out[key] = value
+    return out
+
+
+# PatchGAN3D (reference gan/patchgan3d.py:22): layer{1..4}.0 strided convs,
+# layer{2..4}.1 InstanceNorm3d(affine), layer5 logit conv.
+_PATCHGAN3D_RULES: list[tuple[str, str, Callable]] = [
+    (r"layer(\d)\.0", "conv{0}", _t_conv3d),
+    (r"layer(\d)\.1", "norm{0}", None),
+    (r"layer5", "conv_out", _t_conv3d),
+]
+
+
+def convert_patchgan3d_state_dict(
+    state_dict: dict[str, Any], strip_prefix: str = "discriminator."
+) -> dict:
+    """Convert a PatchGAN3D torch state dict (reference
+    ``gan/patchgan3d.py:22``) to flax params.
+
+    Spectral-norm parametrizations are materialized (``W/sigma``); apply the
+    result with ``use_spectral_norm=False`` for inference, or let training
+    re-estimate u/v via power iteration.
+    """
+    if strip_prefix:
+        state_dict = {
+            k[len(strip_prefix):]: v
+            for k, v in state_dict.items()
+            if k.startswith(strip_prefix)
+        }
+    state = _materialize_spectral_norm(state_dict)
+    params, unmatched = convert_state_dict(state, _PATCHGAN3D_RULES, strip_prefix="")
+    if unmatched:
+        _logger.warning(f"{len(unmatched)} unmatched torch keys, e.g. {unmatched[:5]}")
+    return params
+
+
+def convert_multiscale_patchgan3d_state_dict(
+    state_dict: dict[str, Any], strip_prefix: str = "discriminator."
+) -> dict:
+    """Convert a MultiScalePatchGAN3D torch state dict (reference
+    ``gan/patchgan3d.py:132``: ``discriminators.{s}.*``) to flax params
+    (``scale{s}/*``)."""
+    if strip_prefix:
+        state_dict = {
+            k[len(strip_prefix):]: v
+            for k, v in state_dict.items()
+            if k.startswith(strip_prefix)
+        }
+    scales: dict[int, dict[str, Any]] = {}
+    for key, value in state_dict.items():
+        m = re.match(r"^discriminators\.(\d+)\.(.+)$", key)
+        if m:
+            scales.setdefault(int(m.group(1)), {})[m.group(2)] = value
+    return {
+        f"scale{s}": convert_patchgan3d_state_dict(sub, strip_prefix="")
+        for s, sub in sorted(scales.items())
+    }
 
 
 def load_torch_checkpoint(path: str) -> dict[str, np.ndarray]:
