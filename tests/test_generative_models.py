@@ -79,6 +79,7 @@ def test_unet_vit3d_shape():
         num_res_block=(1, 1),
         hidden_size=48,
         num_heads=2,
+        patch_size=1,
     )
     x = jnp.zeros((1, 1, 3, 16, 16))
     variables = model.init({"params": KEY}, x)
@@ -97,6 +98,7 @@ def test_celldiff_flow_matching_and_sampling():
         hidden_size=48,
         num_heads=2,
         num_hidden_layers=1,
+        patch_size=1,
     )
     rng = np.random.default_rng(0)
     x1 = jnp.asarray(rng.random((2, 1, 2, 16, 16), np.float32))
@@ -135,6 +137,7 @@ def test_dynacell_gan_modernization_knobs():
             hidden_size=32,
             num_heads=2,
             num_hidden_layers=1,
+            patch_size=1,
         ),
         discriminator_config=dict(num_scales=2, base_channels=8, n_layers=2),
         loss_type="rpgan",

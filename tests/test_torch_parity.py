@@ -512,3 +512,106 @@ class TestPatchGAN3D:
         assert isinstance(y_t, tuple) and len(y_t) == 2
         for s in range(2):
             assert_parity(np.asarray(y_t[s]), np.asarray(y_j[s]), f"MultiScalePatchGAN3D scale {s}")
+
+
+class TestCELLDiffFamily:
+    """UNetViT3D + CELLDiffNet (reference celldiff/unet_vit_3d.py:17,
+    celldiff_net.py:21, vit_bottleneck.py:26) with the diffusers shim."""
+
+    def test_unet_vit3d_forward(self):
+        mod = load_reference("celldiff.unet_vit_3d")
+        torch.manual_seed(47)
+        kw = dict(
+            input_spatial_size=[4, 32, 32],
+            in_channels=2,
+            out_channels=1,
+            dims=[8, 16, 32],
+            num_res_block=[1, 1],
+            hidden_size=64,
+            num_heads=4,
+            dim_head=16,
+            num_hidden_layers=2,
+            patch_size=2,
+        )
+        golden = mod.UNetViT3D(**kw)
+        sd = {k: v.numpy() for k, v in golden.state_dict().items()}
+        from viscy_tpu.training.convert import convert_celldiff_state_dict
+
+        conv_params, _ = convert_celldiff_state_dict(sd, strip_prefix="")
+        from viscy_tpu.models.celldiff.celldiff_net import UNetViT3D
+
+        ported = UNetViT3D(
+            in_channels=2,
+            out_channels=1,
+            dims=(8, 16, 32),
+            num_res_block=(1, 1),
+            hidden_size=64,
+            num_heads=4,
+            dim_head=16,
+            num_hidden_layers=2,
+            patch_size=2,
+        )
+        x = np.random.default_rng(10).normal(size=(2, 2, 4, 32, 32)).astype(np.float32)
+        variables = ported.init(jax.random.PRNGKey(0), jnp.asarray(x))
+        params = strict_merge(jax.device_get(variables["params"]), conv_params)
+        y_t = torch_forward(golden, x)
+        y_j = np.asarray(ported.apply({"params": params}, jnp.asarray(x)))
+        assert_parity(y_t, y_j, "UNetViT3D")
+
+    def test_celldiff_net_forward(self):
+        mod = load_reference("celldiff.celldiff_net")
+        torch.manual_seed(53)
+        golden = mod.CELLDiffNet(
+            input_spatial_size=[4, 32, 32],
+            in_channels=1,
+            dims=[8, 16, 32],
+            num_res_block=[1, 1],
+            hidden_size=64,
+            num_heads=4,
+            dim_head=16,
+            num_hidden_layers=2,
+            patch_size=2,
+        )
+        # zero-init adaLN kills the conditioned paths; perturb so the
+        # timestep conditioning is actually exercised
+        with torch.no_grad():
+            for name, p in golden.named_parameters():
+                if "adaLN" in name:
+                    p.copy_(torch.randn_like(p) * 0.02)
+        sd = {k: v.numpy() for k, v in golden.state_dict().items()}
+        from viscy_tpu.training.convert import convert_celldiff_state_dict
+
+        conv_params, _ = convert_celldiff_state_dict(sd, strip_prefix="")
+        from viscy_tpu.models.celldiff.celldiff_net import CELLDiffNet
+
+        ported = CELLDiffNet(
+            in_channels=1,
+            out_channels=1,
+            cond_channels=1,
+            dims=(8, 16, 32),
+            num_res_block=(1, 1),
+            hidden_size=64,
+            num_heads=4,
+            dim_head=16,
+            num_hidden_layers=2,
+            patch_size=2,
+        )
+        rng = np.random.default_rng(11)
+        x = rng.normal(size=(2, 1, 4, 32, 32)).astype(np.float32)
+        cond = rng.normal(size=(2, 1, 4, 32, 32)).astype(np.float32)
+        t = np.asarray([0.1, 0.9], np.float32)
+        variables = ported.init(
+            jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(cond), jnp.asarray(t)
+        )
+        params = strict_merge(jax.device_get(variables["params"]), conv_params)
+        golden.eval()
+        with torch.no_grad():
+            y_t = np.asarray(
+                golden(torch.from_numpy(x), torch.from_numpy(cond), torch.from_numpy(t))
+            )
+        y_j = np.asarray(
+            ported.apply(
+                {"params": params}, jnp.asarray(x), jnp.asarray(cond), jnp.asarray(t)
+            )
+        )
+        assert_parity(y_t, y_j, "CELLDiffNet conditioned")

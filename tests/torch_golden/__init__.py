@@ -54,6 +54,10 @@ def _install_shims() -> None:
         from . import _pml_shim
 
         sys.modules.update(_with_specs(_pml_shim._build_namespace()))
+    if "diffusers" not in sys.modules:
+        from . import _diffusers_shim
+
+        sys.modules.update(_with_specs(_diffusers_shim._build_namespace()))
 
 
 def load_reference(modname: str):

@@ -27,12 +27,13 @@ class CELLDiffNet(nn.Module):
     num_res_block: Sequence[int] = (2, 2)
     downsample_z: bool = False
     input_spatial_size: Sequence[int] | None = None
-    time_embed_dim: int = 256
-    hidden_size: int = 256
-    num_heads: int = 4
+    # reference celldiff_net.py:93: time embedding width = hidden_size
+    time_embed_dim: int | None = None
+    hidden_size: int = 512
+    num_heads: int = 8
     num_hidden_layers: int = 2
-    patch_size: int = 1
-    dim_head: int | None = None
+    patch_size: int = 4
+    dim_head: int | None = 64
     dropout: float = 0.0
     final_dropout: float = 0.0
 
@@ -63,7 +64,7 @@ class CELLDiffNet(nn.Module):
                 name="bottleneck",
             ),
             downsample_z=self.downsample_z,
-            time_embed_dim=self.time_embed_dim,
+            time_embed_dim=self.time_embed_dim or self.hidden_size,
             cond_channels=self.cond_channels,
             name="unet",
         )(x, cond=cond, t=t, deterministic=deterministic)
@@ -80,11 +81,11 @@ class UNetViT3D(nn.Module):
     # native (D, H, W) patch size for tiled inference (reference
     # unet_vit_3d.py:59); informational, consumed by sliding-window predict
     input_spatial_size: Sequence[int] | None = None
-    hidden_size: int = 256
-    num_heads: int = 4
+    hidden_size: int = 512
+    num_heads: int = 8
     num_hidden_layers: int = 2
-    patch_size: int = 1
-    dim_head: int | None = None
+    patch_size: int = 4
+    dim_head: int | None = 64
     dropout: float = 0.0
     final_dropout: float = 0.0
 

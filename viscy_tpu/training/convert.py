@@ -36,6 +36,7 @@ __all__ = [
     "convert_unet25d_state_dict",
     "convert_unet3d_state_dict",
     "convert_patchgan3d_state_dict",
+    "convert_celldiff_state_dict",
     "convert_multiscale_patchgan3d_state_dict",
     "convert_state_dict",
     "convert_state_dict_full",
@@ -457,6 +458,51 @@ def _unet3d_base_rules(norm_child: str) -> list[tuple[str, str, Callable]]:
         *block(r"bottleneck\.block", "unet/bottleneck/block"),
         (r"outconv", "unet/outconv", _t_conv3d),
     ]
+
+
+def _t_patch3d_to_dense(w):
+    # PatchEmbed3D conv (E, C, p, p, p) -> Dense kernel (p^3*C, E) with
+    # token-vector layout (pz, py, px, c) (vit_bottleneck.py patchify)
+    return np.transpose(w, (2, 3, 4, 1, 0)).reshape(-1, w.shape[0])
+
+
+def _vit_bottleneck_rules() -> list[tuple[str, str, Callable]]:
+    """Rules for the torch ``ViTBottleneck3D`` naming (reference
+    ``celldiff/vit_bottleneck.py:26`` + ``modules/transformer.py``)."""
+    return [
+        (r"bottleneck\.img_embedding\.proj", "unet/bottleneck/patch_embed", _t_patch3d_to_dense),
+        (r"bottleneck\.blocks\.(\d+)\.attn\.to_q", "unet/bottleneck/block{0}/attn/attn_q", _t_linear),
+        (r"bottleneck\.blocks\.(\d+)\.attn\.to_k", "unet/bottleneck/block{0}/attn/attn_k", _t_linear),
+        (r"bottleneck\.blocks\.(\d+)\.attn\.to_v", "unet/bottleneck/block{0}/attn/attn_v", _t_linear),
+        (r"bottleneck\.blocks\.(\d+)\.attn\.to_out\.0", "unet/bottleneck/block{0}/attn/attn_out", _t_linear),
+        (r"bottleneck\.blocks\.(\d+)\.ff\.net\.0\.proj", "unet/bottleneck/block{0}/ff/ff_proj", _t_linear),
+        (r"bottleneck\.blocks\.(\d+)\.ff\.net\.2", "unet/bottleneck/block{0}/ff/ff_out", _t_linear),
+        (r"bottleneck\.blocks\.(\d+)\.adaLN\.1", "unet/bottleneck/block{0}/adaLN", _t_linear),
+        (r"bottleneck\.proj_out\.linear", "unet/bottleneck/final_proj", _t_linear),
+        (r"bottleneck\.proj_out\.adaLN\.1", "unet/bottleneck/final_adaLN", _t_linear),
+    ]
+
+
+def convert_celldiff_state_dict(
+    state_dict: dict[str, Any],
+    strip_prefix: str = "model.",
+) -> tuple[dict, dict]:
+    """Convert a CELLDiffNet / UNetViT3D torch checkpoint (reference
+    ``celldiff/celldiff_net.py:21``, ``unet_vit_3d.py:17``): the shared
+    U-Net base (group norm) plus the ViT bottleneck. The fixed
+    ``img_pos_embed`` buffer and ``_time_embedder.freqs`` are recomputed
+    by the flax modules and dropped here.
+    """
+    state = {
+        k: v
+        for k, v in state_dict.items()
+        if not k.endswith(("_time_embedder.freqs", "img_pos_embed"))
+    }
+    rules = _vit_bottleneck_rules() + _unet3d_base_rules("GroupNorm_0")
+    params, stats, unmatched = convert_state_dict_full(state, rules, strip_prefix)
+    if unmatched:
+        _logger.warning(f"{len(unmatched)} unmatched torch keys, e.g. {unmatched[:5]}")
+    return params, stats
 
 
 def convert_unet3d_state_dict(
