@@ -870,6 +870,63 @@ def bench_predict_e2e(device_ms_per_window: float | None, tmp: str | None = None
         "host (blend is on-chip; tensorstore parallelizes chunk encode "
         "across the host pool)"
     )
+
+    # -- pipelined e2e demo (VERDICT r4 item 4): N FOVs stream through the
+    # REAL writer flush pool while a producer emulates the device at the
+    # separately measured forward rate. Slabs are pre-blended (on a TPU
+    # host the blend rides the chip), so the host work in the loop is
+    # exactly the steady-state codec+IO, overlapped with the "forward".
+    # Target: measured e2e >= ~0.8 x min(device rate, cores x codec rate).
+    if device_ms_per_window is not None:
+        from viscy_tpu.apps.cytoland.prediction import tile_positions
+
+        infer_tile = int(os.environ.get("BENCH_INFER_TILE", "320"))
+        tiles = len(tile_positions(hw, infer_tile, 32)) ** 2 if hw > infer_tile else 1
+        device_s_per_fov = device_ms_per_window / 1e3 * tiles * n_z
+        n_fovs = int(os.environ.get("BENCH_E2E_FOVS", "6"))
+        cores = os.cpu_count() or 1
+
+        def run_pipelined(slab: np.ndarray, ranges, dtype: str) -> float:
+            store = codec_root / f"bench_pipe_{dtype}.zarr"
+            writer = HCSPredictionWriter(
+                str(store), overwrite=True, output_dtype=dtype, flush_workers=max(2, cores)
+            )
+            writer.on_predict_start(_Trainer(), None)
+            writer._ensure_store(_DM())
+            t0 = time.perf_counter()
+            for i in range(n_fovs):
+                time.sleep(device_s_per_fov)  # the FOV's forwards (on-chip)
+                key = (f"A/{i}/0", 0, tuple(range(n_ch)))
+                writer._flush_pending.append(
+                    writer._flush_pool.submit(writer._write_device_slab, key, slab, ranges)
+                )
+                while len(writer._flush_pending) > 2 * writer.flush_workers:
+                    writer._flush_pending.pop(0).result()
+            writer.on_predict_end(_Trainer(), None)
+            elapsed = time.perf_counter() - t0
+            shutil.rmtree(store, ignore_errors=True)
+            return elapsed
+
+        for slab, ranges, dtype, suffix in (
+            (slab_u16, ranges_u16, "uint16", "_u16"),
+            (slab_f32, None, "float32", ""),
+        ):
+            codec_s = out[f"inference_codec_io_s_per_fov{suffix}"]
+            elapsed = run_pipelined(slab, ranges, dtype)
+            rate = n_fovs / elapsed
+            model_rate = min(
+                1e3 / (device_ms_per_window * tiles * n_z), cores / codec_s
+            )
+            out[f"inference_e2e_pipelined_fovs_per_sec{suffix}"] = round(rate, 4)
+            out[f"inference_e2e_pipelined_model_fovs_per_sec{suffix}"] = round(model_rate, 4)
+            out[f"inference_e2e_pipelined_attainment{suffix}"] = round(rate / model_rate, 3)
+        out["inference_e2e_pipelined_note"] = (
+            f"{n_fovs} FOVs through the real writer flush pool on tmpfs, "
+            "producer sleeping the measured device time per FOV; model = "
+            "min(device rate, cores x codec rate) on this host "
+            f"({cores} core)"
+        )
+
     if own_tmp:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
