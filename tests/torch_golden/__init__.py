@@ -71,6 +71,15 @@ def load_reference(modname: str):
         for k in list(sys.modules)
         if k == "viscy_models" or k.startswith("viscy_models.")
     }
+    # the repo's compat layer aliases 'viscy_models*' to viscy_tpu via a
+    # META-PATH finder (viscy_tpu/compat.py _AliasFinder), which outranks
+    # the synthetic reference package's __path__ — detach it for the
+    # duration of the reference import
+    saved_finders = [
+        f for f in sys.meta_path if type(f).__name__ == "_AliasFinder"
+    ]
+    for f in saved_finders:
+        sys.meta_path.remove(f)
     try:
         if "viscy_models" in _loaded:
             sys.modules.update({k: v for k, v in _loaded.items() if isinstance(v, type(sys))})
@@ -89,3 +98,6 @@ def load_reference(modname: str):
         for k in [k for k in sys.modules if k == "viscy_models" or k.startswith("viscy_models.")]:
             del sys.modules[k]
         sys.modules.update(saved)
+        for f in saved_finders:
+            if f not in sys.meta_path:
+                sys.meta_path.insert(0, f)
