@@ -410,3 +410,20 @@ def test_dynaclr_shear_config_pallas_accuracy(smooth_vol):
     d = np.abs(np.asarray(out_p) - np.asarray(out_x))
     assert d.max() < 0.05 * rng_v
     assert d.mean() < 0.005 * rng_v
+
+
+def test_resident_matches_slab_path(smooth_vol, monkeypatch):
+    """The volume-resident kernel (whole sample DMA'd once) is bit-identical
+    to the per-slice slab kernel — same pass math, different DMA schedule."""
+    import viscy_tpu.ops.pallas.warp3d as w3d
+
+    rot = jnp.asarray(np.random.default_rng(5).uniform(-0.5, 0.5, (B, 3)), jnp.float32)
+    rot = rot.at[:, 1:].set(0.0)
+    mats = compose_affine_3d(rotation=rot)
+    kz = estimate_kz([(-0.5, 0.5), (0, 0), (0, 0)], None, None, IN, OUT)
+    # force each variant via the VMEM budget switch
+    monkeypatch.setattr(w3d, "_RESIDENT_VMEM_BYTES", 1 << 40)
+    res = affine_warp_3d_pallas(smooth_vol, mats, OUT, kz=kz, interpret=True)
+    monkeypatch.setattr(w3d, "_RESIDENT_VMEM_BYTES", 0)
+    slab = affine_warp_3d_pallas(smooth_vol, mats, OUT, kz=kz, interpret=True)
+    np.testing.assert_array_equal(np.asarray(res), np.asarray(slab))
