@@ -466,7 +466,7 @@ def _warp_kernel_resident(
 
 # VMEM budget for the volume-resident kernel's double-buffered scratch; the
 # out block + pass temporaries need the rest of the 100 MB limit
-_RESIDENT_VMEM_BYTES = 48 * 1024 * 1024
+_RESIDENT_VMEM_BYTES = 72 * 1024 * 1024
 
 
 def affine_warp_3d_pallas(
@@ -522,11 +522,32 @@ def affine_warp_3d_pallas(
     # overlapping kz-slab per output slice (Zo x kz / Zi fewer HBM bytes)
     vol_bytes = C * Zi * Xi_pad8 * Yi_padL * 4
     aligned = (Xi_pad8, Yi_padL) == (Xi, Yi)
+    slab_wins = Zo * kz > Zi  # slab path would re-fetch more than the volume
     resident = (
         (hbm_padded or aligned)  # HBM layout covers the full padded extent
         and 2 * vol_bytes <= _RESIDENT_VMEM_BYTES
-        and Zo * kz > Zi  # slab path would re-fetch more than the volume
+        and slab_wins
     )
+    if (
+        not resident
+        and C > 1
+        and slab_wins
+        and (hbm_padded or aligned)
+        and 2 * vol_bytes <= C * _RESIDENT_VMEM_BYTES
+    ):
+        # channel-split resident: treat (B, C) as B*C single-channel
+        # volumes (same kernel, coefficients repeated per channel) so each
+        # channel's volume rides VMEM once instead of Zo overlapping slabs
+        out = affine_warp_3d_pallas(
+            vol.reshape(B * C, 1, Zi, Yi, Xi),
+            jnp.repeat(matrices, C, axis=0),
+            out_shape,
+            kz,
+            out_offset=offset,
+            padding_mode=padding_mode,
+            interpret=interpret,
+        )
+        return out.reshape(B, C, Zo, Yo, Xo)
     if resident:
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
