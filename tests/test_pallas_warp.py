@@ -428,20 +428,3 @@ def test_resident_matches_slab_path(smooth_vol, monkeypatch):
     slab = affine_warp_3d_pallas(smooth_vol, mats, OUT, kz=kz, interpret=True)
     np.testing.assert_array_equal(np.asarray(res), np.asarray(slab))
 
-
-def test_channel_split_resident_matches(smooth_vol, monkeypatch):
-    """Channel-split resident routing (B*C single-channel volumes through
-    the resident kernel) is bit-identical to the direct multi-channel path."""
-    import viscy_tpu.ops.pallas.warp3d as w3d
-
-    rot = jnp.asarray(np.random.default_rng(6).uniform(-0.4, 0.4, (B, 3)), jnp.float32)
-    rot = rot.at[:, 1:].set(0.0)
-    mats = compose_affine_3d(rotation=rot)
-    kz = estimate_kz([(-0.4, 0.4), (0, 0), (0, 0)], None, None, IN, OUT)
-    monkeypatch.setattr(w3d, "_RESIDENT_VMEM_BYTES", 1 << 40)
-    direct = affine_warp_3d_pallas(smooth_vol, mats, OUT, kz=kz, interpret=True)
-    # budget that fails full-C but passes per-channel (C = 2 here)
-    one_ch = IN[0] * ((IN[2] + 7) // 8 * 8) * ((IN[1] + 127) // 128 * 128) * 4
-    monkeypatch.setattr(w3d, "_RESIDENT_VMEM_BYTES", 2 * one_ch + 1)
-    split = affine_warp_3d_pallas(smooth_vol, mats, OUT, kz=kz, interpret=True)
-    np.testing.assert_array_equal(np.asarray(direct), np.asarray(split))

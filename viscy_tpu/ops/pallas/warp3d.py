@@ -528,26 +528,12 @@ def affine_warp_3d_pallas(
         and 2 * vol_bytes <= _RESIDENT_VMEM_BYTES
         and slab_wins
     )
-    if (
-        not resident
-        and C > 1
-        and slab_wins
-        and (hbm_padded or aligned)
-        and 2 * vol_bytes <= C * _RESIDENT_VMEM_BYTES
-    ):
-        # channel-split resident: treat (B, C) as B*C single-channel
-        # volumes (same kernel, coefficients repeated per channel) so each
-        # channel's volume rides VMEM once instead of Zo overlapping slabs
-        out = affine_warp_3d_pallas(
-            vol.reshape(B * C, 1, Zi, Yi, Xi),
-            jnp.repeat(matrices, C, axis=0),
-            out_shape,
-            kz,
-            out_offset=offset,
-            padding_mode=padding_mode,
-            interpret=interpret,
-        )
-        return out.reshape(B, C, Zo, Yo, Xo)
+    # NOTE round-5 on-chip A/B: a channel-split resident variant (B*C
+    # single-channel volumes through this kernel) measured 8% SLOWER on the
+    # flagship step (91.2 -> 83.9 patches/s same-process) despite a 3.7x
+    # DMA cut — 3x more grid programs + the larger scratch cost more than
+    # the slab re-fetch. Full-channel residency below is the keeper
+    # (+12.5% on the DynaCLR recipe).
     if resident:
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
